@@ -1,0 +1,147 @@
+"""Text analysis: tokenize → casefold → stopword-filter → stem, batched.
+
+Semantics mirror the reference pipeline
+(/root/reference/indexing/index_builder/helpers.py:49-58: ``tokenize →
+case_folding → remove_stopwords → apply_stemming``; document tokenizer regex
+``[¢£€\\w]+`` at helpers.py:29), re-expressed as a vectorized per-batch
+kernel: one C-level regex pass per document, then numpy/pandas factorize +
+lexsort to group token occurrences into per-(doc, term) postings with 1-based
+positions over the *post-filter* token stream (positions are indexes into the
+final preprocessed list, /root/reference/indexing/index_builder/index_build.py:26-38).
+
+Analyzer modes (config.AnalyzerConfig):
+- ``reference``: regex ``[¢£€\\w]+`` on raw text, lowercase, English stopword
+  removal, Porter stem — reference document semantics.
+- ``ascii``: ``[a-z0-9_]+`` over lowercased text, no stopwords/stemming.
+  Exactly expressible as DuckDB ``regexp_extract_all(lower(text),
+  '[a-z0-9_]+')`` — used for the SQL-oracle parity gate.
+- ``code``: ``ascii`` plus snake_case/camelCase sub-token emission at the
+  parent token's position (identifier-aware code search).
+
+The stemmer term cache is a module-level dict: the vocabulary is tiny
+relative to the token stream, so stemming cost is amortized to one stem per
+distinct surface form per worker (the reference instead re-instantiated its
+whole Preprocessing object per document,
+/root/reference/indexing/index_builder/index_build.py:178).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+from rayindex import porter
+from rayindex.config import AnalyzerConfig
+
+_REFERENCE_RE = re.compile(r"[¢£€\w]+")
+_ASCII_RE = re.compile(r"[a-z0-9_]+")
+_CAMEL_RE = re.compile(r"[a-z0-9]+|[A-Z][a-z0-9]*|[A-Z]+(?![a-z])")
+
+# Standard English stopword list (Snowball project stop list, public domain —
+# http://snowball.tartarus.org/algorithms/english/stop.txt).  The reference
+# ships a 571-word Glasgow list (indexing/data/helper_data/englishST.txt);
+# parity in this repo is defined against rayindex.oracle which shares this
+# exact list, so any fixed list is equivalent for the rank-identity gate.
+STOPWORDS = frozenset("""
+i me my myself we our ours ourselves you your yours yourself yourselves he him
+his himself she her hers herself it its itself they them their theirs
+themselves what which who whom this that these those am is are was were be
+been being have has had having do does did doing would should could ought
+i'm you're he's she's it's we're they're i've you've we've they've i'd you'd
+he'd she'd we'd they'd i'll you'll he'll she'll we'll they'll isn't aren't
+wasn't weren't hasn't haven't hadn't doesn't don't didn't won't wouldn't
+shan't shouldn't can't cannot couldn't mustn't let's that's who's what's
+here's there's when's where's why's how's a an the and but if or because as
+until while of at by for with about against between into through during
+before after above below to from up down in out on off over under again
+further then once here there when where why how all any both each few more
+most other some such no nor not only own same so than too very
+""".split())
+
+_STEM_CACHE: dict[str, str] = {}
+_STEM_CACHE_MAX = 1 << 20
+
+
+def stem_cached(token: str) -> str:
+    s = _STEM_CACHE.get(token)
+    if s is None:
+        s = porter.stem(token)
+        if len(_STEM_CACHE) < _STEM_CACHE_MAX:
+            _STEM_CACHE[token] = s
+    return s
+
+
+def tokenize_text(text: str, cfg: AnalyzerConfig) -> list[str]:
+    """Full analysis chain for one document → final token list (build + query
+    sides share this function, which the reference only achieves by keeping
+    two hand-synced copies — helpers.py:49-58 vs preprocessing.py:115-124)."""
+    if cfg.mode == "reference":
+        toks = [t.lower() for t in _REFERENCE_RE.findall(text)]
+        toks = [t for t in toks if t not in STOPWORDS]
+        toks = [stem_cached(t) for t in toks]
+    elif cfg.mode == "ascii":
+        toks = _ASCII_RE.findall(text.lower())
+    elif cfg.mode == "code":
+        # identifier-aware: keep the full (lowercased) token AND its
+        # snake_case/camelCase sub-tokens, each occupying its own position.
+        toks = []
+        for raw in re.findall(r"[A-Za-z0-9_]+", text):
+            low = raw.lower()
+            toks.append(low)
+            parts = [p.lower() for p in _CAMEL_RE.findall(raw.replace("_", " "))]
+            if len(parts) > 1:
+                toks.extend(parts)
+    else:
+        raise ValueError(f"unknown analyzer mode {cfg.mode!r}")
+    if cfg.min_token_len > 1 or cfg.max_token_len < 64:
+        toks = [t for t in toks if cfg.min_token_len <= len(t) <= cfg.max_token_len]
+    return toks
+
+
+@lru_cache(maxsize=8)
+def _analyzer_fn(cfg: AnalyzerConfig):
+    return lambda text: tokenize_text(text, cfg)
+
+
+def tokenize_docs_grouped(
+    texts: list[str], cfg: AnalyzerConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a batch of documents and group occurrences per (doc, term).
+
+    Returns (n_tokens_per_doc, doc_idx, terms, tfs, pos_flat):
+    - ``n_tokens_per_doc``: int64[n_docs] — final token count per doc.
+    - ``doc_idx``: int64[n_groups] — batch-local doc index of each group.
+    - ``terms``: object[n_groups] — the term of each group.
+    - ``tfs``: int64[n_groups].
+    - ``pos_flat``: int64[sum tfs] — ascending 1-based positions, concatenated
+      group after group (groups ordered by (doc_idx, first occurrence... ) —
+      ordered by (doc, term code) which is deterministic).
+    """
+    fn = _analyzer_fn(cfg)
+    token_lists = [fn(t) if t is not None else [] for t in texts]
+    counts = np.fromiter((len(t) for t in token_lists), np.int64, len(token_lists))
+    total = int(counts.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return counts, z, np.zeros(0, object), z, z
+    flat: list[str] = []
+    for t in token_lists:
+        flat.extend(t)
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=True)
+    doc_idx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    offsets = np.repeat(np.cumsum(counts) - counts, counts)
+    pos = np.arange(total, dtype=np.int64) - offsets + 1  # 1-based per doc
+    order = np.lexsort((codes, doc_idx))  # stable: positions stay ascending
+    sd, sc, sp = doc_idx[order], codes[order], pos[order]
+    newgrp = np.empty(total, bool)
+    newgrp[0] = True
+    np.not_equal(sd[1:], sd[:-1], out=newgrp[1:])
+    np.logical_or(newgrp[1:], sc[1:] != sc[:-1], out=newgrp[1:])
+    starts = np.flatnonzero(newgrp)
+    tfs = np.diff(np.append(starts, total))
+    g_doc = sd[starts]
+    g_terms = np.asarray(uniques, dtype=object)[sc[starts]]
+    return counts, g_doc, g_terms, tfs, sp

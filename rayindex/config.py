@@ -1,0 +1,90 @@
+"""Configuration dataclasses for the build and query pipelines.
+
+The reference engine has no config surface beyond hardcoded constants
+(BM25 k=1.5 at /root/reference/search/retrieval/retrieval_models/bm25_model/bm25_model.py:23,
+LM mu=1303 g=0.2 at /root/reference/search/retrieval/retrieval_execution/retrieval_execution.py:168,
+segment flush every 60k docs at /root/reference/indexing/index_builder/index_build.py:189).
+Here every knob is explicit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Tokenization pipeline config.
+
+    mode:
+      - ``reference``: regex ``[¢£€\\w]+`` findall, casefold, English stopword
+        removal, Porter stem — the reference's document pipeline
+        (/root/reference/indexing/index_builder/helpers.py:49-58).
+      - ``ascii``: ``[a-z0-9_]+`` over lowercased text, no stopwords, no
+        stemming — exactly expressible in DuckDB SQL (regexp_extract_all),
+        used for the driver's SQL-oracle parity gate.
+      - ``code``: like ``ascii`` but also splits snake_case/camelCase
+        identifiers into sub-tokens (keeps the original too).
+    """
+
+    mode: str = "reference"
+    min_token_len: int = 1
+    max_token_len: int = 64
+
+    def fingerprint(self) -> str:
+        return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class BuildConfig:
+    """Index build pipeline config.
+
+    doc_range_size: postings are sharded by contiguous doc_id range
+    (``range_id = doc_id // doc_range_size``) *before* the groupby-term
+    shuffle.  This is the skew strategy: a hot term ("def", "return")
+    never lands on a single reducer — each (term, range) group encodes
+    independently and the full posting list is the concatenation of its
+    ranges in range order (ascending doc_id is preserved by construction).
+    Replaces the reference's single giant in-memory dict + manual 60k-doc
+    segment flush (/root/reference/indexing/index_builder/index_build.py:188-197).
+    """
+
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+    num_shards: int = 16
+    doc_range_size: int = 1 << 17  # 131072 docs per posting range
+    block_size: int = 128          # docs per block-max block
+    keep_positions: bool = True    # positional index (phrase/proximity support)
+    tokenize_batch_size: int = 256
+    max_content_bytes: int = 8 << 20  # drop pathological rows (ref: title/url>=1000 filter)
+    verify_sha256: bool = True     # ingest invariant: per-row sha256(content) vs source
+
+    def fingerprint(self) -> str:
+        d = asdict(self)
+        return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class SearchConfig:
+    """Query-side config.
+
+    scorer:
+      - ``bm25``: standard BM25 (k1=1.2, b=0.75) — the engine default per
+        BASELINE.json.
+      - ``reference``: the reference's nonstandard BM25 variant
+        ``idf=ln(1+(N-df+0.5)/(df+0.5)); w=idf*tf/(k*d+tf+0.5)`` with k=1.5
+        and the intersection→union candidate fallback
+        (/root/reference/.../bm25_model.py:19-55,190-269) for rank-identity.
+    """
+
+    scorer: str = "bm25"
+    k1: float = 1.2
+    b: float = 0.75
+    ref_k: float = 1.5
+    top_k: int = 100           # reference result cap (helpers.py:135)
+    boolean_cap: int = 500     # boolean result cap (boolean_retrieval.py:36)
+    candidate_relax: int = 100  # <100 docs → intersection falls back toward union
+    algorithm: str = "taat"    # "taat" (vectorized term-at-a-time) | "bmw" (block-max WAND)
+    lm_mu: float = 1303.0
+    lm_g: float = 0.2

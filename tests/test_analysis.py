@@ -1,0 +1,153 @@
+"""Tests for the analysis chain (tokenize → casefold → stopword → stem).
+
+Mirrors the reference semantics at
+/root/reference/indexing/index_builder/helpers.py:49-58 (chain) and :29
+(regex class), including the quirky ``[¢£€\\w]+`` currency characters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rayindex import analysis, porter
+from rayindex.config import AnalyzerConfig
+
+REF = AnalyzerConfig(mode="reference")
+ASCII = AnalyzerConfig(mode="ascii")
+CODE = AnalyzerConfig(mode="code")
+
+
+def test_reference_chain():
+    # "the" is a stopword, "Running" stems to "run", "foxes" to "fox"
+    assert analysis.tokenize_text("The quick Running foxes", REF) == ["quick", "run", "fox"]
+
+
+def test_reference_currency_class():
+    # ¢£€ are part of the token class (helpers.py:29)
+    toks = analysis.tokenize_text("price £100 and €5", REF)
+    assert "£100" in toks and "€5" in toks
+
+
+def test_reference_stopwords_removed_before_stem():
+    # positions are over the POST-filter stream (index_build.py:26-38 operates
+    # on the preprocessed list)
+    counts, gdoc, terms, tfs, pos = analysis.tokenize_docs_grouped(["the cat sat"], REF)
+    assert counts[0] == 2  # "the" removed
+    by_term = dict(zip(terms.tolist(), tfs.tolist()))
+    assert by_term == {"cat": 1, "sat": 1}
+    assert sorted(pos.tolist()) == [1, 2]
+
+
+def test_ascii_mode_matches_sql_semantics():
+    # exactly regexp_extract_all(lower(text), '[a-z0-9_]+')
+    assert analysis.tokenize_text("Hello, World_2!\nfoo-bar", ASCII) == [
+        "hello",
+        "world_2",
+        "foo",
+        "bar",
+    ]
+
+
+def test_code_mode_subtokens():
+    toks = analysis.tokenize_text("getFooBar snake_case", CODE)
+    assert "getfoobar" in toks and "get" in toks and "foo" in toks and "bar" in toks
+    assert "snake_case" in toks and "snake" in toks and "case" in toks
+
+
+def test_grouped_positions_1based_ascending():
+    counts, gdoc, terms, tfs, pos = analysis.tokenize_docs_grouped(["a b a c", "b b"], ASCII)
+    assert counts.tolist() == [4, 2]
+    groups = {}
+    p = 0
+    for d, t, tf in zip(gdoc.tolist(), terms.tolist(), tfs.tolist()):
+        groups[(d, t)] = pos[p : p + tf].tolist()
+        p += tf
+    assert groups == {(0, "a"): [1, 3], (0, "b"): [2], (0, "c"): [4], (1, "b"): [1, 2]}
+
+
+def test_grouped_empty_and_null_docs():
+    counts, gdoc, terms, tfs, pos = analysis.tokenize_docs_grouped(["", None, "x"], ASCII)
+    assert counts.tolist() == [0, 0, 1]
+    assert gdoc.tolist() == [2]
+    assert terms.tolist() == ["x"]
+
+
+def test_grouped_matches_scalar_path():
+    texts = ["def foo(): return Bar", "class Baz microservice's", "£5 the end"]
+    counts, gdoc, terms, tfs, pos = analysis.tokenize_docs_grouped(texts, REF)
+    for i, text in enumerate(texts):
+        toks = analysis.tokenize_text(text, REF)
+        assert counts[i] == len(toks)
+        # rebuild (term -> positions) from grouped output
+        got = {}
+        p = 0
+        for d, t, tf in zip(gdoc.tolist(), terms.tolist(), tfs.tolist()):
+            if d == i:
+                got[t] = pos[p : p + tf].tolist()
+            p += tf
+        want = {}
+        for j, t in enumerate(toks, start=1):
+            want.setdefault(t, []).append(j)
+        assert got == want
+
+
+def test_stem_cache_consistency():
+    analysis._STEM_CACHE.clear()
+    a = analysis.stem_cached("relational")
+    b = analysis.stem_cached("relational")
+    assert a == b == porter.stem("relational")
+
+
+@pytest.mark.parametrize(
+    "word,expected",
+    [
+        ("caresses", "caress"),
+        ("ponies", "poni"),
+        ("cats", "cat"),
+        ("feed", "feed"),
+        ("agreed", "agre"),
+        ("plastered", "plaster"),
+        ("motoring", "motor"),
+        ("sing", "sing"),
+        ("conflated", "conflat"),
+        ("troubled", "troubl"),
+        ("sized", "size"),
+        ("hopping", "hop"),
+        ("tanned", "tan"),
+        ("falling", "fall"),
+        ("hissing", "hiss"),
+        ("fizzed", "fizz"),
+        ("failing", "fail"),
+        ("filing", "file"),
+        ("happy", "happi"),
+        ("sky", "sky"),
+        ("relational", "relat"),
+        ("conditional", "condit"),
+        ("rational", "ration"),
+        ("valenci", "valenc"),
+        ("digitizer", "digit"),
+        ("triplicate", "triplic"),
+        ("formative", "form"),
+        ("formalize", "formal"),
+        ("electriciti", "electr"),
+        ("hopeful", "hope"),
+        ("goodness", "good"),
+        ("revival", "reviv"),
+        ("allowance", "allow"),
+        ("inference", "infer"),
+        ("airliner", "airlin"),
+        ("adjustment", "adjust"),
+        ("dependent", "depend"),
+        ("adoption", "adopt"),
+        ("activate", "activ"),
+        ("probate", "probat"),
+        ("rate", "rate"),
+        ("cease", "ceas"),
+        ("controll", "control"),
+        ("roll", "roll"),
+    ],
+)
+def test_porter_vectors(word, expected):
+    # vectors from the published algorithm description (Porter 1980 examples)
+    assert porter.stem(word) == expected
