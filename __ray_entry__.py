@@ -1,44 +1,528 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline (index build + actor-pool BM25 search) on
+/root/testdata/sf0.001.  ``queries()`` — one callable per implemented
+operator family (SURVEY.md §2 + datapipe extras), each over ``sf_dir``.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry
+(identical column names; floats rounded to 6 decimals on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import: nothing here (or in the
+rayindex library) calls ray.init/shutdown.
+
+The index-backed entries use the ``ascii`` analyzer mode (tokens ==
+``regexp_extract_all(lower(text), '[a-z0-9_]+')``) so the whole build →
+shuffle → compress → mmap → score path is checkable against pure SQL.
+Engine-internal doc_ids are translated back to the source table's
+``doc_id`` at the output boundary.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# fixed probe terms present in the driver's synthetic documents vocabulary
+PROBE_TERMS = ("scan", "spark", "customer", "window")
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "scan"),
+    (1, "merge window"),
+    (2, "spark customer batch"),
+    (3, "zzznosuchterm"),
+    (4, "group stream table"),
+]
+TOKEN_RE_SQL = "'[a-z0-9_]+'"
+
+_INDEX_CACHE: dict[str, Any] = {}
+
+
+def _micro_cols(t: pa.Table, cols: tuple[str, ...]) -> pa.Table:
+    """Replace float columns with integer micro-units (round(x*1e6)) so the
+    driver's value-hash compares exactly — pyarrow round() and DuckDB
+    round() produce different doubles for the same value, so floats can't
+    be hashed across engines."""
+    for c in cols:
+        idx = t.column_names.index(c)
+        vals = np.rint(t[c].to_numpy(zero_copy_only=False).astype(np.float64) * 1e6)
+        t = t.set_column(idx, c + "_micro", pa.array(vals.astype(np.int64), pa.int64()))
+    return t
+
+
+def _docs_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _ascii_cfgs():
+    from rayindex.config import AnalyzerConfig, BuildConfig, SearchConfig
+
+    analyzer = AnalyzerConfig(mode="ascii")
+    build = BuildConfig(analyzer=analyzer, num_shards=8, tokenize_batch_size=512)
+    search = SearchConfig(scorer="bm25", algorithm="bmw")
+    return analyzer, build, search
+
+
+def _ensure_index(sf_dir: str):
+    """Build (or resume from checkpoints) the ascii-mode index for sf_dir;
+    returns (index_dir, engine_doc_id -> source doc_id array)."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    import ray.data
+
+    from rayindex.engine import adapt_documents, build_index
+
+    analyzer, build_cfg, _ = _ascii_cfgs()
+    out = os.path.join(
+        "/tmp/rayindex_entry",
+        os.path.basename(os.path.normpath(sf_dir)) + "_" + build_cfg.fingerprint(),
+    )
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text", "lang", "source"])
+    ds = adapt_documents(ds, repo_col="source", path_col="doc_id",
+                         lang_col="lang", content_col="text")
+    build_index(ds, out, build_cfg, input_token=f"testdata:{_docs_path(sf_dir)}")
+    store = pq.read_table(os.path.join(out, "doc_store"), columns=["doc_id", "path"])
+    eng = store["doc_id"].to_numpy()
+    orig = np.asarray([int(p) for p in store["path"].to_pylist()], np.int64)
+    id_map = np.zeros(int(eng.max()) + 1, np.int64)
+    id_map[eng] = orig
+    _INDEX_CACHE[sf_dir] = (out, id_map)
+    return _INDEX_CACHE[sf_dir]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the full index over sf0.001 and run a mixed query set
+    through the searcher actor pool; returns the results Dataset."""
+    import ray.data
+
+    from rayindex.searcher import search_dataset
+
+    sf_dir = "/root/testdata/sf0.001"
+    analyzer, _, search_cfg = _ascii_cfgs()
+    index_dir, _ = _ensure_index(sf_dir)
+    qs = pa.table({
+        "query_id": pa.array(range(6), pa.int64()),
+        "query": pa.array([
+            "scan", "merge window", '"table scan"',
+            "scan AND customer", "#3(spark,customer)", "group stream table",
+        ]),
+        "k": pa.array([10] * 6, pa.int32()),
+    })
+    return search_dataset(qs, index_dir, search_cfg=search_cfg,
+                          analyzer=analyzer, concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_term_stats(sf_dir: str) -> pa.Table:
+    import glob
+
+    index_dir, _ = _ensure_index(sf_dir)
+    parts = [
+        pq.read_table(f, columns=["term", "df", "cf"])
+        for f in sorted(glob.glob(os.path.join(index_dir, "shards", "*.dict.parquet")))
+    ]
+    return pa.concat_tables(parts)
+
+
+def _q_collection_stats(sf_dir: str) -> pa.Table:
+    index_dir, _ = _ensure_index(sf_dir)
+    t = pq.read_table(os.path.join(index_dir, "stats", "collection_stats.parquet"))
+    return _micro_cols(t, ("avg_dl",))
+
+
+def _q_postings_probe(sf_dir: str) -> pa.Table:
+    from rayindex.searcher import IndexReader
+
+    index_dir, id_map = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    terms, docs, tfs, minp, maxp = [], [], [], [], []
+    for term in PROBE_TERMS:
+        p = r.lookup(term, need_positions=True)
+        if p is None:
+            continue
+        starts = p.pos_slices()
+        for i in range(p.df):
+            terms.append(term)
+            docs.append(int(id_map[p.docs[i]]))
+            tfs.append(int(p.tfs[i]))
+            seg = p.positions[int(starts[i]) : int(starts[i]) + int(p.tfs[i])]
+            minp.append(int(seg.min()))
+            maxp.append(int(seg.max()))
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "tf": pa.array(tfs, pa.int64()),
+        "min_pos": pa.array(minp, pa.int64()),
+        "max_pos": pa.array(maxp, pa.int64()),
+    })
+
+
+def _q_bm25_topk(sf_dir: str) -> pa.Table:
+    """Standard BM25 (k1=1.2 b=0.75) top-10 via the searcher actor pool +
+    block-max WAND; scores rounded to 6 decimals (oracle: same SQL round)."""
+    from rayindex.searcher import search_dataset
+
+    analyzer, _, search_cfg = _ascii_cfgs()
+    index_dir, id_map = _ensure_index(sf_dir)
+    qs = pa.table({
+        "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int64()),
+        "query": pa.array([q[1] for q in BM25_QUERIES]),
+        "k": pa.array([10] * len(BM25_QUERIES), pa.int32()),
+    })
+    res = search_dataset(qs, index_dir, search_cfg=search_cfg,
+                         analyzer=analyzer, concurrency=2).to_pandas()
+    res["doc_id"] = id_map[res["doc_id"].to_numpy()]
+    return _micro_cols(pa.Table.from_pandas(res, preserve_index=False), ("score",))
+
+
+def _q_boolean_and_docs(sf_dir: str) -> pa.Table:
+    from rayindex.config import SearchConfig
+    from rayindex.query import parse_query
+    from rayindex.scoring import boolean_docs
+    from rayindex.searcher import IndexReader
+
+    analyzer, _, _ = _ascii_cfgs()
+    index_dir, id_map = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    q = parse_query("scan AND customer", analyzer)
+    docs = boolean_docs(r, q, r.stats, SearchConfig())
+    return pa.table({"doc_id": pa.array(np.sort(id_map[docs]), pa.int64())})
+
+
+def _q_phrase_match_docs(sf_dir: str) -> pa.Table:
+    from rayindex.query import parse_query
+    from rayindex.scoring import _phrase_docs
+    from rayindex.searcher import IndexReader
+
+    analyzer, _, _ = _ascii_cfgs()
+    index_dir, id_map = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    q = parse_query('"table scan"', analyzer)
+    docs = _phrase_docs(r, q.parts[0])
+    return pa.table({"doc_id": pa.array(np.sort(id_map[docs]), pa.int64())})
+
+
+def _q_proximity_docs(sf_dir: str) -> pa.Table:
+    from rayindex.query import parse_query
+    from rayindex.scoring import proximity_docs
+    from rayindex.searcher import IndexReader
+
+    analyzer, _, _ = _ascii_cfgs()
+    index_dir, id_map = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    q = parse_query("#3(spark,customer)", analyzer)
+    docs = proximity_docs(r, q)
+    return pa.table({"doc_id": pa.array(np.sort(id_map[docs]), pa.int64())})
+
+
+def _q_token_count(sf_dir: str):
+    import ray.data
+
+    from rayindex.datapipe.text import token_count_batch
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_quality(sf_dir: str):
+    import ray.data
+
+    from rayindex.datapipe.text import quality_batch
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = ds.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return out.map_batches(
+        lambda t: _micro_cols(t, ("stopword_ratio", "avg_token_len")),
+        batch_format="pyarrow")
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data
+
+    from rayindex.datapipe.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def _q_langid(sf_dir: str):
+    import ray.data
+
+    from rayindex.datapipe.text import langid_batch
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(langid_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data
+
+    from rayindex.datapipe.dedup import simhash_batch
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data
+
+    from rayindex.datapipe.text import fingerprint_batch
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data
+
+    from rayindex.datapipe.dedup import minhash_candidates
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    # est_jaccard values are exact multiples of 1/64 — safe as doubles
+    return minhash_candidates(ds, num_perm=64, bands=16)
+
+
+def _q_knn_cosine(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from rayindex.datapipe.ann import knn_brute
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    mask = np.asarray(qt["vec_id"].to_numpy() < 8)
+    q_ids = qt["vec_id"].to_numpy()[mask]
+    queries = np.stack([np.asarray(v, np.float64)
+                        for v, m in zip(qt["embedding"].to_pylist(), mask) if m])
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    res = knn_brute(ds, queries, k=5, dtype=np.float64)
+    import pyarrow.compute as pc
+
+    qid = pc.take(pa.array(q_ids, pa.int64()), res["query_id"])
+    res = res.set_column(0, "query_id", qid)
+    return _micro_cols(res, ("cos_sim",))
+
+
+def _q_knn_ivf(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from rayindex.datapipe.ann import knn_ivf
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    queries = np.stack([np.asarray(v, np.float32) for v in qt["embedding"].to_pylist()[:4]])
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return knn_ivf(ds, queries, k=5, n_centroids=8, nprobe=3)
+
+
+def _q_events_window(sf_dir: str):
+    import ray.data
+
+    from rayindex.datapipe.windows import tumbling_window
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+    out = tumbling_window(ds, window_s=3600)
+    return out.map_batches(
+        lambda t: _micro_cols(t, ("sum_value", "min_value", "max_value")),
+        batch_format="pyarrow")
+
+
+def _q_media_meta(sf_dir: str):
+    """Multimodal plumbing: documents.text treated as an opaque binary
+    payload column; metadata extraction without decode."""
+    import ray.data
+
+    from rayindex.datapipe.media import attach_media_meta
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pc.cast(pc.cast(t["text"], pa.string()), pa.binary()),
+        })
+
+    return (
+        ds.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(attach_media_meta, fn_kwargs={"payload_col": "payload"},
+                     batch_format="pyarrow")
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "term_stats": _q_term_stats,
+        "collection_stats": _q_collection_stats,
+        "postings_probe": _q_postings_probe,
+        "bm25_topk": _q_bm25_topk,
+        "boolean_and_docs": _q_boolean_and_docs,
+        "phrase_match_docs": _q_phrase_match_docs,
+        "proximity_docs": _q_proximity_docs,
+        "token_count": _q_token_count,
+        "quality": _q_quality,
+        "exact_dedup": _q_exact_dedup,
+        "langid": _q_langid,
+        "simhash": _q_simhash,
+        "fingerprint": _q_fingerprint,
+        "minhash_pairs": _q_minhash_pairs,
+        "knn_cosine": _q_knn_cosine,
+        "knn_ivf": _q_knn_ivf,
+        "events_window": _q_events_window,
+        "media_meta": _q_media_meta,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = f"""
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), {TOKEN_RE_SQL}) AS toks
+         FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+        FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    probe = ", ".join(f"'{t}'" for t in PROBE_TERMS)
+    qvals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, qtext in BM25_QUERIES
+        for term in sorted(set(qtext.split()))
+    )
+    stop = ", ".join(f"'{s}'" for s in (
+        "the", "and", "of", "a", "to", "in", "is", "it", "that", "for"))
+    return {
+        "term_stats": f"""
+            WITH {_TOKS_CTE}
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
+            FROM tf GROUP BY term
+        """,
+        "collection_stats": f"""
+            WITH {_TOKS_CTE}
+            SELECT count(*) AS n_docs, sum(dl)::BIGINT AS total_tokens,
+                   CAST(round(sum(dl)::DOUBLE / count(*) * 1e6) AS BIGINT)
+                     AS avg_dl_micro,
+                   (SELECT count(*) FROM dfq) AS n_terms
+            FROM dl
+        """,
+        "postings_probe": f"""
+            WITH {_TOKS_CTE}
+            SELECT term, doc_id, count(*)::BIGINT AS tf,
+                   min(p)::BIGINT AS min_pos, max(p)::BIGINT AS max_pos
+            FROM pos WHERE term IN ({probe})
+            GROUP BY term, doc_id
+        """,
+        "bm25_topk": f"""
+            WITH {_TOKS_CTE},
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            q(query_id, term) AS (VALUES {qvals}),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                sum( ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                   ) AS s
+              FROM q JOIN tf USING (term) JOIN dfq USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+              GROUP BY q.query_id, tf.doc_id)
+            SELECT query_id, doc_id,
+                   CAST(round(s * 1e6) AS BIGINT) AS score_micro,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY s DESC, doc_id ASC) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 10
+        """,
+        "boolean_and_docs": f"""
+            WITH {_TOKS_CTE}
+            SELECT doc_id FROM tf WHERE term = 'scan'
+            INTERSECT
+            SELECT doc_id FROM tf WHERE term = 'customer'
+            ORDER BY doc_id LIMIT 500
+        """,
+        "phrase_match_docs": f"""
+            WITH {_TOKS_CTE}
+            SELECT DISTINCT a.doc_id AS doc_id
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            WHERE a.term = 'table' AND b.term = 'scan'
+            ORDER BY doc_id
+        """,
+        "proximity_docs": f"""
+            WITH {_TOKS_CTE}
+            SELECT DISTINCT a.doc_id AS doc_id
+            FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+            WHERE a.term = 'spark' AND b.term = 'customer'
+              AND abs(a.p - b.p) <= 3
+            ORDER BY doc_id
+        """,
+        "token_count": f"""
+            WITH {_TOKS_CTE}
+            SELECT d.doc_id, dl.dl::BIGINT AS n_tokens,
+                   length(d.text)::BIGINT AS n_chars
+            FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+        """,
+        "quality": f"""
+            WITH {_TOKS_CTE},
+            agg AS (
+              SELECT doc_id,
+                     count(*)::BIGINT AS n_tokens,
+                     sum(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END) AS n_stop,
+                     sum(length(term)) AS sum_len
+              FROM toks GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(agg.n_tokens, 0) AS n_tokens,
+                   CAST(round(coalesce(agg.n_stop / agg.n_tokens::DOUBLE, 0) * 1e6)
+                        AS BIGINT) AS stopword_ratio_micro,
+                   len(regexp_extract_all(d.text, '[0-9]'))::BIGINT AS digit_count,
+                   CAST(round(coalesce(agg.sum_len / agg.n_tokens::DOUBLE, 0) * 1e6)
+                        AS BIGINT) AS avg_token_len_micro
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS s
+              FROM q CROSS JOIN embeddings e)
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY s DESC, vec_id ASC) AS INT) AS rank,
+                   vec_id, CAST(round(s * 1e6) AS BIGINT) AS cos_sim_micro
+            FROM sims
+            QUALIFY rank <= 5
+        """,
+        "events_window": """
+            SELECT user_id,
+                   (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   CAST(round(sum(value) * 1e6) AS BIGINT) AS sum_value_micro,
+                   CAST(round(min(value) * 1e6) AS BIGINT) AS min_value_micro,
+                   CAST(round(max(value) * 1e6) AS BIGINT) AS max_value_micro
+            FROM events GROUP BY user_id, window_start
+        """,
+        "media_meta": """
+            SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+                   sha256(text) AS payload_sha256
+            FROM documents
+        """,
+    }

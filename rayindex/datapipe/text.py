@@ -1,0 +1,144 @@
+"""Text-analysis operators over a documents table (id, text):
+token counting, quality scoring, language identification (n-gram
+heuristic), and rolling-hash document fingerprints.
+
+All are single ``map_batches`` passes — no shuffle — and every per-doc
+metric that the DuckDB oracle can express is defined to match it exactly
+(ascii tokenization = ``regexp_extract_all(lower(text), '[a-z0-9_]+')``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_ASCII = re.compile(r"[a-z0-9_]+")
+_DIGIT = re.compile(r"[0-9]")
+
+# small fixed stopword probe list (quality metric; mirrored in oracle SQL)
+QUALITY_STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "that", "for")
+
+# tiny per-language character/word profiles for the n-gram heuristic lang-ID
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "was", "for", "with", "that"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "las", "es", "un", "una", "que", "por", "para"},
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """(id, n_tokens, n_chars) — n_tokens over ascii tokens, matching
+    ``len(regexp_extract_all(lower(text), '[a-z0-9_]+'))``."""
+    texts = batch[text_col].to_pylist()
+    counts = np.fromiter(
+        (len(_ASCII.findall(t.lower())) if t else 0 for t in texts), np.int64, len(texts)
+    )
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(counts),
+        "n_chars": pc.cast(pc.utf8_length(pc.cast(batch[text_col], pa.string())), pa.int64()),
+    })
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Per-doc quality signals: token stats + stopword/digit ratios.
+    Columns are defined to be exactly DuckDB-expressible (oracle parity)."""
+    texts = batch[text_col].to_pylist()
+    n_tok, n_stop, n_digit, sum_len = [], [], [], []
+    stop = set(QUALITY_STOPWORDS)
+    for t in texts:
+        toks = _ASCII.findall(t.lower()) if t else []
+        n_tok.append(len(toks))
+        n_stop.append(sum(1 for x in toks if x in stop))
+        n_digit.append(len(_DIGIT.findall(t)) if t else 0)
+        sum_len.append(sum(len(x) for x in toks))
+    n_tok_a = np.asarray(n_tok, np.float64)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(np.asarray(n_tok, np.int64)),
+        "stopword_ratio": pa.array(np.divide(n_stop, n_tok_a, out=np.zeros_like(n_tok_a), where=n_tok_a > 0)),
+        "digit_count": pa.array(np.asarray(n_digit, np.int64)),
+        "avg_token_len": pa.array(np.divide(sum_len, n_tok_a, out=np.zeros_like(n_tok_a), where=n_tok_a > 0)),
+    })
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """Heuristic language ID: argmax profile-word hit rate (deterministic;
+    'und' = undetermined when nothing matches)."""
+    texts = batch[text_col].to_pylist()
+    langs, confs = [], []
+    for t in texts:
+        toks = set(_ASCII.findall(t.lower())) if t else set()
+        best, best_hits = "und", 0
+        for lang, profile in _LANG_PROFILES.items():
+            hits = len(toks & profile)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        langs.append(best)
+        confs.append(best_hits / 10.0)
+    return pa.table({
+        id_col: batch[id_col],
+        "lang_pred": pa.array(langs, pa.string()),
+        "lang_conf": pa.array(confs, pa.float64()),
+    })
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id", window: int = 8) -> pa.Table:
+    """Rolling-hash (Karp-Rabin over token windows) document fingerprint:
+    min-sampled winnowing-style signature reduced to one uint64 per doc."""
+    texts = batch[text_col].to_pylist()
+    out = []
+    B = np.uint64(1000003)
+    np_err = np.seterr(over="ignore")  # uint64 wraparound IS the hash ring
+    for t in texts:
+        toks = _ASCII.findall(t.lower()) if t else []
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.fromiter((hash_token(x) for x in toks), np.uint64, len(toks))
+        if len(hs) < window:
+            acc = np.uint64(0)
+            for h in hs:
+                acc = acc * B + h
+            out.append(int(acc))
+            continue
+        # rolling window hashes, take the min (winnowing's robust pick)
+        roll = np.zeros(len(hs) - window + 1, np.uint64)
+        acc = np.uint64(0)
+        pw = B ** np.uint64(window - 1)
+        for i in range(window):
+            acc = acc * B + hs[i]
+        roll[0] = acc
+        for i in range(1, roll.size):
+            acc = (acc - hs[i - 1] * pw) * B + hs[i + window - 1]
+            roll[i] = acc
+        out.append(int(roll.min()))
+    np.seterr(**np_err)
+    return pa.table({
+        id_col: batch[id_col],
+        "fingerprint": pa.array(np.asarray(out, np.uint64)),
+    })
+
+
+_HASH_CACHE: dict[str, int] = {}
+
+
+def hash_token(tok: str) -> np.uint64:
+    """FNV-1a 64 — stable across processes (unlike Python's hash()).
+    Memoized: the distinct-token vocabulary is tiny next to the stream."""
+    h = _HASH_CACHE.get(tok)
+    if h is None:
+        h = 0xCBF29CE484222325
+        for b in tok.encode():
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        if len(_HASH_CACHE) < (1 << 20):
+            _HASH_CACHE[tok] = h
+    return np.uint64(h)

@@ -1,0 +1,73 @@
+"""Windowed aggregates over an ordered event log.
+
+Ray Data has no event-time windows; a tumbling window over (key, ts) is a
+plain groupby on (key, window_id) with the window id computed per batch —
+no per-key state needed for tumbling/fixed windows, so this stays a
+pre-aggregated two-step: per-batch partial aggregates, then a small
+``groupby().aggregate`` over partials (the combiner pattern — raw events
+never shuffle twice).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def tumbling_window(ds, window_s: int = 3600, key_col: str = "user_id",
+                    ts_col: str = "ts", val_col: str = "value"):
+    """Per-key tumbling window: (key, window_start, n_events, sum_value,
+    min_value, max_value).  window_start = floor(epoch/window)*window (s).
+    """
+
+    def add_window(t: pa.Table) -> pa.Table:
+        # normalize the unit first: pandas-sourced columns arrive as ns,
+        # parquet-sourced as µs
+        epoch = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        win = pc.multiply(
+            pc.divide(epoch, pa.scalar(window_s * 1_000_000, pa.int64())),
+            pa.scalar(window_s, pa.int64()),
+        )
+        return pa.table({
+            key_col: t[key_col],
+            "window_start": win,
+            val_col: t[val_col],
+        })
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(val_col, alias_name="sum_value"),
+            Min(val_col, alias_name="min_value"),
+            Max(val_col, alias_name="max_value"),
+        )
+    )
+
+
+def sessionize(ds, gap_s: int = 1800, key_col: str = "user_id", ts_col: str = "ts"):
+    """Session windows (gap-based): requires per-key ordering, so this IS a
+    shuffle — groupby(key) then a sorted pandas pass per group.  Returns
+    (key, session_start, session_end, n_events)."""
+    import pandas as pd
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        ts = pd.to_datetime(g[ts_col]).astype("int64").to_numpy() // 10**9  # → s
+        new = np.concatenate([[True], np.diff(ts) > gap_s])
+        sid = np.cumsum(new)
+        out = []
+        for s in np.unique(sid):
+            m = sid == s
+            out.append({
+                key_col: g[key_col].iloc[0],
+                "session_start": int(ts[m].min()),
+                "session_end": int(ts[m].max()),
+                "n_events": int(m.sum()),
+            })
+        return pd.DataFrame(out)
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")

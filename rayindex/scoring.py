@@ -1,0 +1,603 @@
+"""Vectorized query-time scoring over decoded posting lists.
+
+Implements the same ranking semantics as rayindex.oracle (the executable
+spec of the reference engine, see its module docstring for the
+deterministic-izations) but numpy-vectorized, plus a block-max WAND
+(Broder et al. 2003 WAND; Ding & Suel 2011 block-max refinement — public
+algorithms) top-k path for the standard-BM25 scorer.
+
+The two implementations are deliberately independent: the rank-identity test
+gate (tests/test_rank_identity.py) compares engine output against the oracle
+term-at-a-time loops, so a bug in either shows up as a mismatch.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from rayindex.config import SearchConfig
+from rayindex.oracle import consecutive_occ
+from rayindex.query import (
+    BooleanQuery,
+    ProximityQuery,
+    TermsQuery,
+    separate_mix,
+)
+
+
+@dataclass
+class Posting:
+    """Decoded postings of one term: ascending doc_ids, parallel tfs, and
+    (optionally lazily) per-doc position arrays."""
+
+    docs: np.ndarray            # int64, ascending
+    tfs: np.ndarray             # int64
+    positions: np.ndarray | None = None   # flat, per-doc lengths == tfs
+    block_last: np.ndarray | None = None  # int64 per block
+    block_max_tf: np.ndarray | None = None
+    block_min_dl: np.ndarray | None = None
+
+    @property
+    def df(self) -> int:
+        return int(self.docs.size)
+
+    def pos_slices(self) -> np.ndarray:
+        """Start offset of each doc's run in the flat position stream."""
+        return np.cumsum(self.tfs) - self.tfs
+
+    def positions_of(self, idx: int) -> list[int]:
+        s = int(np.sum(self.tfs[:idx]))
+        return self.positions[s : s + int(self.tfs[idx])].tolist()
+
+
+@dataclass
+class Stats:
+    n_docs: int
+    total_tokens: int
+    doc_len: np.ndarray  # int64, indexed by doc_id (index 0 unused)
+
+    @property
+    def avg_dl(self) -> float:
+        return self.total_tokens / self.n_docs if self.n_docs else 0.0
+
+
+class MiniIndexProvider:
+    """Anything that can serve per-term postings (shard reader, dict, ...)."""
+
+    def lookup(self, term: str, need_positions: bool) -> Posting | None:  # pragma: no cover
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# term weights (vectorized over a term's matching candidate subset)
+# ---------------------------------------------------------------------------
+
+
+def idf_robertson(n_docs: int, df: int) -> float:
+    return math.log(1 + ((n_docs - df + 0.5) / (df + 0.5)))
+
+
+def w_reference(tfs: np.ndarray, dls: np.ndarray, df: int, stats: Stats,
+                cfg: SearchConfig) -> np.ndarray:
+    idf = idf_robertson(stats.n_docs, df)
+    d = dls / stats.avg_dl
+    return idf * (tfs / (cfg.ref_k * d + tfs + 0.5))
+
+
+def w_bm25(tfs: np.ndarray, dls: np.ndarray, df: int, stats: Stats,
+           cfg: SearchConfig) -> np.ndarray:
+    idf = idf_robertson(stats.n_docs, df)
+    norm = cfg.k1 * (1 - cfg.b + cfg.b * dls / stats.avg_dl)
+    return idf * (tfs * (cfg.k1 + 1)) / (tfs + norm)
+
+
+def bm25_upper_bound(max_tf: int, min_dl: int, df: int, stats: Stats,
+                     cfg: SearchConfig) -> float:
+    """BM25 increases in tf and decreases in dl → (max_tf, min_dl) bounds."""
+    return float(w_bm25(np.asarray([max_tf], np.float64),
+                        np.asarray([min_dl], np.float64), df, stats, cfg)[0])
+
+
+# ---------------------------------------------------------------------------
+# candidate generation (reference J6 intersection→union relax)
+# ---------------------------------------------------------------------------
+
+
+def candidates_reference(postings: dict[str, Posting], relax: int) -> np.ndarray | None:
+    if not postings:
+        return None
+    values = [p.docs for _, p in sorted(postings.items())]
+    if len(values) > 1:
+        i0 = values[0]
+        for v in values[1:]:
+            i0 = np.intersect1d(i0, v, assume_unique=True)
+        if i0.size >= relax:
+            return i0
+        half = len(values) // 2
+        i1 = values[0]
+        for v in values[1:half]:
+            i1 = np.intersect1d(i1, v, assume_unique=True)
+        i2 = values[half]
+        for v in values[half + 1 :]:
+            i2 = np.intersect1d(i2, v, assume_unique=True)
+        if np.union1d(i1, i2).size >= relax:
+            return np.union1d(i0, np.union1d(i1, i2))
+        out = values[0]
+        for v in values[1:]:
+            out = np.union1d(out, v)
+        return out
+    return values[0]
+
+
+def union_docs(postings: dict[str, Posting]) -> np.ndarray | None:
+    if not postings:
+        return None
+    out = None
+    for _, p in sorted(postings.items()):
+        out = p.docs if out is None else np.union1d(out, p.docs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ranking paths
+# ---------------------------------------------------------------------------
+
+
+def _accumulate(cand: np.ndarray, postings: dict[str, Posting], stats: Stats,
+                weight_fn, cfg: SearchConfig, term_mult: dict[str, float] | None = None
+                ) -> np.ndarray:
+    """Term-at-a-time accumulation of weights into the candidate array."""
+    acc = np.zeros(cand.size, np.float64)
+    for term in sorted(postings):
+        p = postings[term]
+        idx = np.searchsorted(cand, p.docs)
+        idx_c = np.clip(idx, 0, cand.size - 1)
+        hit = cand[idx_c] == p.docs
+        tgt = idx_c[hit]
+        tfs = p.tfs[hit].astype(np.float64)
+        dls = stats.doc_len[p.docs[hit]].astype(np.float64)
+        w = weight_fn(tfs, dls, p.df, stats, cfg)
+        if term_mult:
+            w = w * term_mult.get(term, 1.0)
+        acc[tgt] += w
+    return acc
+
+
+def rank_singles(provider: MiniIndexProvider, singles: list[str], scorer: str,
+                 stats: Stats, cfg: SearchConfig,
+                 fixed_docs: np.ndarray | None = None
+                 ) -> tuple[np.ndarray, np.ndarray] | None:
+    postings = {}
+    for t in set(singles):
+        p = provider.lookup(t, need_positions=False)
+        if p is not None:
+            postings[t] = p
+    if not postings:
+        return None
+    if fixed_docs is not None:
+        cand = np.sort(np.asarray(fixed_docs, np.int64))
+    elif scorer == "bm25":
+        cand = union_docs(postings)
+    elif scorer == "reference":
+        cand = candidates_reference(postings, cfg.candidate_relax)
+    else:
+        cand = candidates_reference(postings, cfg.candidate_relax)
+    if cand is None or cand.size == 0:
+        return None if fixed_docs is None else (np.zeros(0, np.int64), np.zeros(0))
+
+    if scorer in ("reference", "bm25"):
+        weight_fn = w_reference if scorer == "reference" else w_bm25
+        scores = _accumulate(cand, postings, stats, weight_fn, cfg)
+        return cand, scores
+    if scorer in ("lm", "lm-dirichlet"):
+        pyp = scorer == "lm"
+        mu = cfg.lm_mu if pyp else 1089.0
+        g = cfg.lm_g
+        l_c = stats.total_tokens
+        qtf = {t: singles.count(t) for t in set(singles)}
+        acc = np.zeros(cand.size, np.float64)
+        for term in sorted(postings):
+            p = postings[term]
+            cf = p.df  # reference df-as-cf quirk (language_model.py:26,45)
+            idx = np.searchsorted(cand, p.docs)
+            idx_c = np.clip(idx, 0, cand.size - 1)
+            hit = cand[idx_c] == p.docs
+            tgt = idx_c[hit]
+            tfs = p.tfs[hit].astype(np.float64)
+            if pyp:
+                dtf = np.maximum(tfs - g * tfs**g, 0.0)
+                w = qtf[term] * np.log((dtf * l_c) / (mu * cf) + 1)
+            else:
+                w = qtf[term] * np.log((tfs / mu) * (l_c / cf) + 1)
+            # oracle iterates the query WITH duplicates: each duplicate
+            # re-adds the qtf-weighted term score → total factor qtf²
+            acc[tgt] += w * qtf[term]
+        dls = stats.doc_len[cand].astype(np.float64)
+        lq = len(singles)
+        if pyp:
+            d_ld = np.maximum(dls - g * dls**g, 0.0)
+            prior = lq * np.log(1 - d_ld / (dls + mu))
+        else:
+            prior = lq * np.log(mu / (dls + mu))
+        return cand, acc + prior
+    if scorer == "vsm":
+        return _rank_vsm(cand, postings, singles, stats)
+    raise ValueError(f"unknown scorer {scorer!r}")
+
+
+def _rank_vsm(cand: np.ndarray, postings: dict[str, Posting], query: list[str],
+              stats: Stats) -> tuple[np.ndarray, np.ndarray]:
+    n = stats.n_docs
+    dot = np.zeros(cand.size)
+    dmag2 = np.zeros(cand.size)
+    qmag2 = 0.0
+    for term in query:  # with duplicates, as the spec iterates
+        p = postings.get(term)
+        if p is None:
+            continue
+        df = p.df
+        w_q = (1 + math.log10(query.count(term))) * math.log10(n / df)
+        qmag2 += w_q * w_q
+        idx = np.searchsorted(cand, p.docs)
+        idx_c = np.clip(idx, 0, cand.size - 1)
+        hit = cand[idx_c] == p.docs
+        tgt = idx_c[hit]
+        w_d = np.zeros(cand.size)
+        if df < n:
+            ww = (1 + np.log10(p.tfs[hit].astype(np.float64))) * math.log10((n - df) / df)
+            w_d[tgt] = np.maximum(ww, 0.0)
+        dot += w_d * w_q
+        dmag2 += w_d * w_d
+    mag = np.sqrt(dmag2) * math.sqrt(qmag2)
+    scores = np.divide(dot, mag, out=np.zeros_like(dot), where=mag > 0)
+    return cand, scores
+
+
+def rank_phrases(provider: MiniIndexProvider, phrases: list[list[str]], scorer: str,
+                 stats: Stats, cfg: SearchConfig,
+                 fixed_docs: np.ndarray | None = None
+                 ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Phrase ranking via positional intersection; same per-phrase
+    ``return None`` semantics as the oracle (any empty phrase kills all)."""
+    scores: dict[int, float] = {}
+    mu = cfg.lm_mu
+    for phrase in phrases:
+        ps = [provider.lookup(t, need_positions=True) for t in phrase]
+        if any(p is None for p in ps):
+            return None
+        inter = ps[0].docs
+        for p in ps[1:]:
+            inter = np.intersect1d(inter, p.docs, assume_unique=True)
+        if inter.size == 0:
+            return None
+        # per-doc consecutive counts (reference kernel)
+        idxs = [np.searchsorted(p.docs, inter) for p in ps]
+        starts = [p.pos_slices() for p in ps]
+        tf: dict[int, int] = {}
+        df = 0
+        for j, doc in enumerate(inter.tolist()):
+            plists = []
+            for p, idx, st in zip(ps, idxs, starts):
+                i = int(idx[j])
+                s = int(st[i])
+                plists.append(p.positions[s : s + int(p.tfs[i])].tolist())
+            cons = consecutive_occ(plists)
+            if cons > 0:
+                tf[doc] = cons
+                df += 1
+        target = np.sort(np.asarray(fixed_docs, np.int64)) if fixed_docs is not None else inter
+        for doc in target.tolist():
+            if doc in tf:
+                dl = float(stats.doc_len[doc])
+                if scorer == "reference":
+                    idf = idf_robertson(stats.n_docs, df)
+                    d = dl / stats.avg_dl
+                    w = idf * (tf[doc] / (cfg.ref_k * d + tf[doc] + 0.5))
+                elif scorer == "bm25":
+                    idf = idf_robertson(stats.n_docs, df)
+                    norm = cfg.k1 * (1 - cfg.b + cfg.b * dl / stats.avg_dl)
+                    w = idf * (tf[doc] * (cfg.k1 + 1)) / (tf[doc] + norm)
+                else:
+                    w = math.log((tf[doc] / mu) * (stats.total_tokens / df) + 1)
+                scores[doc] = scores.get(doc, 0.0) + w
+    if not scores and fixed_docs is None:
+        # all phrases matched docs but none consecutively: empty score dict
+        return np.zeros(0, np.int64), np.zeros(0)
+    docs = np.asarray(sorted(scores), np.int64)
+    return docs, np.asarray([scores[d] for d in docs.tolist()])
+
+
+def boolean_docs(provider: MiniIndexProvider, q: BooleanQuery, stats: Stats,
+                 cfg: SearchConfig) -> np.ndarray:
+    appear: dict[str, np.ndarray] = {}
+    for operand in q.terms:
+        if len(operand) == 1:
+            p = provider.lookup(operand[0], need_positions=False)
+            appear[operand[0]] = p.docs if p is not None else np.zeros(0, np.int64)
+        else:
+            appear[" ".join(operand) + " "] = _phrase_docs(provider, operand)
+    names = list(appear.keys())
+    ops = q.operators
+    if not appear:  # bare-operator query like "AND" — no operands at all
+        return np.zeros(0, np.int64)
+    if len(ops) == 1:
+        vals = list(appear.values())
+        if ops[0] == "OR":
+            out = vals[0]
+            for v in vals[1:]:
+                out = np.union1d(out, v)
+        elif ops[0] == "AND":
+            out = vals[0]
+            for v in vals[1:]:
+                out = np.intersect1d(out, v, assume_unique=True)
+        else:  # NOT
+            if len(vals) == 1:
+                out = np.setdiff1d(np.arange(1, stats.n_docs + 1, dtype=np.int64),
+                                   vals[0], assume_unique=True)
+            else:
+                out = vals[0]
+                for v in vals[1:]:
+                    out = np.setdiff1d(out, v, assume_unique=True)
+    elif len(names) == 2:
+        out = np.setdiff1d(appear[names[0]], appear[names[1]], assume_unique=True)
+    else:
+        groups: list[np.ndarray] = []
+        i = 0
+        while i < len(names):
+            if i in q.paren_positions and i + 1 < len(names):
+                a, b = appear[names[i]], appear[names[i + 1]]
+                op = ops[i] if i < len(ops) else "OR"
+                groups.append(
+                    np.union1d(a, b) if op == "OR"
+                    else np.intersect1d(a, b, assume_unique=True) if op == "AND"
+                    else np.setdiff1d(a, b, assume_unique=True)
+                )
+                i += 2
+            else:
+                groups.append(appear[names[i]])
+                i += 1
+        main_ops = [ops[j] for j in range(len(ops)) if j not in q.paren_positions]
+        acc = np.zeros(0, np.int64)
+        for idx, op in enumerate(main_ops):
+            if idx + 1 >= len(groups):
+                break
+            # empty accumulator restarts from groups[idx] (reference quirk)
+            left = groups[idx] if acc.size == 0 else acc
+            right = groups[idx + 1]
+            acc = (np.union1d(left, right) if op == "OR"
+                   else np.intersect1d(left, right) if op == "AND"
+                   else np.setdiff1d(left, right))
+        out = acc
+    return out[: cfg.boolean_cap]
+
+
+def _phrase_docs(provider: MiniIndexProvider, phrase: list[str]) -> np.ndarray:
+    ps = [provider.lookup(t, need_positions=True) for t in phrase]
+    if any(p is None for p in ps):
+        return np.zeros(0, np.int64)
+    inter = ps[0].docs
+    for p in ps[1:]:
+        inter = np.intersect1d(inter, p.docs, assume_unique=True)
+    idxs = [np.searchsorted(p.docs, inter) for p in ps]
+    starts = [p.pos_slices() for p in ps]
+    keep = []
+    for j, doc in enumerate(inter.tolist()):
+        plists = []
+        for p, idx, st in zip(ps, idxs, starts):
+            i = int(idx[j])
+            s = int(st[i])
+            plists.append(p.positions[s : s + int(p.tfs[i])].tolist())
+        if consecutive_occ(plists) > 0:
+            keep.append(doc)
+    return np.asarray(keep, np.int64)
+
+
+def proximity_docs(provider: MiniIndexProvider, q: ProximityQuery) -> np.ndarray:
+    p1 = provider.lookup(q.terms[0], need_positions=True)
+    p2 = provider.lookup(q.terms[1], need_positions=True)
+    if p1 is None or p2 is None:
+        return np.zeros(0, np.int64)
+    inter = np.intersect1d(p1.docs, p2.docs, assume_unique=True)
+    i1 = np.searchsorted(p1.docs, inter)
+    i2 = np.searchsorted(p2.docs, inter)
+    s1, s2 = p1.pos_slices(), p2.pos_slices()
+    keep = []
+    for j, doc in enumerate(inter.tolist()):
+        a = p1.positions[int(s1[i1[j]]) : int(s1[i1[j]]) + int(p1.tfs[i1[j]])]
+        b = p2.positions[int(s2[i2[j]]) : int(s2[i2[j]]) + int(p2.tfs[i2[j]])]
+        # vectorized |a-b| <= k existence check
+        if np.min(np.abs(a[:, None] - b[None, :])) <= q.k:
+            keep.append(doc)
+    return np.asarray(keep, np.int64)
+
+
+# ---------------------------------------------------------------------------
+# block-max WAND top-k (standard BM25, single-term OR queries)
+# ---------------------------------------------------------------------------
+
+
+class _TermCursor:
+    __slots__ = ("docs", "tfs", "df", "idx", "ub", "block_last", "block_ub", "blk")
+
+    def __init__(self, p: Posting, stats: Stats, cfg: SearchConfig):
+        self.docs = p.docs
+        self.tfs = p.tfs
+        self.df = p.df
+        self.idx = 0
+        if p.block_last is not None and len(p.block_last):
+            self.block_last = p.block_last
+            self.block_ub = np.asarray([
+                bm25_upper_bound(int(mt), int(md), p.df, stats, cfg)
+                for mt, md in zip(p.block_max_tf, p.block_min_dl)
+            ])
+        else:
+            self.block_last = p.docs[-1:]
+            self.block_ub = np.asarray([
+                bm25_upper_bound(int(p.tfs.max()), int(stats.doc_len[p.docs].min()),
+                                 p.df, stats, cfg)
+            ])
+        self.ub = float(self.block_ub.max())
+        self.blk = 0
+
+    @property
+    def cur(self) -> int:
+        return int(self.docs[self.idx]) if self.idx < self.docs.size else 1 << 62
+
+    def seek(self, target: int) -> None:
+        if self.idx < self.docs.size and self.docs[self.idx] < target:
+            self.idx += int(np.searchsorted(self.docs[self.idx :], target))
+
+    def cur_block_ub(self) -> float:
+        d = self.cur
+        b = int(np.searchsorted(self.block_last, d))
+        if b >= self.block_ub.size:
+            b = self.block_ub.size - 1
+        return float(self.block_ub[b])
+
+
+def wand_topk(provider: MiniIndexProvider, terms: list[str], k: int,
+              stats: Stats, cfg: SearchConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND: exact top-k by (score desc, doc_id asc) for standard
+    BM25 over the OR of ``terms``.  Prunes only on strict upper-bound <
+    threshold, so results are identical to exhaustive TAAT."""
+    cursors = []
+    postings = {}
+    for t in set(terms):
+        p = provider.lookup(t, need_positions=False)
+        if p is not None:
+            postings[t] = p
+            cursors.append(_TermCursor(p, stats, cfg))
+    if not cursors:
+        return np.zeros(0, np.int64), np.zeros(0)
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    INF = 1 << 62
+    while True:
+        cursors.sort(key=lambda c: c.cur)
+        if cursors[0].cur >= INF:
+            break
+        # pivot: first cursor where the prefix ub sum could beat threshold
+        theta = heap[0][0] if len(heap) >= k else -math.inf
+        acc_ub = 0.0
+        pivot = -1
+        for i, c in enumerate(cursors):
+            if c.cur >= INF:
+                break
+            acc_ub += c.ub
+            # >= not >: a doc scoring exactly theta can still win its tie
+            # on smaller doc_id, so it must be evaluated, not pruned
+            if acc_ub >= theta or (len(heap) < k):
+                pivot = i
+                break
+        if pivot == -1:
+            break  # no combination can beat theta
+        pivot_doc = cursors[pivot].cur
+        if pivot_doc >= INF:
+            break
+        # extend over cursors parked at the SAME doc beyond the pivot: they
+        # contribute to pivot_doc's score, so the block bound must count them
+        ext = pivot
+        while ext + 1 < len(cursors) and cursors[ext + 1].cur == pivot_doc:
+            ext += 1
+        block_ub = sum(c.cur_block_ub() for c in cursors[: ext + 1])
+        if len(heap) >= k and block_ub < theta:
+            # skip to past the earliest block boundary, but never past the
+            # next cursor's doc (where a new term becomes active and the
+            # bound no longer holds)
+            boundary = min(
+                int(c.block_last[min(int(np.searchsorted(c.block_last, pivot_doc)),
+                                     len(c.block_last) - 1)])
+                for c in cursors[: ext + 1]
+            )
+            if ext + 1 < len(cursors) and cursors[ext + 1].cur < INF:
+                boundary = min(boundary, int(cursors[ext + 1].cur) - 1)
+            target = max(boundary + 1, pivot_doc + 1)
+            for c in cursors[: ext + 1]:
+                c.seek(target)
+            continue
+        if cursors[0].cur == pivot_doc:
+            # fully evaluate pivot_doc
+            score = 0.0
+            dl = float(stats.doc_len[pivot_doc])
+            for c in cursors:
+                if c.cur == pivot_doc:
+                    tf = float(c.tfs[c.idx])
+                    score += float(w_bm25(np.asarray([tf]), np.asarray([dl]), c.df,
+                                          stats, cfg)[0])
+                    c.idx += 1
+            item = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        else:
+            for c in cursors:
+                if c.cur < pivot_doc:
+                    c.seek(pivot_doc)
+    ranked = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    docs = np.asarray([-d for _, d in ranked], np.int64)
+    scores = np.asarray([s for s, _ in ranked])
+    return docs, scores
+
+
+# ---------------------------------------------------------------------------
+# top-level search (mirrors oracle.search)
+# ---------------------------------------------------------------------------
+
+
+def search_parsed(provider: MiniIndexProvider, q, stats: Stats, cfg: SearchConfig,
+                  k: int | None = None, scorer: str | None = None
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    scorer = scorer or cfg.scorer
+    empty = (np.zeros(0, np.int64), np.zeros(0))
+    if isinstance(q, ProximityQuery):
+        docs = proximity_docs(provider, q)
+        docs = docs[: (k or docs.size)]
+        return docs, np.zeros(docs.size)
+    if isinstance(q, BooleanQuery):
+        docs = boolean_docs(provider, q, stats, cfg)
+        singles = [p[0] for p in q.terms if len(p) == 1]
+        phrases = [p for p in q.terms if len(p) > 1]
+        if singles:
+            r = rank_singles(provider, singles, scorer, stats, cfg, fixed_docs=docs)
+        elif phrases:
+            r = rank_phrases(provider, phrases, scorer, stats, cfg, fixed_docs=docs)
+        else:
+            r = None
+        if r is None:
+            return empty
+        return _top(r, k or cfg.top_k)
+    parts = [p for p in q.parts if p]
+    singles, phrases = separate_mix(parts)
+    use_wand = (cfg.algorithm == "bmw" and scorer == "bm25" and singles and not phrases)
+    if use_wand:
+        return wand_topk(provider, singles, k or cfg.top_k, stats, cfg)
+    t = rank_singles(provider, singles, scorer, stats, cfg) if singles else None
+    p = rank_phrases(provider, phrases, scorer, stats, cfg) if phrases else None
+    if t is not None and p is not None and t[0].size and p[0].size:
+        docs = np.union1d(t[0], p[0])
+        scores = np.zeros(docs.size)
+        for src_docs, src_scores in (t, p):
+            idx = np.searchsorted(docs, src_docs)
+            scores[idx] += src_scores
+        r = (docs, scores)
+    elif t is not None and t[0].size:
+        r = t
+    elif p is not None and p[0].size:
+        r = p
+    else:
+        return empty
+    cap = 20 if scorer == "vsm" else cfg.top_k
+    return _top(r, min(k or cap, cap))
+
+
+def _top(r: tuple[np.ndarray, np.ndarray], k: int) -> tuple[np.ndarray, np.ndarray]:
+    docs, scores = r
+    if docs.size == 0:
+        return docs, scores
+    # (score desc, doc_id asc): docs ascending + stable mergesort on -score
+    order = np.argsort(-scores, kind="stable")[:k]
+    return docs[order], scores[order]

@@ -1,0 +1,195 @@
+"""Query serving: memory-mapped shard readers + stateful searcher actors.
+
+The reference serves queries from Django process-lifetime class attributes
+(word2byte maps + seek/read per term,
+/root/reference/search/retrieval/retrieval_execution/retrieval_execution.py:49-51,
+/root/reference/search/retrieval/retrieval_helpers/index_loader.py:71-128).
+Here the equivalent state — term dictionaries, doc-length table, collection
+stats, mmap'd shard blobs — is loaded once per **searcher actor**
+(``__init__``), and batches of queries flow through the actor pool via
+``Dataset.map_batches(Searcher, concurrency=N)``.  A per-term lookup is a
+dict hit + a zero-copy mmap slice, mirroring the reference's byte-range
+"mini index" trick but without JSON decode.
+
+Scale note: each actor here loads the full term dictionary of every shard
+(fine at sandbox scale).  On a real multi-node cluster, searchers would own
+disjoint shard subsets (``hash(term) % num_shards``) and the driver would
+scatter a query to the owners and merge partial top-k — the partitioning key
+is already in the artifact layout to allow exactly that.
+"""
+
+from __future__ import annotations
+
+import glob
+import mmap
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rayindex import codec, schema
+from rayindex.config import AnalyzerConfig, SearchConfig
+from rayindex.query import parse_query
+from rayindex.scoring import MiniIndexProvider, Posting, Stats, search_parsed
+
+
+class IndexReader(MiniIndexProvider):
+    """Loads one build's artifacts; serves per-term postings zero-copy."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        shard_dir = os.path.join(index_dir, "shards")
+        self._files: list[mmap.mmap | bytes] = []
+        self._lookup: dict[str, tuple[int, int]] = {}  # term -> (shard, row)
+        self._dicts: list[dict[str, np.ndarray]] = []
+        for sid, dict_path in enumerate(sorted(glob.glob(os.path.join(shard_dir, "*.dict.parquet")))):
+            t = pq.read_table(dict_path)
+            cols = {
+                "df": t["df"].to_numpy(),
+                "doc_off": t["doc_off"].to_numpy(),
+                "doc_len": t["doc_len"].to_numpy(),
+                "tf_off": t["tf_off"].to_numpy(),
+                "tf_len": t["tf_len"].to_numpy(),
+                "pos_off": t["pos_off"].to_numpy(),
+                "pos_len": t["pos_len"].to_numpy(),
+                "block_last": t["block_last"],
+                "block_max_tf": t["block_max_tf"],
+                "block_min_dl": t["block_min_dl"],
+            }
+            self._dicts.append(cols)
+            for row, term in enumerate(t["term"].to_pylist()):
+                self._lookup[term] = (sid, row)
+            bin_path = dict_path.replace(".dict.parquet", ".bin")
+            size = os.path.getsize(bin_path)
+            if size:
+                f = open(bin_path, "rb")
+                self._files.append(mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ))
+            else:
+                self._files.append(b"")
+        stats_dir = os.path.join(index_dir, "stats")
+        cs = pq.read_table(os.path.join(stats_dir, "collection_stats.parquet")).to_pylist()[0]
+        ds_t = pq.read_table(os.path.join(stats_dir, "doc_stats"),
+                             columns=["doc_id", "n_tokens"])
+        doc_ids = ds_t["doc_id"].to_numpy()
+        doc_len = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 1, np.int64)
+        doc_len[doc_ids] = ds_t["n_tokens"].to_numpy()
+        self.stats = Stats(
+            n_docs=cs["n_docs"], total_tokens=cs["total_tokens"], doc_len=doc_len
+        )
+
+    @property
+    def n_terms(self) -> int:
+        return len(self._lookup)
+
+    def lookup(self, term: str, need_positions: bool) -> Posting | None:
+        hit = self._lookup.get(term)
+        if hit is None:
+            return None
+        sid, row = hit
+        d = self._dicts[sid]
+        buf = self._files[sid]
+        doc_blob = buf[d["doc_off"][row] : d["doc_off"][row] + d["doc_len"][row]]
+        tf_blob = buf[d["tf_off"][row] : d["tf_off"][row] + d["tf_len"][row]]
+        docs, tfs = codec.decode_doc_tf(doc_blob, tf_blob)
+        positions = None
+        if need_positions:
+            pos_blob = buf[d["pos_off"][row] : d["pos_off"][row] + d["pos_len"][row]]
+            positions = codec.decode_positions(pos_blob, tfs)
+        return Posting(
+            docs=docs,
+            tfs=tfs,
+            positions=positions,
+            block_last=np.asarray(d["block_last"][row].as_py(), np.int64),
+            block_max_tf=np.asarray(d["block_max_tf"][row].as_py(), np.int64),
+            block_min_dl=np.asarray(d["block_min_dl"][row].as_py(), np.int64),
+        )
+
+    # -- convenience --------------------------------------------------------
+
+    def search(self, query: str, k: int | None = None,
+               search_cfg: SearchConfig | None = None,
+               analyzer: AnalyzerConfig | None = None,
+               scorer: str | None = None) -> list[tuple[int, float]]:
+        cfg = search_cfg or SearchConfig()
+        q = parse_query(query, analyzer or AnalyzerConfig())
+        docs, scores = search_parsed(self, q, self.stats, cfg, k=k, scorer=scorer)
+        return list(zip(docs.tolist(), scores.tolist()))
+
+
+class Searcher:
+    """Actor-pool callable for batch query evaluation:
+    ``queries_ds.map_batches(Searcher, fn_constructor_kwargs=..., concurrency=N)``.
+
+    State (term dicts, mmaps, stats) loads once per actor in ``__init__``;
+    each ``__call__`` scores a batch of query rows and emits result rows
+    (query_id, rank, doc_id, score).
+    """
+
+    def __init__(self, index_dir: str,
+                 search_cfg: SearchConfig | None = None,
+                 analyzer: AnalyzerConfig | None = None):
+        self.reader = IndexReader(index_dir)
+        self.cfg = search_cfg or SearchConfig()
+        self.analyzer = analyzer or AnalyzerConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs_out, scores_out = [], [], [], []
+        ks = batch["k"].to_pylist() if "k" in batch.column_names else [None] * batch.num_rows
+        for qid, qtext, k in zip(batch["query_id"].to_pylist(),
+                                 batch["query"].to_pylist(), ks):
+            q = parse_query(qtext, self.analyzer)
+            docs, scores = search_parsed(self.reader, q, self.reader.stats,
+                                         self.cfg, k=int(k) if k else None)
+            n = docs.size
+            qids.extend([qid] * n)
+            ranks.extend(range(1, n + 1))
+            docs_out.extend(docs.tolist())
+            scores_out.extend(scores.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int32()),
+                "doc_id": pa.array(docs_out, pa.int64()),
+                "score": pa.array(scores_out, pa.float64()),
+            },
+            schema=schema.RESULTS,
+        )
+
+
+def search_dataset(queries, index_dir: str,
+                   search_cfg: SearchConfig | None = None,
+                   analyzer: AnalyzerConfig | None = None,
+                   concurrency: int = 4, batch_size: int = 64):
+    """Evaluate a query Dataset against the index with a searcher actor pool."""
+    import ray.data
+
+    if isinstance(queries, pa.Table):
+        queries = ray.data.from_arrow(queries)
+    return queries.map_batches(
+        Searcher,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "search_cfg": search_cfg,
+            "analyzer": analyzer,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def fetch_doc_metadata(index_dir: str, doc_ids: list[int]) -> pa.Table:
+    """Top-k → doc-store join (the reference's Postgres in_bulk lookup,
+    /root/reference/search/retrieval/retrieval_helpers/helpers.py:176-179):
+    k is tiny, so this is a broadcast semi-join = parquet row filter."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(os.path.join(index_dir, "doc_store"))
+    return dset.to_table(
+        columns=["doc_id", "repo", "path", "commit", "lang"],
+        filter=pc.field("doc_id").isin(doc_ids),
+    )

@@ -30,3 +30,37 @@ def ray_session():
         pass
     yield
     ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def tiny_build(ray_session, tmp_path_factory):
+    """One tiny-corpus index build shared by the whole session."""
+    import pyarrow.parquet as pq
+
+    from rayindex import corpus
+    from rayindex.build import build_index
+    from rayindex.config import BuildConfig
+
+    root = tmp_path_factory.mktemp("tiny")
+    src = root / "src"
+    src.mkdir()
+    tbl = corpus.tiny_corpus()
+    pq.write_table(tbl, str(src / "docs.parquet"))
+    cfg = BuildConfig(num_shards=4, tokenize_batch_size=8)
+    out = str(root / "idx")
+    result = build_index(str(src), out, cfg)
+    return {"table": tbl, "src": str(src), "out": out, "cfg": cfg, "result": result}
+
+
+@pytest.fixture(scope="session")
+def tiny_oracle(tiny_build):
+    from rayindex.oracle import OracleEngine
+
+    return OracleEngine(tiny_build["table"])
+
+
+@pytest.fixture(scope="session")
+def tiny_reader(tiny_build):
+    from rayindex.searcher import IndexReader
+
+    return IndexReader(tiny_build["out"])

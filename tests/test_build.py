@@ -1,0 +1,147 @@
+"""End-to-end build pipeline tests: posting parity vs the oracle index,
+ingest sha256 invariant, determinism across partitioning, resume."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_build_stage_metrics(tiny_build):
+    stages = tiny_build["result"].stages
+    assert stages["doc_store"]["n_docs"] == 24
+    assert stages["stats"]["n_docs"] == 24
+    assert stages["shards"]["n_terms"] > 0
+
+
+def test_collection_stats_match_oracle(tiny_build, tiny_oracle, tiny_reader):
+    assert tiny_reader.stats.n_docs == tiny_oracle.N
+    assert tiny_reader.stats.total_tokens == tiny_oracle.l_tot
+    assert tiny_reader.n_terms == len(tiny_oracle.index)
+
+
+def test_doc_ids_deterministic_sorted(tiny_build):
+    t = pq.read_table(os.path.join(tiny_build["out"], "doc_store"))
+    rows = sorted(zip(t["doc_id"].to_pylist(), t["repo"].to_pylist(), t["path"].to_pylist()))
+    keys = [(r, p) for _, r, p in rows]
+    assert keys == sorted(keys)
+    assert [d for d, _, _ in rows] == list(range(1, t.num_rows + 1))
+
+
+def test_ingest_sha256_column(tiny_build):
+    t = pq.read_table(os.path.join(tiny_build["out"], "doc_store"))
+    for content, sha in zip(t["content"].to_pylist()[:5], t["content_sha256"].to_pylist()[:5]):
+        assert hashlib.sha256(content.encode()).hexdigest() == sha
+
+
+def test_every_posting_matches_oracle(tiny_build, tiny_oracle, tiny_reader):
+    """Full index parity: df, doc ids, tfs and positions for EVERY term."""
+    for term, entry in tiny_oracle.index.items():
+        p = tiny_reader.lookup(term, need_positions=True)
+        assert p is not None, term
+        docs = sorted(entry[1])
+        assert p.docs.tolist() == docs, term
+        assert p.df == entry[0], term
+        assert p.tfs.tolist() == [len(entry[1][d]) for d in docs], term
+        flat = [x for d in docs for x in entry[1][d]]
+        assert p.positions.tolist() == flat, term
+    assert tiny_reader.n_terms == len(tiny_oracle.index)
+
+
+def test_oov_lookup_none(tiny_reader):
+    assert tiny_reader.lookup("zzzznotaterm", need_positions=False) is None
+
+
+def test_sha_verify_rejects_corruption(ray_session):
+    import ray
+
+    from rayindex.build import _assign_ids_and_verify
+
+    t = pa.table({
+        "repo": ["r"], "path": ["p"], "commit": ["c"], "lang": ["py"],
+        "content": pa.array(["hello"], pa.large_string()),
+        "sha_pre": [hashlib.sha256(b"TAMPERED").hexdigest()],
+    })
+    with pytest.raises(Exception, match="sha256 mismatch"):
+        ray.get(_assign_ids_and_verify.remote(t, 0, True))
+
+
+def test_build_deterministic_across_partitioning(ray_session, tmp_path):
+    """Different batch sizes / shard fan-in must yield byte-identical shard
+    blobs and dictionaries — the docID-determinism + canonical-merge
+    property (SURVEY §7.5 risk 1)."""
+    import pyarrow.parquet as pq
+
+    from rayindex import corpus
+    from rayindex.build import build_index
+    from rayindex.config import BuildConfig
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = corpus.make_rows(corpus.file_plan(60, 5))
+    # two source layouts: single file vs 3 files split unevenly
+    pq.write_table(tbl, str(src / "docs.parquet"))
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    pq.write_table(tbl.slice(0, 7), str(src2 / "a.parquet"))
+    pq.write_table(tbl.slice(7, 29), str(src2 / "b.parquet"))
+    pq.write_table(tbl.slice(36), str(src2 / "c.parquet"))
+
+    outs = []
+    for name, s, bs in (("o1", src, 16), ("o2", src2, 5)):
+        out = tmp_path / name
+        cfg = BuildConfig(num_shards=4, tokenize_batch_size=bs)
+        build_index(str(s), str(out), cfg)
+        outs.append(out)
+
+    for f1 in sorted(glob.glob(str(outs[0] / "shards" / "*.bin"))):
+        f2 = str(outs[1] / "shards" / os.path.basename(f1))
+        b1, b2 = open(f1, "rb").read(), open(f2, "rb").read()
+        assert b1 == b2, f"shard blob differs: {os.path.basename(f1)}"
+    for f1 in sorted(glob.glob(str(outs[0] / "shards" / "*.dict.parquet"))):
+        f2 = str(outs[1] / "shards" / os.path.basename(f1))
+        assert pq.read_table(f1).equals(pq.read_table(f2)), os.path.basename(f1)
+
+
+def test_resume_skips_completed_stages(ray_session, tiny_build):
+    from rayindex.build import build_index
+
+    res = build_index(tiny_build["src"], tiny_build["out"], tiny_build["cfg"])
+    assert all(v["skipped"] for v in res.stages.values())
+
+
+def test_resume_rebuilds_missing_shard(ray_session, tiny_build, tmp_path):
+    """Per-partition resume: wipe one shard's manifest + files and the shards
+    stage marker → rebuild regenerates exactly that shard, skips the rest."""
+    import shutil
+
+    from rayindex.build import build_index
+    from rayindex.searcher import IndexReader
+
+    out2 = str(tmp_path / "idx2")
+    shutil.copytree(tiny_build["out"], out2)
+    victim_bin = os.path.join(out2, "shards", "shard_00002.bin")
+    before = open(victim_bin, "rb").read()
+    os.remove(victim_bin)
+    os.remove(os.path.join(out2, "shards", "shard_00002.manifest.json"))
+    os.remove(os.path.join(out2, "shards.done.json"))
+    res = build_index(tiny_build["src"], out2, tiny_build["cfg"])
+    assert not res.stages["shards"]["skipped"]
+    # earlier stages untouched
+    assert res.stages["doc_store"]["skipped"] and res.stages["chunks"]["skipped"]
+    after = open(victim_bin, "rb").read()
+    assert after == before  # deterministic regeneration
+    r = IndexReader(out2)
+    assert r.n_terms == res.stages["shards"]["n_terms"]
+
+
+def test_doc_stats_table(tiny_build, tiny_oracle):
+    t = pq.read_table(os.path.join(tiny_build["out"], "stats", "doc_stats"))
+    got = dict(zip(t["doc_id"].to_pylist(), t["n_tokens"].to_pylist()))
+    assert got == tiny_oracle.doc_sizes

@@ -1,0 +1,107 @@
+"""THE parity gate: the Ray engine must be rank-identical (docIDs and
+scores to 1e-9, ties broken (score desc, doc_id asc)) to the oracle — the
+executable spec of the reference engine — on the full fixed query set, for
+every scorer, plus block-max WAND vs exhaustive TAAT identity."""
+
+from __future__ import annotations
+
+import pytest
+
+from rayindex import corpus
+from rayindex.config import SearchConfig
+
+SCORERS = ["reference", "bm25", "lm", "lm-dirichlet", "vsm"]
+_Q = corpus.fixed_queries()
+QUERIES = list(zip(_Q["query"].to_pylist(), _Q["kind"].to_pylist(), _Q["k"].to_pylist()))
+
+
+def _assert_identical(want, got, ctx):
+    assert len(want) == len(got), f"{ctx}: lengths {len(want)} vs {len(got)}"
+    for (wd, ws), (gd, gs) in zip(want, got):
+        assert wd == gd, f"{ctx}: docs {wd} vs {gd}"
+        assert abs(ws - gs) < 1e-9, f"{ctx}: scores {ws} vs {gs}"
+
+
+@pytest.mark.parametrize("scorer", SCORERS)
+def test_rank_identity_all_queries(scorer, tiny_oracle, tiny_reader):
+    for qtext, kind, k in QUERIES:
+        want = tiny_oracle.search(qtext, k=k, scorer=scorer)
+        got = tiny_reader.search(qtext, k=k, scorer=scorer)
+        _assert_identical(want, got, f"{scorer}/{kind}/{qtext!r}")
+
+
+def test_wand_identical_to_taat(tiny_reader):
+    wcfg = SearchConfig(scorer="bm25", algorithm="bmw")
+    tcfg = SearchConfig(scorer="bm25", algorithm="taat")
+    for qtext, kind, k in QUERIES:
+        if kind != "term":
+            continue
+        a = tiny_reader.search(qtext, k=k, search_cfg=wcfg)
+        b = tiny_reader.search(qtext, k=k, search_cfg=tcfg)
+        _assert_identical(b, a, f"wand/{qtext!r}")
+
+
+def test_wand_multiblock_identity(ray_session, tmp_path):
+    """WAND with MANY blocks per posting list (block_size=8 over 300 docs)
+    — catches block-skip bugs the single-block tiny corpus cannot (a real
+    one found here: skipping past docs where a later cursor activates)."""
+    import pyarrow.parquet as pq
+
+    from rayindex.build import build_index
+    from rayindex.config import BuildConfig
+    from rayindex.searcher import IndexReader
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = corpus.make_rows(corpus.file_plan(300, 6))
+    pq.write_table(tbl, str(src / "docs.parquet"))
+    out = str(tmp_path / "idx")
+    build_index(str(src), out, BuildConfig(num_shards=4, block_size=8,
+                                           tokenize_batch_size=64))
+    r = IndexReader(out)
+    wcfg = SearchConfig(scorer="bm25", algorithm="bmw")
+    tcfg = SearchConfig(scorer="bm25", algorithm="taat")
+    probes = ["def", "def return", "import class return", "alalal0 def",
+              "bealal1 junalal9 def return", "coralal2"]
+    for qtext in probes:
+        for k in (3, 10, 100):
+            a = r.search(qtext, k=k, search_cfg=wcfg)
+            b = r.search(qtext, k=k, search_cfg=tcfg)
+            _assert_identical(b, a, f"bmw-multiblock/{qtext!r}/k={k}")
+
+
+def test_wand_small_k(tiny_reader):
+    wcfg = SearchConfig(scorer="bm25", algorithm="bmw")
+    tcfg = SearchConfig(scorer="bm25", algorithm="taat")
+    for k in (1, 2, 3, 5):
+        a = tiny_reader.search("def return import", k=k, search_cfg=wcfg)
+        b = tiny_reader.search("def return import", k=k, search_cfg=tcfg)
+        _assert_identical(b, a, f"wand k={k}")
+
+
+def test_hello_corpus_hand_checked(ray_session, tmp_path):
+    """Micro-fixture parity incl. hand-verified postings (mirrors the
+    reference 5-article smoke TSV)."""
+    import pyarrow.parquet as pq
+
+    from rayindex.build import build_index
+    from rayindex.config import BuildConfig
+    from rayindex.oracle import OracleEngine
+    from rayindex.searcher import IndexReader
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = corpus.hello_corpus()
+    pq.write_table(tbl, str(src / "docs.parquet"))
+    out = str(tmp_path / "idx")
+    build_index(str(src), out, BuildConfig(num_shards=2, tokenize_batch_size=2))
+    r = IndexReader(out)
+    o = OracleEngine(tbl)
+    # hand-checked postings: docs sorted by path a..e; 'hello' in docs 1,2,3,5
+    p = r.lookup("hello", need_positions=True)
+    assert p.docs.tolist() == [1, 2, 3, 5]
+    assert p.tfs.tolist() == [1, 1, 2, 3]
+    assert p.positions.tolist() == [1, 1, 1, 5, 1, 2, 3]
+    for q in ["hello", "hello world", '"hello world"', "hello AND world",
+              "NOT hello", "#2(hello,world)", "germany OR france"]:
+        _assert_identical(o.search(q, k=10), r.search(q, k=10), q)
