@@ -181,6 +181,32 @@ def _q_bm25_topk(sf_dir: str) -> pa.Table:
     return _micro_cols(pa.Table.from_pandas(res, preserve_index=False), ("score",))
 
 
+def _q_bm25_topk_lang(sf_dir: str) -> pa.Table:
+    """BM25 top-10 with a metadata filter (lang='de') — the engine's
+    generalization of the reference date-range filter: candidates are
+    intersected with the allowed docs, stats stay collection-global."""
+    from rayindex.searcher import IndexReader
+
+    analyzer, _, search_cfg = _ascii_cfgs()
+    index_dir, id_map = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score_micro": []}
+    for qid, qtext in BM25_QUERIES:
+        res = r.search(qtext, k=10, search_cfg=search_cfg, analyzer=analyzer,
+                       lang="de")
+        for rank, (doc, score) in enumerate(res, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(int(id_map[doc]))
+            rows["score_micro"].append(int(np.rint(score * 1e6)))
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int32()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score_micro": pa.array(rows["score_micro"], pa.int64()),
+    })
+
+
 def _q_boolean_and_docs(sf_dir: str) -> pa.Table:
     from rayindex.config import SearchConfig
     from rayindex.query import parse_query
@@ -363,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_stats": _q_collection_stats,
         "postings_probe": _q_postings_probe,
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_lang": _q_bm25_topk_lang,
         "boolean_and_docs": _q_boolean_and_docs,
         "phrase_match_docs": _q_phrase_match_docs,
         "proximity_docs": _q_proximity_docs,
@@ -444,6 +471,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY s DESC, doc_id ASC) AS INT) AS rank
             FROM scored
+            QUALIFY rank <= 10
+        """,
+        "bm25_topk_lang": f"""
+            WITH {_TOKS_CTE},
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            q(query_id, term) AS (VALUES {qvals}),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                sum( ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                   ) AS s
+              FROM q JOIN tf USING (term) JOIN dfq USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+              GROUP BY q.query_id, tf.doc_id)
+            SELECT query_id, doc_id,
+                   CAST(round(s * 1e6) AS BIGINT) AS score_micro,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY s DESC, doc_id ASC) AS INT) AS rank
+            FROM scored
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'de')
             QUALIFY rank <= 10
         """,
         "boolean_and_docs": f"""

@@ -56,6 +56,19 @@ def term_shard(term: str, num_shards: int) -> int:
     return zlib.crc32(term.encode()) % num_shards
 
 
+def _shuffle_read_blocks(path: str) -> int:
+    """Block count for a read that FEEDS A SHUFFLE: Ray's sort-based groupby
+    degrades badly with hundreds of tiny input blocks (each sort partition
+    exchanges with every input block), so coalesce small inputs to roughly
+    64 MiB per block, floored at the CPU count for parallelism."""
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(ncpu, total // (64 << 20) + 1)
+
+
 # ---------------------------------------------------------------------------
 # stage 1: ingest
 # ---------------------------------------------------------------------------
@@ -157,74 +170,103 @@ class TokenizeToChunks:
             texts, cfg.analyzer
         )
 
-        rows: dict[str, list] = {k: [] for k in (
-            "term", "range_id", "shard", "first_doc", "last_doc", "n_docs", "cf",
-            "max_tf", "doc_blob", "tf_blob", "pos_blob", "block_last",
-            "block_max_tf", "block_min_dl", "doc_id", "n_tokens", "lang", "repo",
-        )}
-
+        n_docs_batch = doc_ids.size
         if g_terms.size:
-            # regroup (doc, term) rows into per-term runs of ascending docs
+            # regroup (doc, term) rows into per-term runs of ascending docs —
+            # fully vectorized; blobs are cut from ONE whole-stream VB pass
+            # per stream (codec.vb_encode_split).  Block-max metadata is NOT
+            # computed here: the shard writer recomputes it canonically.
             term_codes, term_uniques = pd.factorize(g_terms, sort=True)
             g_starts = np.cumsum(g_tfs) - g_tfs  # position-slice start per group
             order2 = np.lexsort((g_doc, term_codes))
             sorted_codes = term_codes[order2]
-            term_bounds = np.flatnonzero(
+            t_docs = doc_ids[g_doc[order2]]
+            t_tfs = g_tfs[order2]
+            term_starts = np.flatnonzero(
                 np.concatenate([[True], sorted_codes[1:] != sorted_codes[:-1]])
             )
-            term_ends = np.append(term_bounds[1:], sorted_codes.size)
-            keep_pos = cfg.keep_positions
-            for s, e in zip(term_bounds, term_ends):
-                grp = order2[s:e]
-                term = term_uniques[sorted_codes[s]]
-                docs = doc_ids[g_doc[grp]]
-                tfs = g_tfs[grp]
-                dls = counts[g_doc[grp]]
-                if keep_pos:
-                    pos = np.concatenate(
-                        [pos_flat[g_starts[i] : g_starts[i] + g_tfs[i]] for i in grp]
-                    )
-                else:
-                    pos = None
-                c = codec.encode_chunk(docs, tfs, dls, pos, block_size=cfg.block_size)
-                rows["term"].append(term)
-                rows["range_id"].append(int(c.first_doc) // cfg.doc_range_size)
-                rows["shard"].append(term_shard(term, cfg.num_shards))
-                rows["first_doc"].append(c.first_doc)
-                rows["last_doc"].append(c.last_doc)
-                rows["n_docs"].append(c.n_docs)
-                rows["cf"].append(c.cf)
-                rows["max_tf"].append(c.max_tf)
-                rows["doc_blob"].append(c.doc_blob)
-                rows["tf_blob"].append(c.tf_blob)
-                rows["pos_blob"].append(c.pos_blob)
-                rows["block_last"].append(c.block_last.tolist())
-                rows["block_max_tf"].append(c.block_max_tf.tolist())
-                rows["block_min_dl"].append(c.block_min_dl.tolist())
-                rows["doc_id"].append(None)
-                rows["n_tokens"].append(None)
-                rows["lang"].append(None)
-                rows["repo"].append(None)
+            term_ends = np.append(term_starts[1:], sorted_codes.size)
+            terms = [term_uniques[c] for c in sorted_codes[term_starts]]
 
-        # per-doc stat rows (term == NULL)
-        for i in range(doc_ids.size):
-            rows["term"].append(None)
-            rows["range_id"].append(0)
-            rows["shard"].append(-1)
-            for k, v in _CHUNK_NULLS.items():
-                rows[k].append(v)
-            rows["doc_blob"].append(b"")
-            rows["tf_blob"].append(b"")
-            rows["pos_blob"].append(b"")
-            rows["block_last"].append([])
-            rows["block_max_tf"].append([])
-            rows["block_min_dl"].append([])
-            rows["doc_id"].append(int(doc_ids[i]))
-            rows["n_tokens"].append(int(counts[i]))
-            rows["lang"].append(langs[i])
-            rows["repo"].append(repos[i])
+            first = t_docs[term_starts]
+            last = t_docs[term_ends - 1]
+            nd = term_ends - term_starts
+            cf = np.add.reduceat(t_tfs, term_starts)
+            max_tf = np.maximum.reduceat(t_tfs, term_starts)
 
-        return pa.table(rows, schema=schema.POSTING_CHUNKS)
+            doc_blobs = codec.vb_encode_split(
+                codec.segmented_delta_encode(t_docs, term_starts), term_starts)
+            tf_blobs = codec.vb_encode_split(t_tfs.astype(np.uint64), term_starts)
+
+            if cfg.keep_positions and pos_flat.size:
+                # gather positions into the (term, doc) sorted order
+                lens = t_tfs
+                offs = np.repeat(np.cumsum(lens) - lens, lens)
+                src = np.repeat(g_starts[order2], lens) + np.arange(lens.sum()) - offs
+                pos_sorted = pos_flat[src]
+                grp_starts = np.cumsum(lens) - lens  # per-(term,doc) segments
+                pos_deltas = codec.segmented_delta_encode(pos_sorted, grp_starts)
+                # term boundaries in position-value space
+                term_pos_starts = grp_starts[term_starts]
+                pos_blobs = codec.vb_encode_split(pos_deltas, term_pos_starts)
+            else:
+                pos_blobs = [b""] * len(terms)
+
+            n_t = len(terms)
+            chunk_tbl = {
+                "term": terms,
+                "range_id": (first // cfg.doc_range_size).astype(np.int64),
+                "shard": np.asarray(
+                    [term_shard(t, cfg.num_shards) for t in terms], np.int32),
+                "first_doc": first,
+                "last_doc": last,
+                "n_docs": nd.astype(np.int64),
+                "cf": cf.astype(np.int64),
+                "max_tf": max_tf.astype(np.int32),
+                "doc_blob": doc_blobs,
+                "tf_blob": tf_blobs,
+                "pos_blob": pos_blobs,
+            }
+        else:
+            n_t = 0
+            chunk_tbl = {k: [] for k in (
+                "term", "range_id", "shard", "first_doc", "last_doc", "n_docs",
+                "cf", "max_tf", "doc_blob", "tf_blob", "pos_blob")}
+
+        n = n_t + n_docs_batch
+        cols = {
+            "term": pa.array(
+                list(chunk_tbl["term"]) + [None] * n_docs_batch, pa.string()),
+            "range_id": pa.array(
+                np.concatenate([np.asarray(chunk_tbl["range_id"], np.int64),
+                                np.zeros(n_docs_batch, np.int64)])),
+            "shard": pa.array(
+                np.concatenate([np.asarray(chunk_tbl["shard"], np.int32),
+                                np.full(n_docs_batch, -1, np.int32)])),
+            "doc_blob": pa.array(
+                list(chunk_tbl["doc_blob"]) + [b""] * n_docs_batch, pa.large_binary()),
+            "tf_blob": pa.array(
+                list(chunk_tbl["tf_blob"]) + [b""] * n_docs_batch, pa.large_binary()),
+            "pos_blob": pa.array(
+                list(chunk_tbl["pos_blob"]) + [b""] * n_docs_batch, pa.large_binary()),
+            "block_last": pa.array([[]] * n, pa.list_(pa.int64())),
+            "block_max_tf": pa.array([[]] * n, pa.list_(pa.int32())),
+            "block_min_dl": pa.array([[]] * n, pa.list_(pa.int32())),
+            "doc_id": pa.array(
+                [None] * n_t + doc_ids.tolist(), pa.int64()),
+            "n_tokens": pa.array(
+                [None] * n_t + counts.tolist(), pa.int64()),
+            "lang": pa.array([None] * n_t + langs, pa.string()),
+            "repo": pa.array([None] * n_t + repos, pa.string()),
+        }
+        for name, dtype in (("first_doc", pa.int64()), ("last_doc", pa.int64()),
+                            ("n_docs", pa.int64()), ("cf", pa.int64()),
+                            ("max_tf", pa.int32())):
+            cols[name] = pa.array(
+                np.concatenate([np.asarray(chunk_tbl[name],
+                                           dtype.to_pandas_dtype()),
+                                np.zeros(n_docs_batch, dtype.to_pandas_dtype())]))
+        return pa.table(cols, schema=schema.POSTING_CHUNKS)
 
 
 def _stage_chunks(doc_store: str, out: str, cfg: BuildConfig) -> dict[str, Any]:
@@ -245,39 +287,151 @@ def _stage_chunks(doc_store: str, out: str, cfg: BuildConfig) -> dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
-def _row_to_chunk(r: dict) -> codec.PostingChunk:
-    return codec.PostingChunk(
-        first_doc=r["first_doc"], last_doc=r["last_doc"], n_docs=r["n_docs"],
-        cf=r["cf"], max_tf=r["max_tf"], doc_blob=r["doc_blob"],
-        tf_blob=r["tf_blob"], pos_blob=r["pos_blob"],
-        block_last=np.asarray(r["block_last"], np.int64),
-        block_max_tf=np.asarray(r["block_max_tf"], np.int32),
-        block_min_dl=np.asarray(r["block_min_dl"], np.int32),
-    )
+_EMPTY_CHUNKS = None
 
 
-def _chunk_to_row(term: str, shard: int, range_id: int, c: codec.PostingChunk) -> dict:
-    return {
-        "term": term, "range_id": range_id, "shard": shard,
-        "first_doc": c.first_doc, "last_doc": c.last_doc, "n_docs": c.n_docs,
-        "cf": c.cf, "max_tf": c.max_tf, "doc_blob": c.doc_blob,
-        "tf_blob": c.tf_blob, "pos_blob": c.pos_blob,
-        "block_last": c.block_last.tolist(),
-        "block_max_tf": c.block_max_tf.tolist(),
-        "block_min_dl": c.block_min_dl.tolist(),
-        "doc_id": None, "n_tokens": None, "lang": None, "repo": None,
-    }
+def _empty_chunks_table() -> pa.Table:
+    global _EMPTY_CHUNKS
+    if _EMPTY_CHUNKS is None:
+        _EMPTY_CHUNKS = pa.table(
+            {f.name: pa.array([], f.type) for f in schema.POSTING_CHUNKS},
+            schema=schema.POSTING_CHUNKS,
+        )
+    return _EMPTY_CHUNKS
 
 
-def _merge_term_range(group: pa.Table) -> pa.Table:
-    """Phase-1 reducer: merge one (term, range) group's chunks into one."""
+class _SortedChunkView:
+    """Column view over a chunk table sorted by (term, first_doc), with
+    per-term run boundaries and run aggregates precomputed vectorized."""
+
+    def __init__(self, group: pa.Table):
+        idx = pc.sort_indices(
+            group, sort_keys=[("term", "ascending"), ("first_doc", "ascending")]
+        )
+        g = group.take(idx).combine_chunks()
+        first = g["first_doc"].to_numpy()
+        last = g["last_doc"].to_numpy()
+        n_docs = g["n_docs"].to_numpy()
+        cf = g["cf"].to_numpy()
+        max_tf = g["max_tf"].to_numpy()
+        # term run boundaries via dictionary codes (no python string compares)
+        codes = pc.dictionary_encode(g["term"]).combine_chunks().indices.to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], codes[1:] != codes[:-1]]))
+        ends = np.append(starts[1:], codes.size)
+        self.starts = starts
+        self.ends = ends
+        self.n_runs = starts.size
+        all_terms = g["term"]
+        self.run_terms = all_terms.take(pa.array(starts)).to_pylist()
+        # run aggregates, vectorized
+        self.r_first = first[starts]
+        # max, not last-row: under overlapping ranges the chunk with the
+        # largest first_doc need not have the largest last_doc
+        self.r_last = np.maximum.reduceat(last, starts)
+        cs_nd = np.concatenate([[0], np.cumsum(n_docs)])
+        cs_cf = np.concatenate([[0], np.cumsum(cf)])
+        self.r_nd = cs_nd[ends] - cs_nd[starts]
+        self.r_cf = cs_cf[ends] - cs_cf[starts]
+        self.r_maxtf = np.maximum.reduceat(max_tf, starts)
+        # per-run monotonicity: within a run, chunk i must start after chunk
+        # i-1 ends (the normal case — contiguous upstream batches)
+        ok = np.ones(codes.size, bool)
+        ok[1:] = (first[1:] > last[:-1]) | (codes[1:] != codes[:-1])
+        bad_rows = ~ok
+        self.run_disjoint = np.ones(self.n_runs, bool)
+        if bad_rows.any():
+            cs_bad = np.concatenate([[0], np.cumsum(bad_rows)])
+            self.run_disjoint = (cs_bad[ends] - cs_bad[starts]) == 0
+        # python-int copies for the per-run splice loop
+        self.first_l = first.tolist()
+        self.last_l = last.tolist()
+        self.doc_blobs = g["doc_blob"].to_pylist()
+        self.tf_blobs = g["tf_blob"].to_pylist()
+        self.pos_blobs = g["pos_blob"].to_pylist()
+        self.shard = g["shard"].to_numpy()
+        self.range_id = g["range_id"].to_numpy()
+        self._chunk_nd = n_docs
+        self._chunk_cf = cf
+        self._chunk_mtf = max_tf
+
+    def run_blobs(self, r: int) -> tuple[bytes, bytes, bytes]:
+        """Merged (doc, tf, pos) blobs for run ``r``.
+
+        Fast path (disjoint ascending ranges): byte-splice — only each
+        subsequent chunk's first doc value is re-encoded as a delta against
+        the previous chunk's last doc; tf/pos streams concatenate as-is.
+        Overlap fallback: full decode / interleave / re-encode.
+        """
+        s, e = int(self.starts[r]), int(self.ends[r])
+        if e - s == 1:
+            return self.doc_blobs[s], self.tf_blobs[s], self.pos_blobs[s]
+        if self.run_disjoint[r]:
+            first_l, last_l, blobs = self.first_l, self.last_l, self.doc_blobs
+            doc_parts = [blobs[s]]
+            ap = doc_parts.append
+            for i in range(s + 1, e):
+                b = blobs[i]
+                head = codec.vb_first_value_len(b)
+                ap(codec.vb_encode_one(first_l[i] - last_l[i - 1]))
+                ap(b[head:])
+            return (b"".join(doc_parts), b"".join(self.tf_blobs[s:e]),
+                    b"".join(self.pos_blobs[s:e]))
+        merged = codec.merge_chunks([
+            codec.PostingChunk(
+                first_doc=self.first_l[i], last_doc=self.last_l[i],
+                n_docs=int(self._chunk_nd[i]), cf=int(self._chunk_cf[i]),
+                max_tf=int(self._chunk_mtf[i]), doc_blob=self.doc_blobs[i],
+                tf_blob=self.tf_blobs[i], pos_blob=self.pos_blobs[i],
+                block_last=np.zeros(0, np.int64),
+                block_max_tf=np.zeros(0, np.int32),
+                block_min_dl=np.zeros(0, np.int32),
+            )
+            for i in range(s, e)
+        ])
+        return merged.doc_blob, merged.tf_blob, merged.pos_blob
+
+
+def _merge_shard_range(group: pa.Table) -> pa.Table:
+    """Phase-1 reducer over a (shard, range_id) group: merge every term's
+    chunks within the doc range.  Grouping by (shard, range) instead of
+    (term, range) keeps the same skew bound — a hot term's postings stay
+    spread across ranges — while making the number of Ray groups small and
+    the per-term work a tight in-memory loop.  Block metadata is emitted
+    empty: the shard writer recomputes it canonically from the final merged
+    streams."""
     if group.num_rows == 0:  # Ray may hand the UDF an empty block
-        return pa.table({f.name: pa.array([], f.type) for f in schema.POSTING_CHUNKS},
-                        schema=schema.POSTING_CHUNKS)
-    rows = group.to_pylist()
-    merged = codec.merge_chunks([_row_to_chunk(r) for r in rows])
-    out = _chunk_to_row(rows[0]["term"], rows[0]["shard"], rows[0]["range_id"], merged)
-    return pa.table({k: [v] for k, v in out.items()}, schema=schema.POSTING_CHUNKS)
+        return _empty_chunks_table()
+    v = _SortedChunkView(group)
+    doc_blobs, tf_blobs, pos_blobs = [], [], []
+    for r in range(v.n_runs):
+        db, tb, pb = v.run_blobs(r)
+        doc_blobs.append(db)
+        tf_blobs.append(tb)
+        pos_blobs.append(pb)
+    n = v.n_runs
+    return pa.table(
+        {
+            "term": pa.array(v.run_terms, pa.string()),
+            "range_id": pa.array(v.range_id[v.starts].astype(np.int64)),
+            "shard": pa.array(v.shard[v.starts].astype(np.int32)),
+            "first_doc": pa.array(v.r_first.astype(np.int64)),
+            "last_doc": pa.array(v.r_last.astype(np.int64)),
+            "n_docs": pa.array(v.r_nd.astype(np.int64)),
+            "cf": pa.array(v.r_cf.astype(np.int64)),
+            "max_tf": pa.array(v.r_maxtf.astype(np.int32)),
+            "doc_blob": pa.array(doc_blobs, pa.large_binary()),
+            "tf_blob": pa.array(tf_blobs, pa.large_binary()),
+            "pos_blob": pa.array(pos_blobs, pa.large_binary()),
+            "block_last": pa.array([[]] * n, pa.list_(pa.int64())),
+            "block_max_tf": pa.array([[]] * n, pa.list_(pa.int32())),
+            "block_min_dl": pa.array([[]] * n, pa.list_(pa.int32())),
+            "doc_id": pa.array([None] * n, pa.int64()),
+            "n_tokens": pa.array([None] * n, pa.int64()),
+            "lang": pa.array([None] * n, pa.string()),
+            "repo": pa.array([None] * n, pa.string()),
+        },
+        schema=schema.POSTING_CHUNKS,
+    )
 
 
 class WriteShard:
@@ -310,71 +464,92 @@ class WriteShard:
             self._doc_len = ray.get(self.doc_len_ref)
         return self._doc_len
 
-    def _canonical_blocks(self, c: codec.PostingChunk) -> codec.PostingChunk:
-        doc_ids, tfs = codec.decode_doc_tf(c.doc_blob, c.tf_blob)
-        dls = self.doc_len[doc_ids]
-        n = doc_ids.size
-        bs = self.block_size
-        starts = np.arange(0, n, bs, dtype=np.int64)
-        c.block_last = doc_ids[np.minimum(starts + bs, n) - 1].astype(np.int64)
-        c.block_max_tf = np.maximum.reduceat(tfs, starts).astype(np.int32)
-        c.block_min_dl = np.minimum.reduceat(dls, starts).astype(np.int32)
-        return c
-
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) == 0:  # Ray may hand the UDF an empty block
-            return pd.DataFrame({"shard": pd.Series([], dtype="int64"),
-                                 "n_terms": pd.Series([], dtype="int64"),
-                                 "bytes": pd.Series([], dtype="int64"),
-                                 "skipped": pd.Series([], dtype="bool")})
-        shard_id = int(group["shard"].iloc[0])
+    def __call__(self, group: pa.Table) -> pa.Table:
+        empty = pa.table({"shard": pa.array([], pa.int64()),
+                          "n_terms": pa.array([], pa.int64()),
+                          "bytes": pa.array([], pa.int64()),
+                          "skipped": pa.array([], pa.bool_())})
+        if group.num_rows == 0:  # Ray may hand the UDF an empty block
+            return empty
+        shard_id = int(group["shard"][0].as_py())
         if BuildCheckpoint.shard_is_done(self.shard_dir, shard_id, self.fingerprint):
             m = json.load(open(BuildCheckpoint.shard_manifest_path(self.shard_dir, shard_id)))
-            return pd.DataFrame([{"shard": shard_id, "n_terms": m["n_terms"],
-                                  "bytes": m["bytes"], "skipped": True}])
-        bin_parts: list[bytes] = []
-        dict_rows: dict[str, list] = {k: [] for k in (
-            "term", "df", "cf", "max_tf", "doc_off", "doc_len", "tf_off",
-            "tf_len", "pos_off", "pos_len", "block_last", "block_max_tf",
-            "block_min_dl",
-        )}
-        off = 0
-        # deterministic term order inside the shard
-        for term, g in sorted(group.groupby("term", sort=True), key=lambda kv: kv[0]):
-            chunks = [_row_to_chunk(r) for r in g.to_dict("records")]
-            c = self._canonical_blocks(codec.merge_chunks(chunks))
-            dict_rows["term"].append(term)
-            dict_rows["df"].append(c.n_docs)
-            dict_rows["cf"].append(c.cf)
-            dict_rows["max_tf"].append(c.max_tf)
-            for name, blob in (("doc", c.doc_blob), ("tf", c.tf_blob), ("pos", c.pos_blob)):
-                dict_rows[f"{name}_off"].append(off)
-                dict_rows[f"{name}_len"].append(len(blob))
-                bin_parts.append(blob)
-                off += len(blob)
-            dict_rows["block_last"].append(c.block_last.tolist())
-            dict_rows["block_max_tf"].append(c.block_max_tf.tolist())
-            dict_rows["block_min_dl"].append(c.block_min_dl.tolist())
-        blob = b"".join(bin_parts)
-        atomic_write_bytes(os.path.join(self.shard_dir, f"shard_{shard_id:05d}.bin"), blob)
+            return pa.table({"shard": [shard_id], "n_terms": [m["n_terms"]],
+                             "bytes": [m["bytes"]], "skipped": [True]})
+        v = _SortedChunkView(group)
+        bs = self.block_size
+        # merge every term's chunks (byte-splice fast path)
+        doc_blobs, tf_blobs, pos_blobs = [], [], []
+        for r in range(v.n_runs):
+            db, tb, pb = v.run_blobs(r)
+            doc_blobs.append(db)
+            tf_blobs.append(tb)
+            pos_blobs.append(pb)
+        # ONE vectorized decode of the whole shard's doc/tf streams for the
+        # canonical block-max metadata (per-term nd gives the segmentation)
+        r_nd = v.r_nd.astype(np.int64)
+        doc_ids = codec.segmented_delta_decode(
+            codec.vb_decode(b"".join(doc_blobs)), r_nd)
+        tfs = codec.vb_decode(b"".join(tf_blobs)).astype(np.int64)
+        dls = self.doc_len[doc_ids]
+        term_val_starts = np.cumsum(r_nd) - r_nd
+        # ragged per-term blocks, computed globally: blocks tile the value
+        # stream contiguously, so one reduceat covers every term's blocks
+        nb = (r_nd + bs - 1) // bs
+        nb = np.maximum(nb, 1)
+        blk_term = np.repeat(np.arange(v.n_runs), nb)
+        within = (np.arange(int(nb.sum())) - np.repeat(np.cumsum(nb) - nb, nb)) * bs
+        blk_starts = term_val_starts[blk_term] + within
+        blk_ends = np.minimum(blk_starts + bs, (term_val_starts + r_nd)[blk_term])
+        block_last_all = doc_ids[np.maximum(blk_ends, 1) - 1]
+        block_maxtf_all = np.maximum.reduceat(tfs, blk_starts) if tfs.size else np.zeros(0, np.int64)
+        block_mindl_all = np.minimum.reduceat(dls, blk_starts) if dls.size else np.zeros(0, np.int64)
+        blk_offsets = np.concatenate([[0], np.cumsum(nb)]).astype(np.int32)
+        # byte offsets into the shard blob, vectorized
+        dlen = np.fromiter(map(len, doc_blobs), np.int64, v.n_runs)
+        tlen = np.fromiter(map(len, tf_blobs), np.int64, v.n_runs)
+        plen = np.fromiter(map(len, pos_blobs), np.int64, v.n_runs)
+        rec = dlen + tlen + plen
+        rec_start = np.concatenate([[0], np.cumsum(rec)[:-1]])
         dict_table = pa.table(
-            {k: pa.array(v, schema.TERM_DICT.field(k).type) for k, v in dict_rows.items()},
+            {
+                "term": pa.array(v.run_terms, pa.string()),
+                "df": pa.array(r_nd),
+                "cf": pa.array(v.r_cf.astype(np.int64)),
+                "max_tf": pa.array(v.r_maxtf.astype(np.int32)),
+                "doc_off": pa.array(rec_start),
+                "doc_len": pa.array(dlen),
+                "tf_off": pa.array(rec_start + dlen),
+                "tf_len": pa.array(tlen),
+                "pos_off": pa.array(rec_start + dlen + tlen),
+                "pos_len": pa.array(plen),
+                "block_last": pa.ListArray.from_arrays(
+                    pa.array(blk_offsets), pa.array(block_last_all.astype(np.int64))),
+                "block_max_tf": pa.ListArray.from_arrays(
+                    pa.array(blk_offsets), pa.array(block_maxtf_all.astype(np.int32))),
+                "block_min_dl": pa.ListArray.from_arrays(
+                    pa.array(blk_offsets), pa.array(block_mindl_all.astype(np.int32))),
+            },
             schema=schema.TERM_DICT,
         )
+        bin_parts = [x for trio in zip(doc_blobs, tf_blobs, pos_blobs) for x in trio]
+        blob = b"".join(bin_parts)
+        atomic_write_bytes(os.path.join(self.shard_dir, f"shard_{shard_id:05d}.bin"), blob)
         tmp = os.path.join(self.shard_dir, f"shard_{shard_id:05d}.dict.parquet.tmp-{os.getpid()}")
         pq.write_table(dict_table, tmp)
         os.replace(tmp, os.path.join(self.shard_dir, f"shard_{shard_id:05d}.dict.parquet"))
-        n_terms = len(dict_rows["term"])
+        n_terms = v.n_runs
         BuildCheckpoint.write_shard_manifest(
             self.shard_dir, shard_id, self.fingerprint,
             {"n_terms": n_terms, "bytes": len(blob)},
         )
-        return pd.DataFrame([{"shard": shard_id, "n_terms": n_terms,
-                              "bytes": len(blob), "skipped": False}])
+        return pa.table({"shard": [shard_id], "n_terms": [n_terms],
+                         "bytes": [len(blob)], "skipped": [False]})
 
 
 def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
-                  fingerprint: str, stats_dir: str) -> dict[str, Any]:
+                  fingerprint: str, stats_dir: str,
+                  multi_range: bool) -> dict[str, Any]:
     # broadcast the doc-length table once (block-min-dl recompute)
     ds_t = pq.read_table(os.path.join(stats_dir, "doc_stats"),
                          columns=["doc_id", "n_tokens"])
@@ -383,19 +558,25 @@ def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
     doc_len[ids] = ds_t["n_tokens"].to_numpy()
     doc_len_ref = ray.put(doc_len)
 
-    ds = ray.data.read_parquet(chunks_path, filter=pc.is_valid(pc.field("term")))
-    # phase 1: salted merge — (term, range_id) so hot terms spread across
-    # reducers; output is one chunk row per (term, doc range)
-    ds = ds.groupby(["term", "range_id"]).map_groups(
-        _merge_term_range, batch_format="pyarrow"
-    )
+    ds = ray.data.read_parquet(chunks_path, filter=pc.is_valid(pc.field("term")),
+                               override_num_blocks=_shuffle_read_blocks(chunks_path))
+    # phase 1 (salted two-phase merge): (shard, range_id) groups keep hot
+    # terms spread across reducers, bounded per doc range.  With a single
+    # range (corpus smaller than doc_range_size) the shard writer's own
+    # per-term merge does identical work, so the extra shuffle is skipped —
+    # the two-phase path engages exactly when the data is big enough to
+    # need it.
+    if multi_range:
+        ds = ds.groupby(["shard", "range_id"]).map_groups(
+            _merge_shard_range, batch_format="pyarrow"
+        )
     # phase 2: all of a shard's terms on one reducer; byte-splice merge + write
     writer = WriteShard(shard_dir, fingerprint, cfg.block_size, doc_len_ref)
 
-    def write_shard(group: pd.DataFrame) -> pd.DataFrame:
+    def write_shard(group: pa.Table) -> pa.Table:
         return writer(group)
 
-    res = ds.groupby("shard").map_groups(write_shard, batch_format="pandas")
+    res = ds.groupby("shard").map_groups(write_shard, batch_format="pyarrow")
     stats = res.to_pandas()
     # shards with no terms still need (empty) files for the searcher
     present = set(stats["shard"].tolist())
@@ -516,7 +697,12 @@ def build_index(
     shard_dir = os.path.join(out_dir, "shards")
 
     def ingest(d):
-        ds = ray.data.read_parquet(source) if isinstance(source, str) else source
+        if isinstance(source, str):
+            # the ingest read feeds the global sort — coalesce tiny files
+            ds = ray.data.read_parquet(
+                source, override_num_blocks=_shuffle_read_blocks(source))
+        else:
+            ds = source
         return _stage_ingest(ds, d, cfg)
 
     stats_dir = os.path.join(out_dir, "stats")
@@ -524,10 +710,12 @@ def build_index(
     r1 = ckpt.run_stage("doc_store", ingest)
     r2 = ckpt.run_stage("chunks", lambda d: _stage_chunks(doc_store, d, cfg))
     r3 = ckpt.run_stage("stats", lambda d: _stage_stats(chunks, d))
+    multi_range = r1.metrics.get("n_docs", 0) > cfg.doc_range_size
     # clear=False: completed shards are skipped via their own manifests
-    r4 = ckpt.run_stage("shards",
-                        lambda d: _stage_shards(chunks, d, cfg, fp, stats_dir),
-                        clear=False)
+    r4 = ckpt.run_stage(
+        "shards",
+        lambda d: _stage_shards(chunks, d, cfg, fp, stats_dir, multi_range),
+        clear=False)
     r5 = ckpt.run_stage(
         "finalize",
         lambda d: _stage_finalize(

@@ -39,15 +39,10 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Encode a 1-D array of non-negative ints as a variable-byte stream.
-
-    7 payload bits per byte, most-significant group first; the final byte of
-    each value has its high bit set.
-    """
+def _vb_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized VB encode → (byte stream uint8 array, per-value end byte
+    indexes).  7 payload bits per byte, MSB group first, high bit terminates."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
     nbytes = np.ones(v.shape, np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -64,7 +59,36 @@ def vb_encode(values: np.ndarray) -> bytes:
         i += 1
         mask = nbytes > i
     out[ends] |= 0x80
+    return out, ends
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints as a variable-byte stream."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    out, _ = _vb_encode_arr(v)
     return out.tobytes()
+
+
+def vb_encode_split(values: np.ndarray, seg_value_starts: np.ndarray) -> list[bytes]:
+    """Encode the whole value stream in ONE vectorized pass, then slice it
+    into per-segment byte strings (``seg_value_starts`` = value index where
+    each segment begins).  This is the batch fast path: thousands of tiny
+    per-term vb_encode calls collapse into one."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    starts = np.asarray(seg_value_starts, np.int64)
+    if v.size == 0:
+        return [b""] * starts.size
+    out, ends = _vb_encode_arr(v)
+    byte_starts = np.zeros(v.size, np.int64)
+    byte_starts[1:] = ends[:-1] + 1
+    seg_b_start = byte_starts[starts]
+    seg_b_end = np.empty(starts.size, np.int64)
+    seg_b_end[:-1] = seg_b_start[1:]
+    seg_b_end[-1] = out.size
+    buf = out.tobytes()
+    return [buf[int(s) : int(e)] for s, e in zip(seg_b_start, seg_b_end)]
 
 
 def vb_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
@@ -86,13 +110,23 @@ def vb_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
 
 
 def vb_encode_one(value: int) -> bytes:
-    return vb_encode(np.asarray([value], np.uint64))
+    """Pure-Python single-value VB encode — ~50× cheaper than a 1-element
+    numpy round trip; byte-identical to vb_encode."""
+    out = [(value & 0x7F) | 0x80]
+    value >>= 7
+    while value:
+        out.append(value & 0x7F)
+        value >>= 7
+    return bytes(reversed(out))
 
 
 def vb_first_value_len(buf: bytes) -> int:
-    """Byte length of the first VB value in ``buf`` (scan to first end byte)."""
-    b = np.frombuffer(buf, np.uint8)
-    return int(np.flatnonzero(b & 0x80)[0]) + 1
+    """Byte length of the first VB value in ``buf`` (scan to first end byte).
+    Values are ≤10 bytes, so a plain byte scan beats numpy here."""
+    for i in range(min(len(buf), 10)):
+        if buf[i] & 0x80:
+            return i + 1
+    raise ValueError("malformed VB stream: no terminating byte")
 
 
 def vb_first_value(buf: bytes) -> int:
@@ -272,7 +306,13 @@ def merge_chunks(chunks: list[PostingChunk]) -> PostingChunk:
 
 
 def _merge_chunks_slow(chunks: list[PostingChunk]) -> PostingChunk:
-    docs, tfs, poss, dls = [], [], [], []
+    """Overlapping-range merge: full decode / interleave / re-encode.
+
+    Per-doc document lengths are NOT recoverable from block metadata, so the
+    re-encoded block_min_dl is a conservative 0 placeholder — safe for WAND
+    (a lower bound) and replaced by the canonical recompute at shard-write
+    time (build.WriteShard._canonical_blocks)."""
+    docs, tfs, poss = [], [], []
     block = max(1, len(chunks[0].block_last) and int(np.ceil(chunks[0].n_docs / len(chunks[0].block_last))))
     has_pos = any(c.pos_blob for c in chunks)
     for c in chunks:
@@ -281,17 +321,13 @@ def _merge_chunks_slow(chunks: list[PostingChunk]) -> PostingChunk:
         tfs.append(t)
         if has_pos:
             poss.append(decode_positions(c.pos_blob, t))
-        # reconstruct an upper-bound dl per doc from block metadata (min_dl is
-        # a lower bound — safe for WAND); exact dls are not recoverable here.
-        dl = np.repeat(c.block_min_dl.astype(np.int64), block)[: d.size]
-        dls.append(dl)
     doc_ids = np.concatenate(docs)
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = doc_ids[order]
     if np.any(np.diff(doc_ids) == 0):
         raise ValueError("duplicate doc_id across chunks of one term")
     tfa = np.concatenate(tfs)[order]
-    dla = np.concatenate(dls)[order]
+    dla = np.zeros(doc_ids.size, np.int64)  # placeholder, see docstring
     pos_flat = None
     if has_pos:
         flat = np.concatenate(poss)

@@ -116,6 +116,12 @@ def minhash_candidates(ds, num_perm: int = 128, bands: int = 32,
                        id_col: str = "doc_id"):
     """LSH banding: docs sharing any band bucket become candidate pairs.
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, deduplicated.
+
+    Shuffle shape: signatures explode to (band_id, band_bytes, doc_id, sig)
+    rows and group by ``band_id`` ONLY — a handful of large groups (Ray's
+    per-group overhead sinks thousands-of-tiny-buckets layouts); bucket
+    detection inside the group is a vectorized pandas duplicated() mask.
+    The raw band bytes are the bucket key (exact — no hash collisions).
     """
     rows_per_band = num_perm // bands
 
@@ -127,51 +133,67 @@ def minhash_candidates(ds, num_perm: int = 128, bands: int = 32,
     )
 
     def explode_bands(t: pa.Table) -> pa.Table:
-        ids, band_ids, band_hash, sig_out = [], [], [], []
-        for i in range(t.num_rows):
-            sig = np.asarray(t["sig"][i].as_py(), np.uint64)
-            doc = t[id_col][i].as_py()
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                ids.append(doc)
-                band_ids.append(b)
-                band_hash.append(h)
-                sig_out.append(sig.tolist())
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "band_id": pa.array([], pa.int32()),
+                "band_key": pa.array([], pa.binary()),
+                "sig": pa.array([], pa.list_(pa.uint64())),
+            })
+        sig_col = t["sig"].combine_chunks()
+        mat = sig_col.values.to_numpy(zero_copy_only=False).reshape(n, num_perm)
+        mat = np.ascontiguousarray(mat)
+        ids = np.repeat(t[id_col].to_numpy(), bands)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        keys = [
+            mat[i, b * rows_per_band : (b + 1) * rows_per_band].tobytes()
+            for i in range(n) for b in range(bands)
+        ]
+        sig_rows = np.repeat(mat, bands, axis=0)  # full signature per band row
+        offsets = np.arange(n * bands + 1, dtype=np.int32) * num_perm
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
             "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hash, pa.string()),
-            "sig": pa.array(sig_out, pa.list_(pa.uint64())),
+            "band_key": pa.array(keys, pa.binary()),
+            "sig": pa.ListArray.from_arrays(pa.array(offsets), pa.array(sig_rows.ravel())),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "est_jaccard": pd.Series([], dtype="float64")})
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "est_jaccard": pd.Series([], dtype="float64")})
-        g = g.sort_values(id_col)
-        ids = g[id_col].tolist()
-        sigs = [np.asarray(s, np.uint64) for s in g["sig"].tolist()]
+            return empty
+        dup_mask = g.duplicated("band_key", keep=False)
+        if not dup_mask.any():
+            return empty
+        g = g[dup_mask]
         a_out, b_out, est = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-                est.append(float(np.mean(sigs[i] == sigs[j])))
+        for _, bucket in g.groupby("band_key", sort=False):
+            if len(bucket) < 2:
+                continue
+            bucket = bucket.sort_values(id_col)
+            ids = bucket[id_col].tolist()
+            bsigs = [np.asarray(s, np.uint64) for s in bucket["sig"].tolist()]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    est.append(float(np.mean(bsigs[i] == bsigs[j])))
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": est})
 
     pairs = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("band_id")
+        .map_groups(band_pairs, batch_format="pandas")
     )
 
-    # candidate pairs can surface from several bands → dedup on (a, b)
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # candidates are rare by construction → one small partition dedups them
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["doc_a", "doc_b"]).drop_duplicates(["doc_a", "doc_b"])
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    return pairs.repartition(1).map_batches(dedup_pairs, batch_format="pandas")
 
 
 def exact_jaccard(text_a: str, text_b: str, shingle_k: int = 5) -> float:

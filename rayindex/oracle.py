@@ -82,18 +82,23 @@ class OracleEngine:
         # docID assignment: dense 1-based in (repo, path) order — the
         # deterministic replacement for the reference's file read order
         # (index_build.py:130,199)
+        langs = (docs["lang"].to_pylist() if "lang" in docs.column_names
+                 else [None] * docs.num_rows)
         rows = sorted(
-            zip(docs["repo"].to_pylist(), docs["path"].to_pylist(), docs["content"].to_pylist()),
+            zip(docs["repo"].to_pylist(), docs["path"].to_pylist(),
+                docs["content"].to_pylist(), langs),
         )
         # index: {term: [df, {doc_id: [positions]}]} — reference shape
         # (/root/reference/indexing/index_writer/index_writer.py:5-8)
         self.index: dict[str, list] = {}
         self.doc_sizes: dict[int, int] = {}
         self.doc_meta: dict[int, tuple[str, str]] = {}
-        for doc_id, (repo, path, content) in enumerate(rows, start=1):
+        self.doc_lang: dict[int, str | None] = {}
+        for doc_id, (repo, path, content, lang) in enumerate(rows, start=1):
             tokens = analysis.tokenize_text(content or "", self.analyzer)
             self.doc_sizes[doc_id] = len(tokens)
             self.doc_meta[doc_id] = (repo, path)
+            self.doc_lang[doc_id] = lang
             for pos, term in enumerate(tokens, start=1):
                 if term not in self.index:
                     self.index[term] = [0, {}]
@@ -157,32 +162,41 @@ class OracleEngine:
 
     # -- candidate generation (reference J6 quirk) --------------------------
 
-    def _candidates(self, terms_sorted: list[str]) -> list[int] | None:
+    def _candidates(self, terms_sorted: list[str],
+                    allowed: set[int] | None = None) -> list[int] | None:
         """Intersection→pairwise-half→union relax (bm25_model.py:218-253 /
         language_model.py:147-229): AND first; under ``candidate_relax``
-        docs, loosen."""
+        docs, loosen.  ``allowed`` reproduces the date-filter semantics
+        (generalized to metadata filters): each candidate set is
+        intersected with the allowed docs BEFORE the relax thresholds are
+        tested (bm25_model.py:210-232 date_bool branch)."""
         docs_in = {t: self._docs_of(t) for t in terms_sorted if self._docs_of(t) is not None}
         if not docs_in:
             return None
+
+        def filt(s: set[int]) -> set[int]:
+            return s & allowed if allowed is not None else s
+
         values = list(docs_in.values())
         relax = self.cfg.candidate_relax
         if len(values) > 1:
-            i0 = set.intersection(*map(set, values))
+            i0 = filt(set.intersection(*map(set, values)))
             if len(i0) >= relax:
                 return sorted(i0)
             half = len(values) // 2
             d1, d2 = values[:half], values[half:]
-            i1 = set.intersection(*map(set, d1))
-            i2 = set.intersection(*map(set, d2))
+            i1 = filt(set.intersection(*map(set, d1)))
+            i2 = filt(set.intersection(*map(set, d2)))
             if len(i1 | i2) >= relax:
                 return sorted(i0 | i1 | i2)
-            return sorted(set.union(*map(set, values)))
-        return sorted(set(values[0]))
+            return sorted(filt(set.union(*map(set, values))))
+        return sorted(filt(set(values[0])))
 
     # -- ranking paths ------------------------------------------------------
 
     def _rank_singles(self, singles: list[str], scorer: str,
-                      fixed_docs: list[int] | None = None) -> dict[int, float] | None:
+                      fixed_docs: list[int] | None = None,
+                      allowed: set[int] | None = None) -> dict[int, float] | None:
         if scorer in ("reference", "bm25"):
             terms = sorted(set(singles))
             if fixed_docs is not None:
@@ -193,21 +207,26 @@ class OracleEngine:
                 docs = [d for d in docs if d is not None]
                 if not docs:
                     return None
-                cand = sorted(set.union(*map(set, docs)))
+                u = set.union(*map(set, docs))
+                cand = sorted(u & allowed if allowed is not None else u)
             else:
-                cand = self._candidates(terms)
+                cand = self._candidates(terms, allowed)
                 if cand is None:
                     return None
             w = self._w_reference if scorer == "reference" else self._w_bm25
             return {doc: sum(w(t, doc) for t in terms) for doc in cand}
         if scorer in ("lm", "lm-dirichlet"):
-            return self._rank_lm(singles, pyp=(scorer == "lm"), fixed_docs=fixed_docs)
+            return self._rank_lm(singles, pyp=(scorer == "lm"), fixed_docs=fixed_docs,
+                                 allowed=allowed)
         if scorer == "vsm":
+            # the reference VSM path has no date handling (vsm_model.py) —
+            # metadata filters intentionally don't apply
             return self._rank_vsm(singles, fixed_docs=fixed_docs)
         raise ValueError(f"unknown scorer {scorer!r}")
 
     def _rank_lm(self, query: list[str], pyp: bool,
-                 fixed_docs: list[int] | None = None) -> dict[int, float] | None:
+                 fixed_docs: list[int] | None = None,
+                 allowed: set[int] | None = None) -> dict[int, float] | None:
         """LM with Pitman-Yor (default, mu=1303 g=0.2) or Dirichlet
         (mu=1089) smoothing — language_model.py:18-51,231-257.  ``cf`` is
         df, reproducing the reference's A3 quirk (:26,45).  Terms iterate
@@ -221,7 +240,7 @@ class OracleEngine:
         if fixed_docs is not None:
             cand = sorted(fixed_docs)
         else:
-            cand = self._candidates(sorted(set(query)))
+            cand = self._candidates(sorted(set(query)), allowed)
             if cand is None:
                 return None
         qtf = {t: query.count(t) for t in query}
@@ -284,7 +303,8 @@ class OracleEngine:
         return scores
 
     def _rank_phrases(self, phrases: list[list[str]], scorer: str,
-                      fixed_docs: list[int] | None = None) -> dict[int, float] | None:
+                      fixed_docs: list[int] | None = None,
+                      allowed: set[int] | None = None) -> dict[int, float] | None:
         """bm25_model.py phrase_rank semantics, including the quirk that an
         empty intersection for ANY phrase discards all phrase scores
         (``return False`` mid-loop)."""
@@ -294,7 +314,10 @@ class OracleEngine:
             docs_in = {t: self._docs_of(t) for t in phrase}
             if any(v is None for v in docs_in.values()):
                 return None  # OOV term in phrase -> no phrase results (spec #4)
-            inter = sorted(set.intersection(*map(set, docs_in.values()))) if docs_in else []
+            inter_set = set.intersection(*map(set, docs_in.values())) if docs_in else set()
+            if allowed is not None:  # date/metadata filter (bm25_model.py:334-339)
+                inter_set &= allowed
+            inter = sorted(inter_set)
             tf: dict[int, int] = {}
             df = 0
             for doc in inter:
@@ -395,10 +418,21 @@ class OracleEngine:
 
     # -- public -------------------------------------------------------------
 
-    def search(self, query: str, k: int | None = None, scorer: str | None = None
-               ) -> list[tuple[int, float]]:
-        """Returns [(doc_id, score)] ranked by (score desc, doc_id asc)."""
+    def search(self, query: str, k: int | None = None, scorer: str | None = None,
+               lang: str | None = None) -> list[tuple[int, float]]:
+        """Returns [(doc_id, score)] ranked by (score desc, doc_id asc).
+
+        ``lang`` is the engine's generalization of the reference's
+        date-range filter (retrieval_execution.py:149-156): candidates are
+        intersected with matching docs at the same points the reference
+        applies ``date_ind``; an empty filter set short-circuits to no
+        results; proximity and VSM ignore it (reference quirks)."""
         scorer = scorer or self.cfg.scorer
+        allowed: set[int] | None = None
+        if lang is not None:
+            allowed = {d for d, lg in self.doc_lang.items() if lg == lang}
+            if not allowed:
+                return []
         q = parse_query(query, self.analyzer)
         # mini-index validity gate (retrieval_execution.py:139-147 +
         # views):  if NO query term exists in the vocabulary the reference
@@ -417,6 +451,8 @@ class OracleEngine:
             return [(d, 0.0) for d in docs][: (k or len(docs))]
         if isinstance(q, BooleanQuery):
             docs = self._boolean_docs(q)
+            if allowed is not None:  # language_model.py:168-171 equivalent
+                docs = sorted(set(docs) & allowed)
             singles = [p[0] for p in q.terms if len(p) == 1]
             phrases = [p for p in q.terms if len(p) > 1]
             if singles:
@@ -429,8 +465,8 @@ class OracleEngine:
             return ranked[: (k or self.cfg.top_k)]
         parts = [p for p in q.parts if p]
         singles, phrases = separate_mix(parts)
-        t_docs = self._rank_singles(singles, scorer) if singles else None
-        p_docs = self._rank_phrases(phrases, scorer) if phrases else None
+        t_docs = self._rank_singles(singles, scorer, allowed=allowed) if singles else None
+        p_docs = self._rank_phrases(phrases, scorer, allowed=allowed) if phrases else None
         if t_docs and p_docs:
             tot = {d: t_docs.get(d, 0.0) + p_docs.get(d, 0.0)
                    for d in set(t_docs) | set(p_docs)}

@@ -107,14 +107,20 @@ def bm25_upper_bound(max_tf: int, min_dl: int, df: int, stats: Stats,
 # ---------------------------------------------------------------------------
 
 
-def candidates_reference(postings: dict[str, Posting], relax: int) -> np.ndarray | None:
+def candidates_reference(postings: dict[str, Posting], relax: int,
+                         allowed: np.ndarray | None = None) -> np.ndarray | None:
     if not postings:
         return None
+
+    def filt(a: np.ndarray) -> np.ndarray:
+        return np.intersect1d(a, allowed, assume_unique=True) if allowed is not None else a
+
     values = [p.docs for _, p in sorted(postings.items())]
     if len(values) > 1:
         i0 = values[0]
         for v in values[1:]:
             i0 = np.intersect1d(i0, v, assume_unique=True)
+        i0 = filt(i0)
         if i0.size >= relax:
             return i0
         half = len(values) // 2
@@ -124,21 +130,25 @@ def candidates_reference(postings: dict[str, Posting], relax: int) -> np.ndarray
         i2 = values[half]
         for v in values[half + 1 :]:
             i2 = np.intersect1d(i2, v, assume_unique=True)
+        i1, i2 = filt(i1), filt(i2)
         if np.union1d(i1, i2).size >= relax:
             return np.union1d(i0, np.union1d(i1, i2))
         out = values[0]
         for v in values[1:]:
             out = np.union1d(out, v)
-        return out
-    return values[0]
+        return filt(out)
+    return filt(values[0])
 
 
-def union_docs(postings: dict[str, Posting]) -> np.ndarray | None:
+def union_docs(postings: dict[str, Posting],
+               allowed: np.ndarray | None = None) -> np.ndarray | None:
     if not postings:
         return None
     out = None
     for _, p in sorted(postings.items()):
         out = p.docs if out is None else np.union1d(out, p.docs)
+    if allowed is not None and out is not None:
+        out = np.intersect1d(out, allowed, assume_unique=True)
     return out
 
 
@@ -169,7 +179,8 @@ def _accumulate(cand: np.ndarray, postings: dict[str, Posting], stats: Stats,
 
 def rank_singles(provider: MiniIndexProvider, singles: list[str], scorer: str,
                  stats: Stats, cfg: SearchConfig,
-                 fixed_docs: np.ndarray | None = None
+                 fixed_docs: np.ndarray | None = None,
+                 allowed: np.ndarray | None = None
                  ) -> tuple[np.ndarray, np.ndarray] | None:
     postings = {}
     for t in set(singles):
@@ -178,14 +189,14 @@ def rank_singles(provider: MiniIndexProvider, singles: list[str], scorer: str,
             postings[t] = p
     if not postings:
         return None
+    if scorer == "vsm":
+        allowed = None  # reference VSM has no date/metadata filtering
     if fixed_docs is not None:
         cand = np.sort(np.asarray(fixed_docs, np.int64))
     elif scorer == "bm25":
-        cand = union_docs(postings)
-    elif scorer == "reference":
-        cand = candidates_reference(postings, cfg.candidate_relax)
+        cand = union_docs(postings, allowed)
     else:
-        cand = candidates_reference(postings, cfg.candidate_relax)
+        cand = candidates_reference(postings, cfg.candidate_relax, allowed)
     if cand is None or cand.size == 0:
         return None if fixed_docs is None else (np.zeros(0, np.int64), np.zeros(0))
 
@@ -257,9 +268,77 @@ def _rank_vsm(cand: np.ndarray, postings: dict[str, Posting], query: list[str],
     return cand, scores
 
 
+# composite (doc, position) key space for vectorized positional ops: the
+# low _POS_SHIFT bits hold the 1-based token position (8M positions covers
+# the 8 MiB content cap), the high bits the doc_id
+_POS_SHIFT = 23
+_POS_MASK = (1 << _POS_SHIFT) - 1
+
+
+def _pos_keys(p: Posting) -> np.ndarray:
+    doc_rep = np.repeat(p.docs, p.tfs)
+    return (doc_rep << _POS_SHIFT) | p.positions.astype(np.int64)
+
+
+def _pair_adjacency(pa_: Posting, pb: Posting) -> tuple[np.ndarray, np.ndarray]:
+    """Docs and counts of adjacent occurrences (pos in A, pos+1 in B),
+    vectorized across every document at once."""
+    inter = np.intersect1d(_pos_keys(pa_) + 1, _pos_keys(pb), assume_unique=True)
+    if inter.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    docs = inter >> _POS_SHIFT
+    u, counts = np.unique(docs, return_counts=True)
+    return u, counts
+
+
+def _phrase_tf(ps: list[Posting], inter: np.ndarray) -> dict[int, int]:
+    """Per-doc phrase counts — a vectorized equivalent of
+    oracle.consecutive_occ, derived from its run structure:
+
+    The kernel walks the sorted union of all terms' positions; within a
+    maximal run of step-1 gaps (a gap > 1 resets the counter), each
+    adjacent pair whose term labels are (t, t+1) increments the counter,
+    and every time the counter reaches n_terms-1 it emits one occurrence
+    and resets.  Non-matching step-1 pairs neither increment nor reset, so
+    the per-run contribution is exactly ``matches_in_run // (n_terms-1)``
+    — including the reference's quirk that REPEATED pair types can satisfy
+    a run.  Equivalence is property-tested against the loop kernel in
+    tests/test_scoring_kernels.py."""
+    tot = len(ps)
+    keys = [_pos_keys(p) for p in ps]
+    labels = [np.full(k.size, i, np.int64) for i, k in enumerate(keys)]
+    allk = np.concatenate(keys)
+    alll = np.concatenate(labels)
+    if allk.size < 2:
+        return {}
+    order = np.argsort(allk, kind="stable")
+    k = allk[order]
+    lab = alll[order]
+    # doc boundaries imply key gaps >= 2**_POS_SHIFT > 1, so same-doc is free
+    gap1 = (k[1:] - k[:-1]) == 1
+    match = gap1 & (lab[1:] == lab[:-1] + 1)
+    run_id = np.cumsum(~gap1)
+    m_per_run = np.bincount(run_id[match], minlength=int(run_id[-1]) + 1 if run_id.size else 1)
+    # run_id is non-decreasing → run starts via boundary scan, not unique()
+    first_edge = np.flatnonzero(np.concatenate([[True], run_id[1:] != run_id[:-1]]))
+    uruns = run_id[first_edge]
+    hits = m_per_run[uruns] // (tot - 1)
+    nz = hits > 0
+    if not nz.any():
+        return {}
+    # doc of a run = doc of its first edge's RIGHT endpoint: the left
+    # endpoint of a boundary edge still belongs to the previous doc/run
+    run_docs = k[first_edge[nz] + 1] >> _POS_SHIFT
+    docs_u, inv = np.unique(run_docs, return_inverse=True)
+    per_doc = np.bincount(inv, weights=hits[nz]).astype(np.int64)
+    keep = np.isin(docs_u, inter, assume_unique=True)
+    return dict(zip(docs_u[keep].tolist(), per_doc[keep].tolist()))
+
+
 def rank_phrases(provider: MiniIndexProvider, phrases: list[list[str]], scorer: str,
                  stats: Stats, cfg: SearchConfig,
-                 fixed_docs: np.ndarray | None = None
+                 fixed_docs: np.ndarray | None = None,
+                 allowed: np.ndarray | None = None
                  ) -> tuple[np.ndarray, np.ndarray] | None:
     """Phrase ranking via positional intersection; same per-phrase
     ``return None`` semantics as the oracle (any empty phrase kills all)."""
@@ -272,23 +351,12 @@ def rank_phrases(provider: MiniIndexProvider, phrases: list[list[str]], scorer: 
         inter = ps[0].docs
         for p in ps[1:]:
             inter = np.intersect1d(inter, p.docs, assume_unique=True)
+        if allowed is not None:
+            inter = np.intersect1d(inter, allowed, assume_unique=True)
         if inter.size == 0:
             return None
-        # per-doc consecutive counts (reference kernel)
-        idxs = [np.searchsorted(p.docs, inter) for p in ps]
-        starts = [p.pos_slices() for p in ps]
-        tf: dict[int, int] = {}
-        df = 0
-        for j, doc in enumerate(inter.tolist()):
-            plists = []
-            for p, idx, st in zip(ps, idxs, starts):
-                i = int(idx[j])
-                s = int(st[i])
-                plists.append(p.positions[s : s + int(p.tfs[i])].tolist())
-            cons = consecutive_occ(plists)
-            if cons > 0:
-                tf[doc] = cons
-                df += 1
+        tf = _phrase_tf(ps, inter)
+        df = len(tf)
         target = np.sort(np.asarray(fixed_docs, np.int64)) if fixed_docs is not None else inter
         for doc in target.tolist():
             if doc in tf:
@@ -382,37 +450,36 @@ def _phrase_docs(provider: MiniIndexProvider, phrase: list[str]) -> np.ndarray:
     inter = ps[0].docs
     for p in ps[1:]:
         inter = np.intersect1d(inter, p.docs, assume_unique=True)
-    idxs = [np.searchsorted(p.docs, inter) for p in ps]
-    starts = [p.pos_slices() for p in ps]
-    keep = []
-    for j, doc in enumerate(inter.tolist()):
-        plists = []
-        for p, idx, st in zip(ps, idxs, starts):
-            i = int(idx[j])
-            s = int(st[i])
-            plists.append(p.positions[s : s + int(p.tfs[i])].tolist())
-        if consecutive_occ(plists) > 0:
-            keep.append(doc)
-    return np.asarray(keep, np.int64)
+    if inter.size == 0:
+        return inter
+    tf = _phrase_tf(ps, inter)
+    return np.asarray(sorted(tf), np.int64)
 
 
 def proximity_docs(provider: MiniIndexProvider, q: ProximityQuery) -> np.ndarray:
+    """Docs where the two terms occur within |p1-p2| <= k — one vectorized
+    pass over the composite (doc, pos) key space: for each occurrence of
+    term1, only its two nearest term2 neighbours (by searchsorted) can be
+    the closest in-document positions."""
     p1 = provider.lookup(q.terms[0], need_positions=True)
     p2 = provider.lookup(q.terms[1], need_positions=True)
     if p1 is None or p2 is None:
         return np.zeros(0, np.int64)
-    inter = np.intersect1d(p1.docs, p2.docs, assume_unique=True)
-    i1 = np.searchsorted(p1.docs, inter)
-    i2 = np.searchsorted(p2.docs, inter)
-    s1, s2 = p1.pos_slices(), p2.pos_slices()
-    keep = []
-    for j, doc in enumerate(inter.tolist()):
-        a = p1.positions[int(s1[i1[j]]) : int(s1[i1[j]]) + int(p1.tfs[i1[j]])]
-        b = p2.positions[int(s2[i2[j]]) : int(s2[i2[j]]) + int(p2.tfs[i2[j]])]
-        # vectorized |a-b| <= k existence check
-        if np.min(np.abs(a[:, None] - b[None, :])) <= q.k:
-            keep.append(doc)
-    return np.asarray(keep, np.int64)
+    ka = _pos_keys(p1)
+    kb = _pos_keys(p2)
+    if ka.size == 0 or kb.size == 0:
+        return np.zeros(0, np.int64)
+    docs_a = ka >> _POS_SHIFT
+    pos_a = ka & _POS_MASK
+    hit = np.zeros(ka.size, bool)
+    idx = np.searchsorted(kb, ka)
+    for cand in (idx - 1, idx):
+        valid = (cand >= 0) & (cand < kb.size)
+        c = np.clip(cand, 0, kb.size - 1)
+        same_doc = (kb[c] >> _POS_SHIFT) == docs_a
+        close = np.abs((kb[c] & _POS_MASK) - pos_a) <= q.k
+        hit |= valid & same_doc & close
+    return np.unique(docs_a[hit])
 
 
 # ---------------------------------------------------------------------------
@@ -421,42 +488,66 @@ def proximity_docs(provider: MiniIndexProvider, q: ProximityQuery) -> np.ndarray
 
 
 class _TermCursor:
-    __slots__ = ("docs", "tfs", "df", "idx", "ub", "block_last", "block_ub", "blk")
+    """Posting cursor with O(1) amortized block-bound lookup and scalar BM25
+    evaluation (idf and length-norm constants precomputed — the per-doc hot
+    path is pure float arithmetic, no numpy object churn)."""
+
+    __slots__ = ("docs", "tfs", "df", "idx", "n", "ub", "block_last",
+                 "block_ub", "blk", "cur", "idf", "k1p1", "norm_c", "norm_dl")
 
     def __init__(self, p: Posting, stats: Stats, cfg: SearchConfig):
         self.docs = p.docs
         self.tfs = p.tfs
         self.df = p.df
+        self.n = int(p.docs.size)
         self.idx = 0
+        self.cur = int(p.docs[0]) if self.n else 1 << 62
+        self.idf = idf_robertson(stats.n_docs, p.df)
+        self.k1p1 = cfg.k1 + 1.0
+        self.norm_c = cfg.k1 * (1 - cfg.b)
+        self.norm_dl = cfg.k1 * cfg.b / stats.avg_dl
         if p.block_last is not None and len(p.block_last):
             self.block_last = p.block_last
-            self.block_ub = np.asarray([
-                bm25_upper_bound(int(mt), int(md), p.df, stats, cfg)
-                for mt, md in zip(p.block_max_tf, p.block_min_dl)
-            ])
+            mt = np.asarray(p.block_max_tf, np.float64)
+            md = np.asarray(p.block_min_dl, np.float64)
+            self.block_ub = self.idf * (mt * self.k1p1) / (
+                mt + self.norm_c + self.norm_dl * md)
         else:
             self.block_last = p.docs[-1:]
             self.block_ub = np.asarray([
                 bm25_upper_bound(int(p.tfs.max()), int(stats.doc_len[p.docs].min()),
                                  p.df, stats, cfg)
             ])
+        self.block_last = np.ascontiguousarray(self.block_last, np.int64)
         self.ub = float(self.block_ub.max())
         self.blk = 0
 
-    @property
-    def cur(self) -> int:
-        return int(self.docs[self.idx]) if self.idx < self.docs.size else 1 << 62
+    def advance(self) -> None:
+        self.idx += 1
+        self.cur = int(self.docs[self.idx]) if self.idx < self.n else 1 << 62
 
     def seek(self, target: int) -> None:
-        if self.idx < self.docs.size and self.docs[self.idx] < target:
-            self.idx += int(np.searchsorted(self.docs[self.idx :], target))
+        if self.cur < target:
+            self.idx = int(np.searchsorted(self.docs, target, side="left"))
+            self.cur = int(self.docs[self.idx]) if self.idx < self.n else 1 << 62
+
+    def score_cur(self, dl: float) -> float:
+        tf = float(self.tfs[self.idx])
+        return self.idf * (tf * self.k1p1) / (tf + self.norm_c + self.norm_dl * dl)
 
     def cur_block_ub(self) -> float:
-        d = self.cur
-        b = int(np.searchsorted(self.block_last, d))
-        if b >= self.block_ub.size:
-            b = self.block_ub.size - 1
+        # cursors only move forward → advance the block pointer monotonically
+        bl = self.block_last
+        b = self.blk
+        last = bl.size - 1
+        while b < last and bl[b] < self.cur:
+            b += 1
+        self.blk = b
         return float(self.block_ub[b])
+
+    def cur_block_boundary(self) -> int:
+        self.cur_block_ub()
+        return int(self.block_last[self.blk])
 
 
 def wand_topk(provider: MiniIndexProvider, terms: list[str], k: int,
@@ -475,21 +566,25 @@ def wand_topk(provider: MiniIndexProvider, terms: list[str], k: int,
         return np.zeros(0, np.int64), np.zeros(0)
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
     INF = 1 << 62
+    doc_len = stats.doc_len
+    ncur = len(cursors)
     while True:
         cursors.sort(key=lambda c: c.cur)
         if cursors[0].cur >= INF:
             break
         # pivot: first cursor where the prefix ub sum could beat threshold
-        theta = heap[0][0] if len(heap) >= k else -math.inf
+        full = len(heap) >= k
+        theta = heap[0][0] if full else -math.inf
         acc_ub = 0.0
         pivot = -1
-        for i, c in enumerate(cursors):
+        for i in range(ncur):
+            c = cursors[i]
             if c.cur >= INF:
                 break
             acc_ub += c.ub
             # >= not >: a doc scoring exactly theta can still win its tie
             # on smaller doc_id, so it must be evaluated, not pruned
-            if acc_ub >= theta or (len(heap) < k):
+            if not full or acc_ub >= theta:
                 pivot = i
                 break
         if pivot == -1:
@@ -500,36 +595,35 @@ def wand_topk(provider: MiniIndexProvider, terms: list[str], k: int,
         # extend over cursors parked at the SAME doc beyond the pivot: they
         # contribute to pivot_doc's score, so the block bound must count them
         ext = pivot
-        while ext + 1 < len(cursors) and cursors[ext + 1].cur == pivot_doc:
+        while ext + 1 < ncur and cursors[ext + 1].cur == pivot_doc:
             ext += 1
-        block_ub = sum(c.cur_block_ub() for c in cursors[: ext + 1])
-        if len(heap) >= k and block_ub < theta:
-            # skip to past the earliest block boundary, but never past the
-            # next cursor's doc (where a new term becomes active and the
-            # bound no longer holds)
-            boundary = min(
-                int(c.block_last[min(int(np.searchsorted(c.block_last, pivot_doc)),
-                                     len(c.block_last) - 1)])
-                for c in cursors[: ext + 1]
-            )
-            if ext + 1 < len(cursors) and cursors[ext + 1].cur < INF:
-                boundary = min(boundary, int(cursors[ext + 1].cur) - 1)
-            target = max(boundary + 1, pivot_doc + 1)
-            for c in cursors[: ext + 1]:
-                c.seek(target)
-            continue
+        if full:
+            block_ub = 0.0
+            for i in range(ext + 1):
+                block_ub += cursors[i].cur_block_ub()
+            if block_ub < theta:
+                # skip to past the earliest block boundary, but never past
+                # the next cursor's doc (where a new term becomes active and
+                # the bound no longer holds)
+                boundary = min(cursors[i].cur_block_boundary() for i in range(ext + 1))
+                if ext + 1 < ncur and cursors[ext + 1].cur < INF:
+                    boundary = min(boundary, cursors[ext + 1].cur - 1)
+                target = max(boundary + 1, pivot_doc + 1)
+                for i in range(ext + 1):
+                    cursors[i].seek(target)
+                continue
         if cursors[0].cur == pivot_doc:
             # fully evaluate pivot_doc
             score = 0.0
-            dl = float(stats.doc_len[pivot_doc])
+            dl = float(doc_len[pivot_doc])
             for c in cursors:
                 if c.cur == pivot_doc:
-                    tf = float(c.tfs[c.idx])
-                    score += float(w_bm25(np.asarray([tf]), np.asarray([dl]), c.df,
-                                          stats, cfg)[0])
-                    c.idx += 1
+                    score += c.score_cur(dl)
+                    c.advance()
+                elif c.cur > pivot_doc:
+                    break
             item = (score, -pivot_doc)
-            if len(heap) < k:
+            if not full:
                 heapq.heappush(heap, item)
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
@@ -549,16 +643,20 @@ def wand_topk(provider: MiniIndexProvider, terms: list[str], k: int,
 
 
 def search_parsed(provider: MiniIndexProvider, q, stats: Stats, cfg: SearchConfig,
-                  k: int | None = None, scorer: str | None = None
+                  k: int | None = None, scorer: str | None = None,
+                  allowed: np.ndarray | None = None
                   ) -> tuple[np.ndarray, np.ndarray]:
     scorer = scorer or cfg.scorer
     empty = (np.zeros(0, np.int64), np.zeros(0))
     if isinstance(q, ProximityQuery):
+        # reference quirk: the proximity path bypasses the date filter
         docs = proximity_docs(provider, q)
         docs = docs[: (k or docs.size)]
         return docs, np.zeros(docs.size)
     if isinstance(q, BooleanQuery):
         docs = boolean_docs(provider, q, stats, cfg)
+        if allowed is not None:
+            docs = np.intersect1d(docs, allowed, assume_unique=True)
         singles = [p[0] for p in q.terms if len(p) == 1]
         phrases = [p for p in q.terms if len(p) > 1]
         if singles:
@@ -572,11 +670,16 @@ def search_parsed(provider: MiniIndexProvider, q, stats: Stats, cfg: SearchConfi
         return _top(r, k or cfg.top_k)
     parts = [p for p in q.parts if p]
     singles, phrases = separate_mix(parts)
-    use_wand = (cfg.algorithm == "bmw" and scorer == "bm25" and singles and not phrases)
+    # single-term queries: one vectorized pass over the posting list beats
+    # doc-at-a-time traversal (no other terms to prune against)
+    use_wand = (cfg.algorithm == "bmw" and scorer == "bm25"
+                and len(set(singles)) > 1 and not phrases and allowed is None)
     if use_wand:
         return wand_topk(provider, singles, k or cfg.top_k, stats, cfg)
-    t = rank_singles(provider, singles, scorer, stats, cfg) if singles else None
-    p = rank_phrases(provider, phrases, scorer, stats, cfg) if phrases else None
+    t = (rank_singles(provider, singles, scorer, stats, cfg, allowed=allowed)
+         if singles else None)
+    p = (rank_phrases(provider, phrases, scorer, stats, cfg, allowed=allowed)
+         if phrases else None)
     if t is not None and p is not None and t[0].size and p[0].size:
         docs = np.union1d(t[0], p[0])
         scores = np.zeros(docs.size)

@@ -54,10 +54,13 @@ class IndexReader(MiniIndexProvider):
                 "tf_len": t["tf_len"].to_numpy(),
                 "pos_off": t["pos_off"].to_numpy(),
                 "pos_len": t["pos_len"].to_numpy(),
-                "block_last": t["block_last"],
-                "block_max_tf": t["block_max_tf"],
-                "block_min_dl": t["block_min_dl"],
             }
+            # flatten the ragged block-metadata lists ONCE (offsets+values);
+            # per-lookup .as_py() conversion is 100x slower for hot terms
+            for name in ("block_last", "block_max_tf", "block_min_dl"):
+                arr = t[name].combine_chunks()
+                cols[f"{name}_off"] = arr.offsets.to_numpy()
+                cols[f"{name}_val"] = arr.values.to_numpy()
             self._dicts.append(cols)
             for row, term in enumerate(t["term"].to_pylist()):
                 self._lookup[term] = (sid, row)
@@ -71,13 +74,26 @@ class IndexReader(MiniIndexProvider):
         stats_dir = os.path.join(index_dir, "stats")
         cs = pq.read_table(os.path.join(stats_dir, "collection_stats.parquet")).to_pylist()[0]
         ds_t = pq.read_table(os.path.join(stats_dir, "doc_stats"),
-                             columns=["doc_id", "n_tokens"])
+                             columns=["doc_id", "n_tokens", "lang"])
         doc_ids = ds_t["doc_id"].to_numpy()
         doc_len = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 1, np.int64)
         doc_len[doc_ids] = ds_t["n_tokens"].to_numpy()
         self.stats = Stats(
             n_docs=cs["n_docs"], total_tokens=cs["total_tokens"], doc_len=doc_len
         )
+        self._doc_ids_sorted = np.sort(doc_ids)
+        self._langs = dict(zip(doc_ids.tolist(), ds_t["lang"].to_pylist()))
+        self._lang_cache: dict[str, np.ndarray] = {}
+
+    def allowed_for_lang(self, lang: str) -> np.ndarray:
+        """Doc set for a metadata filter (the reference's date2doc analog,
+        /root/reference/indexing/index_builder/index_build.py:94-99)."""
+        hit = self._lang_cache.get(lang)
+        if hit is None:
+            hit = np.asarray(sorted(d for d, lg in self._langs.items() if lg == lang),
+                             np.int64)
+            self._lang_cache[lang] = hit
+        return hit
 
     @property
     def n_terms(self) -> int:
@@ -97,13 +113,17 @@ class IndexReader(MiniIndexProvider):
         if need_positions:
             pos_blob = buf[d["pos_off"][row] : d["pos_off"][row] + d["pos_len"][row]]
             positions = codec.decode_positions(pos_blob, tfs)
+        def blocks(name: str) -> np.ndarray:
+            off = d[f"{name}_off"]
+            return d[f"{name}_val"][off[row] : off[row + 1]]
+
         return Posting(
             docs=docs,
             tfs=tfs,
             positions=positions,
-            block_last=np.asarray(d["block_last"][row].as_py(), np.int64),
-            block_max_tf=np.asarray(d["block_max_tf"][row].as_py(), np.int64),
-            block_min_dl=np.asarray(d["block_min_dl"][row].as_py(), np.int64),
+            block_last=np.asarray(blocks("block_last"), np.int64),
+            block_max_tf=np.asarray(blocks("block_max_tf"), np.int64),
+            block_min_dl=np.asarray(blocks("block_min_dl"), np.int64),
         )
 
     # -- convenience --------------------------------------------------------
@@ -111,10 +131,17 @@ class IndexReader(MiniIndexProvider):
     def search(self, query: str, k: int | None = None,
                search_cfg: SearchConfig | None = None,
                analyzer: AnalyzerConfig | None = None,
-               scorer: str | None = None) -> list[tuple[int, float]]:
+               scorer: str | None = None,
+               lang: str | None = None) -> list[tuple[int, float]]:
         cfg = search_cfg or SearchConfig()
+        allowed = None
+        if lang is not None:
+            allowed = self.allowed_for_lang(lang)
+            if allowed.size == 0:
+                return []
         q = parse_query(query, analyzer or AnalyzerConfig())
-        docs, scores = search_parsed(self, q, self.stats, cfg, k=k, scorer=scorer)
+        docs, scores = search_parsed(self, q, self.stats, cfg, k=k, scorer=scorer,
+                                     allowed=allowed)
         return list(zip(docs.tolist(), scores.tolist()))
 
 
@@ -137,11 +164,15 @@ class Searcher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs_out, scores_out = [], [], [], []
         ks = batch["k"].to_pylist() if "k" in batch.column_names else [None] * batch.num_rows
-        for qid, qtext, k in zip(batch["query_id"].to_pylist(),
-                                 batch["query"].to_pylist(), ks):
+        langs = (batch["lang"].to_pylist() if "lang" in batch.column_names
+                 else [None] * batch.num_rows)
+        for qid, qtext, k, lang in zip(batch["query_id"].to_pylist(),
+                                       batch["query"].to_pylist(), ks, langs):
+            allowed = self.reader.allowed_for_lang(lang) if lang else None
             q = parse_query(qtext, self.analyzer)
             docs, scores = search_parsed(self.reader, q, self.reader.stats,
-                                         self.cfg, k=int(k) if k else None)
+                                         self.cfg, k=int(k) if k else None,
+                                         allowed=allowed)
             n = docs.size
             qids.extend([qid] * n)
             ranks.extend(range(1, n + 1))
@@ -167,6 +198,9 @@ def search_dataset(queries, index_dir: str,
 
     if isinstance(queries, pa.Table):
         queries = ray.data.from_arrow(queries)
+    # a single-block query table would feed only ONE actor — split it so
+    # the whole pool draws work
+    queries = queries.repartition(concurrency * 4)
     return queries.map_batches(
         Searcher,
         fn_constructor_kwargs={

@@ -94,19 +94,24 @@ def test_build_deterministic_across_partitioning(ray_session, tmp_path):
     pq.write_table(tbl.slice(36), str(src2 / "c.parquet"))
 
     outs = []
-    for name, s, bs in (("o1", src, 16), ("o2", src2, 5)):
+    # o3: doc_range_size smaller than the corpus → exercises the salted
+    # two-phase merge path, which must still produce identical artifacts
+    for name, s, bs, rng in (("o1", src, 16, 1 << 17), ("o2", src2, 5, 1 << 17),
+                             ("o3", src, 7, 16)):
         out = tmp_path / name
-        cfg = BuildConfig(num_shards=4, tokenize_batch_size=bs)
+        cfg = BuildConfig(num_shards=4, tokenize_batch_size=bs, doc_range_size=rng)
         build_index(str(s), str(out), cfg)
         outs.append(out)
 
-    for f1 in sorted(glob.glob(str(outs[0] / "shards" / "*.bin"))):
-        f2 = str(outs[1] / "shards" / os.path.basename(f1))
-        b1, b2 = open(f1, "rb").read(), open(f2, "rb").read()
-        assert b1 == b2, f"shard blob differs: {os.path.basename(f1)}"
-    for f1 in sorted(glob.glob(str(outs[0] / "shards" / "*.dict.parquet"))):
-        f2 = str(outs[1] / "shards" / os.path.basename(f1))
-        assert pq.read_table(f1).equals(pq.read_table(f2)), os.path.basename(f1)
+    for other in outs[1:]:
+        for f1 in sorted(glob.glob(str(outs[0] / "shards" / "*.bin"))):
+            f2 = str(other / "shards" / os.path.basename(f1))
+            b1, b2 = open(f1, "rb").read(), open(f2, "rb").read()
+            assert b1 == b2, f"shard blob differs: {other.name}/{os.path.basename(f1)}"
+        for f1 in sorted(glob.glob(str(outs[0] / "shards" / "*.dict.parquet"))):
+            f2 = str(other / "shards" / os.path.basename(f1))
+            assert pq.read_table(f1).equals(pq.read_table(f2)), \
+                f"{other.name}/{os.path.basename(f1)}"
 
 
 def test_resume_skips_completed_stages(ray_session, tiny_build):

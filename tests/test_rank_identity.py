@@ -30,6 +30,21 @@ def test_rank_identity_all_queries(scorer, tiny_oracle, tiny_reader):
         _assert_identical(want, got, f"{scorer}/{kind}/{qtext!r}")
 
 
+def test_lang_filter_identity(tiny_oracle, tiny_reader):
+    """The metadata filter (reference date-range analog) must apply at the
+    same candidate-generation points in engine and oracle."""
+    langs = sorted(set(tiny_oracle.doc_lang.values()))
+    assert langs
+    for lang in langs[:3]:
+        for qtext, kind, k in QUERIES[:25]:
+            want = tiny_oracle.search(qtext, k=k, lang=lang)
+            got = tiny_reader.search(qtext, k=k, lang=lang)
+            _assert_identical(want, got, f"lang={lang}/{qtext!r}")
+    # unknown lang → empty
+    assert tiny_oracle.search("def", lang="nosuchlang") == []
+    assert tiny_reader.search("def", lang="nosuchlang") == []
+
+
 def test_wand_identical_to_taat(tiny_reader):
     wcfg = SearchConfig(scorer="bm25", algorithm="bmw")
     tcfg = SearchConfig(scorer="bm25", algorithm="taat")
