@@ -182,10 +182,16 @@ def run_scaling() -> dict:
     # min over repetitions per level so co-tenant noise doesn't masquerade
     # as (anti-)scaling
     reps = int(os.environ.get("RAYINDEX_BENCH_REPS", "2"))
+    lo, hi = (int(x) for x in os.environ.get("RAYINDEX_BENCH_LEVELS", "8,32").split(","))
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         best = None
         for _ in range(reps):
+            # each build dirties ~1.5 GB of page cache; flush and settle so
+            # writeback pressure from the previous run doesn't throttle this
+            # one (later-run bias otherwise dominates the comparison)
+            os.sync()
+            time.sleep(10)
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        RAYINDEX_BENCH_BUILD_ONLY="1")
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -194,20 +200,20 @@ def run_scaling() -> dict:
             if best is None or r["queries"]["build_sec"] < best["queries"]["build_sec"]:
                 best = r
         results[ncpu] = best
-    t8 = results[8]["queries"]["build_sec"]
-    t32 = results[32]["queries"]["build_sec"]
-    n = results[32]["n_files"]
-    tput8, tput32 = n / t8, n / t32
+    t_lo = results[lo]["queries"]["build_sec"]
+    t_hi = results[hi]["queries"]["build_sec"]
+    n = results[hi]["n_files"]
+    tput_lo, tput_hi = n / t_lo, n / t_hi
+    factor = hi / lo
     return {
         "metric": "rayindex_build_scaling",
         "n_files": n,
-        "build_sec_8cpu": round(t8, 3),
-        "build_sec_32cpu": round(t32, 3),
-        "files_per_sec_8cpu": round(tput8, 1),
-        "files_per_sec_32cpu": round(tput32, 1),
-        "scaling_efficiency": round(tput32 / (4 * tput8), 3),
-        "total_sec_8cpu": results[8]["value"],
-        "total_sec_32cpu": results[32]["value"],
+        "levels": [lo, hi],
+        f"build_sec_{lo}cpu": round(t_lo, 3),
+        f"build_sec_{hi}cpu": round(t_hi, 3),
+        f"files_per_sec_{lo}cpu": round(tput_lo, 1),
+        f"files_per_sec_{hi}cpu": round(tput_hi, 1),
+        "scaling_efficiency": round(tput_hi / (factor * tput_lo), 3),
     }
 
 
