@@ -40,6 +40,26 @@ TOKEN_RE_SQL = "'[a-z0-9_]+'"
 _INDEX_CACHE: dict[str, Any] = {}
 
 
+def _micro_rank(rows: dict, k: int) -> pa.Table:
+    """Build a (query_id, rank, doc_id, score_micro) table where rank is
+    computed on the ROUNDED score — the unrounded doubles differ between
+    engines in their last bits, so ties must be broken in micro space on
+    both sides (the SQL oracles rank the same way)."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    df = df.sort_values(["query_id", "score_micro", "doc_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k]
+    return pa.table({
+        "query_id": pa.array(df["query_id"].to_numpy(np.int64)),
+        "rank": pa.array(df["rank"].to_numpy(np.int32)),
+        "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+        "score_micro": pa.array(df["score_micro"].to_numpy(np.int64)),
+    })
+
+
 def _micro_cols(t: pa.Table, cols: tuple[str, ...]) -> pa.Table:
     """Replace float columns with integer micro-units (round(x*1e6)) so the
     driver's value-hash compares exactly — pyarrow round() and DuckDB
@@ -173,12 +193,15 @@ def _q_bm25_topk(sf_dir: str) -> pa.Table:
     qs = pa.table({
         "query_id": pa.array([q[0] for q in BM25_QUERIES], pa.int64()),
         "query": pa.array([q[1] for q in BM25_QUERIES]),
-        "k": pa.array([10] * len(BM25_QUERIES), pa.int32()),
+        "k": pa.array([18] * len(BM25_QUERIES), pa.int32()),  # overfetch for micro re-rank
     })
     res = search_dataset(qs, index_dir, search_cfg=search_cfg,
                          analyzer=analyzer, concurrency=2).to_pandas()
-    res["doc_id"] = id_map[res["doc_id"].to_numpy()]
-    return _micro_cols(pa.Table.from_pandas(res, preserve_index=False), ("score",))
+    return _micro_rank({
+        "query_id": res["query_id"].to_numpy(),
+        "doc_id": id_map[res["doc_id"].to_numpy()],
+        "score_micro": np.rint(res["score"].to_numpy() * 1e6).astype(np.int64),
+    }, 10)
 
 
 def _q_bm25_topk_lang(sf_dir: str) -> pa.Table:
@@ -190,21 +213,15 @@ def _q_bm25_topk_lang(sf_dir: str) -> pa.Table:
     analyzer, _, search_cfg = _ascii_cfgs()
     index_dir, id_map = _ensure_index(sf_dir)
     r = IndexReader(index_dir)
-    rows = {"query_id": [], "rank": [], "doc_id": [], "score_micro": []}
+    rows = {"query_id": [], "doc_id": [], "score_micro": []}
     for qid, qtext in BM25_QUERIES:
-        res = r.search(qtext, k=10, search_cfg=search_cfg, analyzer=analyzer,
+        res = r.search(qtext, k=18, search_cfg=search_cfg, analyzer=analyzer,
                        lang="de")
-        for rank, (doc, score) in enumerate(res, start=1):
+        for doc, score in res:
             rows["query_id"].append(qid)
-            rows["rank"].append(rank)
             rows["doc_id"].append(int(id_map[doc]))
             rows["score_micro"].append(int(np.rint(score * 1e6)))
-    return pa.table({
-        "query_id": pa.array(rows["query_id"], pa.int64()),
-        "rank": pa.array(rows["rank"], pa.int32()),
-        "doc_id": pa.array(rows["doc_id"], pa.int64()),
-        "score_micro": pa.array(rows["score_micro"], pa.int64()),
-    })
+    return _micro_rank(rows, 10)
 
 
 def _q_boolean_and_docs(sf_dir: str) -> pa.Table:
@@ -245,6 +262,50 @@ def _q_proximity_docs(sf_dir: str) -> pa.Table:
     q = parse_query("#3(spark,customer)", analyzer)
     docs = proximity_docs(r, q)
     return pa.table({"doc_id": pa.array(np.sort(id_map[docs]), pa.int64())})
+
+
+LM_QUERIES = [(0, "scan"), (1, "merge"), (2, "spark"), (3, "window"),
+              (4, "zzznosuchterm")]
+
+
+def _q_lm_topk(sf_dir: str) -> pa.Table:
+    """LM-Dirichlet (mu=1089, df-as-cf reference quirk A3) top-10 for
+    single-term queries — exercises the LM scorer against a SQL oracle."""
+    from rayindex.searcher import IndexReader
+
+    analyzer, _, _ = _ascii_cfgs()
+    index_dir, id_map = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    rows = {"query_id": [], "doc_id": [], "score_micro": []}
+    for qid, qtext in LM_QUERIES:
+        res = r.search(qtext, k=18, analyzer=analyzer, scorer="lm-dirichlet")
+        for doc, score in res:
+            rows["query_id"].append(qid)
+            rows["doc_id"].append(int(id_map[doc]))
+            rows["score_micro"].append(int(np.rint(score * 1e6)))
+    return _micro_rank(rows, 10)
+
+
+def _q_embedding_neardup(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from rayindex.datapipe.ann import cosine_neardup
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    df = cosine_neardup(ds, threshold=0.4, dtype=np.float64).to_pandas()
+    if df.empty:  # Ray collapses an all-empty dataset to zero columns
+        return pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cos_sim_micro": pa.array([], pa.int64()),
+        })
+    t = pa.table({
+        "id_a": pa.array(df["id_a"].to_numpy(np.int64)),
+        "id_b": pa.array(df["id_b"].to_numpy(np.int64)),
+        "cos_sim": pa.array(df["cos_sim"].to_numpy(np.float64)),
+    })
+    return _micro_cols(t, ("cos_sim",))
 
 
 def _q_token_count(sf_dir: str):
@@ -393,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and_docs": _q_boolean_and_docs,
         "phrase_match_docs": _q_phrase_match_docs,
         "proximity_docs": _q_proximity_docs,
+        "lm_topk": _q_lm_topk,
+        "embedding_neardup": _q_embedding_neardup,
         "token_count": _q_token_count,
         "quality": _q_quality,
         "exact_dedup": _q_exact_dedup,
@@ -466,11 +529,12 @@ def oracle_sql() -> dict[str, str]:
               FROM q JOIN tf USING (term) JOIN dfq USING (term)
                    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
               GROUP BY q.query_id, tf.doc_id)
-            SELECT query_id, doc_id,
-                   CAST(round(s * 1e6) AS BIGINT) AS score_micro,
+            , micro AS (SELECT query_id, doc_id,
+                   CAST(round(s * 1e6) AS BIGINT) AS score_micro FROM scored)
+            SELECT query_id, doc_id, score_micro,
                    CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY s DESC, doc_id ASC) AS INT) AS rank
-            FROM scored
+                        ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
+            FROM micro
             QUALIFY rank <= 10
         """,
         "bm25_topk_lang": f"""
@@ -486,12 +550,13 @@ def oracle_sql() -> dict[str, str]:
               FROM q JOIN tf USING (term) JOIN dfq USING (term)
                    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
               GROUP BY q.query_id, tf.doc_id)
-            SELECT query_id, doc_id,
-                   CAST(round(s * 1e6) AS BIGINT) AS score_micro,
+            , micro AS (SELECT query_id, doc_id,
+                   CAST(round(s * 1e6) AS BIGINT) AS score_micro FROM scored
+              WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'de'))
+            SELECT query_id, doc_id, score_micro,
                    CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY s DESC, doc_id ASC) AS INT) AS rank
-            FROM scored
-            WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'de')
+                        ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
+            FROM micro
             QUALIFY rank <= 10
         """,
         "boolean_and_docs": f"""
@@ -516,6 +581,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.term = 'spark' AND b.term = 'customer'
               AND abs(a.p - b.p) <= 3
             ORDER BY doc_id
+        """,
+        "lm_topk": f"""
+            WITH {_TOKS_CTE},
+            stats AS (SELECT sum(dl)::DOUBLE AS tot FROM dl),
+            q(query_id, term) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in LM_QUERIES)}),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                ln(1089.0 / (dl.dl + 1089.0))
+                + ln((tf.tf / 1089.0) * (stats.tot / dfq.df) + 1) AS s
+              FROM q JOIN tf USING (term) JOIN dfq USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+            , micro AS (SELECT query_id, doc_id,
+                   CAST(round(s * 1e6) AS BIGINT) AS score_micro FROM scored)
+            SELECT query_id, doc_id, score_micro,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
+            FROM micro
+            QUALIFY rank <= 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(round(list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) * 1e6) AS BIGINT)
+                     AS cos_sim_micro
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "token_count": f"""
             WITH {_TOKS_CTE}

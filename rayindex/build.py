@@ -792,3 +792,11 @@ def build_index(
         "stages": result.stages,
     })
     return result
+
+
+if __name__ == "__main__":  # pragma: no cover — `ray job submit` entry
+    import sys
+
+    from rayindex.cli import main_build
+
+    sys.exit(main_build())

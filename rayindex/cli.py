@@ -1,0 +1,109 @@
+"""Command-line entry points — the ``ray job submit`` surface.
+
+    # build an index (driver == this script; Ray auto-connects in a job)
+    ray job submit --working-dir . -- python -m rayindex.build \
+        --source /data/corpus --out /data/index --num-shards 64
+
+    # run queries against it
+    python -m rayindex.search --index /data/index --query "def parse" -k 10
+
+In a sandbox/local shell the same commands work standalone: the script
+initialises a local Ray session only when none exists (inside ``ray job
+submit`` the cluster connection is already up and is reused).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="auto" if _in_job() else "local",
+                 include_dashboard=False, logging_level="ERROR")
+
+
+def _in_job() -> bool:
+    import os
+
+    return bool(os.environ.get("RAY_JOB_ID"))
+
+
+def main_build(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="rayindex.build",
+                                description="Build a full-text BM25 index from a "
+                                            "Parquet corpus (repo, path, commit, lang, content)")
+    p.add_argument("--source", required=True, help="Parquet file/dir of documents")
+    p.add_argument("--out", required=True, help="output index directory")
+    p.add_argument("--num-shards", type=int, default=16)
+    p.add_argument("--analyzer", choices=["reference", "ascii", "code"], default="reference")
+    p.add_argument("--block-size", type=int, default=128)
+    p.add_argument("--doc-range-size", type=int, default=1 << 17)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--no-positions", action="store_true",
+                   help="TF-only index (no phrase/proximity support)")
+    p.add_argument("--no-verify", action="store_true",
+                   help="skip the per-row sha256 ingest invariant")
+    args = p.parse_args(argv)
+
+    _ensure_ray()
+    from rayindex.config import AnalyzerConfig, BuildConfig
+    from rayindex.engine import build_index
+
+    cfg = BuildConfig(
+        analyzer=AnalyzerConfig(mode=args.analyzer),
+        num_shards=args.num_shards,
+        block_size=args.block_size,
+        doc_range_size=args.doc_range_size,
+        tokenize_batch_size=args.batch_size,
+        keep_positions=not args.no_positions,
+        verify_sha256=not args.no_verify,
+    )
+    res = build_index(args.source, args.out, cfg)
+    print(json.dumps({"out": res.out_dir, "fingerprint": res.fingerprint,
+                      "stages": res.stages}, indent=1))
+    return 0
+
+
+def main_search(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="rayindex.search",
+                                description="Query a built index")
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--scorer", default="bm25",
+                   choices=["bm25", "reference", "lm", "lm-dirichlet", "vsm"])
+    p.add_argument("--algorithm", default="taat", choices=["taat", "bmw"])
+    p.add_argument("--analyzer", choices=["reference", "ascii", "code"], default="reference")
+    p.add_argument("--lang", default=None, help="metadata filter")
+    p.add_argument("--show-docs", action="store_true",
+                   help="join results to the doc store metadata")
+    args = p.parse_args(argv)
+
+    from rayindex.config import AnalyzerConfig, SearchConfig
+    from rayindex.searcher import IndexReader, fetch_doc_metadata
+
+    reader = IndexReader(args.index)
+    cfg = SearchConfig(scorer=args.scorer if args.scorer not in ("lm", "lm-dirichlet", "vsm") else "bm25",
+                       algorithm=args.algorithm)
+    res = reader.search(args.query, k=args.k, search_cfg=cfg,
+                        analyzer=AnalyzerConfig(mode=args.analyzer),
+                        scorer=args.scorer, lang=args.lang)
+    out = [{"rank": i + 1, "doc_id": d, "score": s} for i, (d, s) in enumerate(res)]
+    if args.show_docs and out:
+        meta = fetch_doc_metadata(args.index, [r["doc_id"] for r in out]).to_pylist()
+        by_id = {m["doc_id"]: m for m in meta}
+        for r in out:
+            m = by_id.get(r["doc_id"], {})
+            r.update({"repo": m.get("repo"), "path": m.get("path"),
+                      "lang": m.get("lang")})
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main_build())

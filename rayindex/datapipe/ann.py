@@ -148,3 +148,38 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         id_col: pa.array(out_id, pa.int64()),
         "cos_sim": pa.array(out_sim, pa.float64()),
     })
+
+
+def cosine_neardup(ds, threshold: float = 0.9, vec_col: str = "embedding",
+                   id_col: str = "vec_id", dtype=np.float32):
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
+    id_a < id_b and cos_sim >= threshold.
+
+    The normalized matrix is broadcast once (`ray.put`); each batch does one
+    matmul against it and keeps its upper-triangle hits — O(N·B) per batch,
+    no shuffle.  At 10^9+ vectors this becomes IVF/LSH bucketing first
+    (route vectors to centroid buckets, compare within buckets) — the
+    brute pass here is the exact small/medium-scale tool and the verifier
+    for bucketed variants.
+    """
+    full = ds.to_pandas()  # broadcast side; caller guarantees it fits
+    ids_all = full[id_col].to_numpy()
+    mat = _normalize(np.stack([np.asarray(v, dtype) for v in full[vec_col]]))
+    state = ray.put((ids_all, mat))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        aids, amat = ray.get(state)
+        vecs = _normalize(_batch_matrix(batch, vec_col, dtype))
+        bids = batch[id_col].to_numpy()
+        sims = vecs @ amat.T  # (batch, N)
+        hit_b, hit_a = np.nonzero(sims >= threshold)
+        ga, gb = aids[hit_a], bids[hit_b]
+        keep = gb < ga  # strict: emit each unordered pair once, (small, large)
+        return pa.table({
+            "id_a": pa.array(gb[keep], pa.int64()),
+            "id_b": pa.array(ga[keep], pa.int64()),
+            "cos_sim": pa.array(sims[hit_b[keep], hit_a[keep]].astype(np.float64)),
+        })
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=2048)
