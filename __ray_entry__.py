@@ -375,6 +375,19 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_candidates(ds, num_perm=64, bands=16)
 
 
+def _q_neardup_verified(sf_dir: str) -> pa.Table:
+    """Full near-dup pipeline: MinHash-LSH candidates → exact n-gram
+    Jaccard verification (the candidate-then-verify pattern at scale)."""
+    import ray.data
+
+    from rayindex.datapipe.dedup import minhash_candidates, verify_candidates
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    pairs = minhash_candidates(ds, num_perm=64, bands=16)
+    out = verify_candidates(ds, pairs, shingle_k=5, min_jaccard=0.5)
+    return _micro_cols(out, ("jaccard",))
+
+
 def _q_knn_cosine(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -463,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
+        "neardup_verified": _q_neardup_verified,
         "knn_cosine": _q_knn_cosine,
         "knn_ivf": _q_knn_ivf,
         "events_window": _q_events_window,

@@ -196,6 +196,45 @@ def minhash_candidates(ds, num_perm: int = 128, bands: int = 32,
     return pairs.repartition(1).map_batches(dedup_pairs, batch_format="pandas")
 
 
+def verify_candidates(ds, pairs_ds, shingle_k: int = 5, text_col: str = "text",
+                      id_col: str = "doc_id", min_jaccard: float = 0.0):
+    """Exact n-gram Jaccard verification of LSH candidate pairs.
+
+    The candidate list is small by construction (LSH collisions only), so
+    it is collected and ``ray.put`` once; the verification pass re-reads
+    only the candidate docs' texts (broadcast id-set semi-join filter
+    inside map_batches — no shuffle) and computes exact shingle Jaccard on
+    the driver over the gathered texts.  Returns a pyarrow table
+    (doc_a, doc_b, jaccard) filtered to ``min_jaccard``.
+    """
+    import pyarrow.compute as pc
+
+    pairs = pairs_ds.to_pandas() if hasattr(pairs_ds, "to_pandas") else pairs_ds
+    if len(pairs) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    needed = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+
+    def pick(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[id_col], value_set=pa.array(needed, pa.int64()))
+        return t.filter(mask).select([id_col, text_col])
+
+    texts_df = ds.map_batches(pick, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    texts = dict(zip(texts_df[id_col], texts_df[text_col]))
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        j = exact_jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
+        if j >= min_jaccard:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(j)
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                     "doc_b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
 def exact_jaccard(text_a: str, text_b: str, shingle_k: int = 5) -> float:
     a, b = _shingles(text_a, shingle_k), _shingles(text_b, shingle_k)
     if a.size == 0 and b.size == 0:

@@ -55,6 +55,22 @@ def test_minhash_candidates_finds_near_dup(docs_ds):
     assert 0.3 < exact_jaccard(rows["text"][0], rows["text"][2], 3) < 1.0
 
 
+def test_verify_candidates(docs_ds):
+    from rayindex.datapipe.dedup import minhash_candidates, verify_candidates
+
+    ds, rows = docs_ds
+    pairs = minhash_candidates(ds, num_perm=64, bands=32, shingle_k=3)
+    out = verify_candidates(ds, pairs, shingle_k=3, min_jaccard=0.9).to_pandas()
+    got = set(zip(out.doc_a, out.doc_b))
+    assert (1, 2) in got  # exact dups verify at jaccard 1.0
+    assert out[(out.doc_a == 1) & (out.doc_b == 2)].jaccard.iloc[0] == 1.0
+    # near-dup (1,3) has jaccard < 0.9 → filtered by the threshold
+    assert (1, 3) not in got
+    # empty candidate list → empty result with schema
+    empty = verify_candidates(ds, out.iloc[0:0], shingle_k=3)
+    assert empty.num_rows == 0 and empty.column_names == ["doc_a", "doc_b", "jaccard"]
+
+
 def test_simhash_properties(docs_ds, ray_session):
     from rayindex.datapipe.dedup import hamming64, simhash_batch
 
