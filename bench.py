@@ -184,12 +184,13 @@ def run_scaling() -> dict:
     reps = int(os.environ.get("RAYINDEX_BENCH_REPS", "2"))
     lo, hi = (int(x) for x in os.environ.get("RAYINDEX_BENCH_LEVELS", "8,32").split(","))
     results = {}
-    for ncpu in (lo, hi):
-        best = None
-        for _ in range(reps):
-            # each build dirties ~1.5 GB of page cache; flush and settle so
-            # writeback pressure from the previous run doesn't throttle this
-            # one (later-run bias otherwise dominates the comparison)
+    # INTERLEAVE the levels (lo, hi, lo, hi, ...) rather than grouping them:
+    # later runs are systematically slower on this host (writeback pressure,
+    # page-cache eviction of the corpus), so grouped ordering biases
+    # whichever level runs second.  Between runs: sync + settle.  Per level:
+    # min over reps.
+    for rep in range(reps):
+        for ncpu in (lo, hi):
             os.sync()
             time.sleep(10)
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -197,9 +198,9 @@ def run_scaling() -> dict:
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True, check=True)
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            best = results.get(ncpu)
             if best is None or r["queries"]["build_sec"] < best["queries"]["build_sec"]:
-                best = r
-        results[ncpu] = best
+                results[ncpu] = r
     t_lo = results[lo]["queries"]["build_sec"]
     t_hi = results[hi]["queries"]["build_sec"]
     n = results[hi]["n_files"]
