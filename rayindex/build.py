@@ -169,6 +169,14 @@ class TokenizeToChunks:
         counts, g_doc, g_terms, g_tfs, pos_flat = analysis.tokenize_docs_grouped(
             texts, cfg.analyzer
         )
+        if counts.size and int(counts.max()) >= (1 << 26):
+            # positions must fit the query-time (doc, pos) composite key
+            # space (scoring._POS_SHIFT); raise at build time, not as a
+            # silent corruption at query time
+            bad = doc_ids[int(np.argmax(counts))]
+            raise ValueError(
+                f"doc {bad} has {int(counts.max())} token positions "
+                f">= 2^26; raise max_content_bytes guard or scoring._POS_SHIFT")
 
         n_docs_batch = doc_ids.size
         if g_terms.size:

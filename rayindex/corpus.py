@@ -279,6 +279,10 @@ def fixed_queries() -> pa.Table:
         f"{mid[5]} AND {mid[6]} AND {hot[2]}",
         f"({rare[1]} OR {rare[2]}) AND NOT {mid[0]}",
         f'"{PHRASES[1]}" OR "{PHRASES[2]}"',
+        # in-vocab phrase operand + only-OOV single operand: the boolean doc
+        # set must survive with 0.0 scores (oracle.py:204,217), not vanish
+        f'"{PHRASES[0]}" OR {oov[0]}',
+        f'"{PHRASES[0]}" AND NOT {oov[1]}',
     ]
     for s in b:
         q.append((s, "boolean", 100))

@@ -75,8 +75,13 @@ def _shingles(text: str, k: int) -> np.ndarray:
 
 
 def _minhash_params(num_perm: int, seed: int = 7):
+    """Universal-hash parameters over the Mersenne prime 2^31-1.  Shingle
+    hashes are folded to 32 bits before permuting so a*x+b stays < 2^63 and
+    the mod is exact in uint64 arithmetic (a 61-bit prime would overflow the
+    multiply and silently break the collision-probability ≈ Jaccard
+    guarantee)."""
     rng = np.random.default_rng(seed)
-    MP = (1 << 61) - 1
+    MP = (1 << 31) - 1
     a = rng.integers(1, MP, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, MP, size=num_perm, dtype=np.uint64)
     return a, b, np.uint64(MP)
@@ -97,8 +102,9 @@ class MinHasher:
         sh = _shingles(text, self.k)
         if sh.size == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
-        # (a*x + b) mod p, min over shingles, vectorized perm × shingle
-        x = sh.astype(np.uint64)[None, :]
+        # fold shingle hashes to 32 bits, then (a*x + b) mod 2^31-1 — every
+        # intermediate fits uint64 exactly (a < 2^31, x < 2^32 → a*x < 2^63)
+        x = ((sh ^ (sh >> np.uint64(32))) & np.uint64(0xFFFFFFFF))[None, :]
         vals = (self.a[:, None] * x + self.b[:, None]) % self.MP
         return vals.min(axis=1)
 

@@ -71,6 +71,11 @@ class MiniIndexProvider:
     def lookup(self, term: str, need_positions: bool) -> Posting | None:  # pragma: no cover
         raise NotImplementedError
 
+    def contains(self, term: str) -> bool:
+        """Vocabulary membership — override with an O(1) dict hit where
+        possible; the default pays a full posting decode."""
+        return self.lookup(term, need_positions=False) is not None
+
 
 # ---------------------------------------------------------------------------
 # term weights (vectorized over a term's matching candidate subset)
@@ -188,12 +193,21 @@ def rank_singles(provider: MiniIndexProvider, singles: list[str], scorer: str,
         if p is not None:
             postings[t] = p
     if not postings:
+        if fixed_docs is not None and scorer in ("reference", "bm25"):
+            # oracle semantics (oracle.py:204,217): with a fixed boolean doc
+            # set, all-OOV single operands score every fixed doc 0.0 rather
+            # than killing the result
+            fd = np.sort(np.asarray(fixed_docs, np.int64))
+            return fd, np.zeros(fd.size)
         return None
     if scorer == "vsm":
         allowed = None  # reference VSM has no date/metadata filtering
     if fixed_docs is not None:
         cand = np.sort(np.asarray(fixed_docs, np.int64))
-    elif scorer == "bm25":
+    elif scorer in ("bm25", "vsm"):
+        # bm25: standard union semantics (WAND-prunable).  vsm: the oracle
+        # spec scores the plain union of posting lists (oracle.py:283) — the
+        # intersection-relax path does NOT apply
         cand = union_docs(postings, allowed)
     else:
         cand = candidates_reference(postings, cfg.candidate_relax, allowed)
@@ -269,13 +283,21 @@ def _rank_vsm(cand: np.ndarray, postings: dict[str, Posting], query: list[str],
 
 
 # composite (doc, position) key space for vectorized positional ops: the
-# low _POS_SHIFT bits hold the 1-based token position (8M positions covers
-# the 8 MiB content cap), the high bits the doc_id
-_POS_SHIFT = 23
+# low _POS_SHIFT bits hold the 1-based token position, the high bits the
+# doc_id.  67M positions covers the 8 MiB content cap even with the 'code'
+# analyzer's ~3× sub-token expansion (≤ ~25M positions for a cap-sized
+# file); the build asserts per-doc token counts stay under the limit
+# (build.TokenizeToChunks), and _pos_keys guards the doc_id head-room.
+_POS_SHIFT = 26
 _POS_MASK = (1 << _POS_SHIFT) - 1
+_MAX_POS_DOC = 1 << (63 - _POS_SHIFT)
 
 
 def _pos_keys(p: Posting) -> np.ndarray:
+    if p.docs.size and int(p.docs[-1]) >= _MAX_POS_DOC:
+        raise ValueError(
+            f"doc_id {int(p.docs[-1])} overflows the (doc,pos) key space; "
+            "remap candidate doc_ids to a dense range before positional ops")
     doc_rep = np.repeat(p.docs, p.tfs)
     return (doc_rep << _POS_SHIFT) | p.positions.astype(np.int64)
 
@@ -648,6 +670,18 @@ def search_parsed(provider: MiniIndexProvider, q, stats: Stats, cfg: SearchConfi
                   ) -> tuple[np.ndarray, np.ndarray]:
     scorer = scorer or cfg.scorer
     empty = (np.zeros(0, np.int64), np.zeros(0))
+    # mini-index validity gate (oracle.search / reference
+    # retrieval_execution.py:139-147): if NO query term exists in the
+    # vocabulary, "no results" — including NOT queries whose boolean
+    # universe would otherwise be non-empty
+    if isinstance(q, ProximityQuery):
+        _all_terms = list(q.terms)
+    elif isinstance(q, BooleanQuery):
+        _all_terms = [t for p in q.terms for t in p]
+    else:
+        _all_terms = [t for p in q.parts for t in p]
+    if not any(provider.contains(t) for t in _all_terms):
+        return empty
     if isinstance(q, ProximityQuery):
         # reference quirk: the proximity path bypasses the date filter
         docs = proximity_docs(provider, q)

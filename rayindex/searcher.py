@@ -99,6 +99,9 @@ class IndexReader(MiniIndexProvider):
     def n_terms(self) -> int:
         return len(self._lookup)
 
+    def contains(self, term: str) -> bool:
+        return term in self._lookup
+
     def lookup(self, term: str, need_positions: bool) -> Posting | None:
         hit = self._lookup.get(term)
         if hit is None:

@@ -94,6 +94,54 @@ def test_wand_small_k(tiny_reader):
         _assert_identical(b, a, f"wand k={k}")
 
 
+def test_vsm_union_semantics_large_intersection(ray_session, tmp_path):
+    """VSM must score the plain UNION of posting lists (oracle._rank_vsm)
+    even when the query terms' intersection exceeds candidate_relax (100)
+    — the intersection-relax path must NOT apply to the vsm scorer.
+    Regression: engine scored only the 150-doc intersection and dropped
+    union-only docs on any realistically sized corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayindex.build import build_index
+    from rayindex.config import BuildConfig
+    from rayindex.oracle import OracleEngine
+    from rayindex.searcher import IndexReader
+
+    n = 300
+
+    def content(i: int) -> str:
+        if i < 150:
+            return "aaa bbb"      # the >=relax intersection-half branch
+        if i < 161:
+            return "zzz"          # rare union-only docs with the HIGHEST
+                                  # vsm cosine (biggest idf) — exactly the
+                                  # docs the relax path dropped
+        return "filler"
+
+    rows = {
+        "repo": ["r"] * n,
+        "path": [f"f{i:04d}.py" for i in range(n)],
+        "commit": ["c"] * n,
+        "lang": ["py"] * n,
+        "content": [content(i) for i in range(n)],
+    }
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = pa.table(rows)
+    pq.write_table(tbl, str(src / "docs.parquet"))
+    out = str(tmp_path / "idx")
+    build_index(str(src), out, BuildConfig(num_shards=2, tokenize_batch_size=64))
+    r = IndexReader(out)
+    o = OracleEngine(tbl)
+    q = "aaa bbb zzz"
+    want = o.search(q, k=20, scorer="vsm")
+    got = r.search(q, k=20, scorer="vsm")
+    assert any(150 <= d <= 161 for d, _ in want), \
+        "oracle top-k must contain union-only (zzz) docs for this corpus"
+    _assert_identical(want, got, f"vsm-union/{q!r}")
+
+
 def test_hello_corpus_hand_checked(ray_session, tmp_path):
     """Micro-fixture parity incl. hand-verified postings (mirrors the
     reference 5-article smoke TSV)."""

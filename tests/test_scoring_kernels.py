@@ -65,6 +65,7 @@ def test_phrase_tf_repeated_pair_type_quirk():
 
 def test_pos_keys_roundtrip():
     p = _make_postings([{3: [1, 5], 7: [2]}])[0]
+    from rayindex.scoring import _POS_SHIFT
     keys = _pos_keys(p)
-    assert (keys >> 23).tolist() == [3, 3, 7]
-    assert (keys & ((1 << 23) - 1)).tolist() == [1, 5, 2]
+    assert (keys >> _POS_SHIFT).tolist() == [3, 3, 7]
+    assert (keys & ((1 << _POS_SHIFT) - 1)).tolist() == [1, 5, 2]
