@@ -385,7 +385,36 @@ def _q_neardup_verified(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     pairs = minhash_candidates(ds, num_perm=64, bands=16)
     out = verify_candidates(ds, pairs, shingle_k=5, min_jaccard=0.5)
-    return _micro_cols(out, ("jaccard",))
+    return out.map_batches(lambda t: _micro_cols(t, ("jaccard",)),
+                           batch_format="pyarrow")
+
+
+def _q_simhash_pairs(sf_dir: str):
+    """Exact SimHash near-dup pairs (hamming <= t via 64-bit banding +
+    in-group popcount filter) — the banded candidate→verify shape closed
+    under one operator."""
+    import ray.data
+
+    from rayindex.datapipe.dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=8)
+
+
+def _q_embedding_neardup_lsh(sf_dir: str):
+    """Hyperplane-LSH bucketed near-dup candidates (precision 1.0 vs the
+    exact pass; recall < 1.0) — the 10^9-vector scale path for
+    embedding_neardup."""
+    import ray.data
+
+    from rayindex.datapipe.ann import cosine_neardup_lsh
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = cosine_neardup_lsh(ds, threshold=0.4, nbits=16, bands=8,
+                             dtype=np.float64)
+    return out.map_batches(lambda t: _micro_cols(t, ("cos_sim",)),
+                           batch_format="pyarrow")
 
 
 def _q_knn_cosine(sf_dir: str) -> pa.Table:
@@ -477,6 +506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
         "neardup_verified": _q_neardup_verified,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "knn_cosine": _q_knn_cosine,
         "knn_ivf": _q_knn_ivf,
         "events_window": _q_events_window,

@@ -66,26 +66,21 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10,
 
     parts = ds.map_batches(partial_topk, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=4096).to_pandas()
-    out_q, out_rank, out_id, out_sim = [], [], [], []
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
-        for r, (_, row) in enumerate(g.iterrows(), start=1):
-            out_q.append(int(qid))
-            out_rank.append(r)
-            out_id.append(int(row[id_col]))
-            out_sim.append(float(row["cos_sim"]))
-    return pa.table({
-        "query_id": pa.array(out_q, pa.int64()),
-        "rank": pa.array(out_rank, pa.int32()),
-        id_col: pa.array(out_id, pa.int64()),
-        "cos_sim": pa.array(out_sim, pa.float64()),
-    })
+    return _merge_topk(parts, k, id_col)
 
 
 def train_centroids(ds, n_centroids: int = 16, vec_col: str = "embedding",
                     sample_rows: int = 2048, iters: int = 8, seed: int = 7) -> np.ndarray:
-    """k-means-lite on a driver-side sample (centroid table is tiny)."""
-    sample = ds.limit(sample_rows).to_pandas()
+    """k-means-lite on a driver-side sample (centroid table is tiny).
+
+    The sample is a seeded ``random_sample`` across ALL blocks — a
+    ``limit()`` would take the first blocks only and bias the centroids to
+    whatever slice of the corpus happens to sort first."""
+    n_total = ds.count()
+    frac = min(1.0, (4.0 * sample_rows) / max(n_total, 1))
+    sample = ds.random_sample(frac, seed=seed).limit(sample_rows).to_pandas()
+    if len(sample) == 0:
+        sample = ds.limit(sample_rows).to_pandas()
     m = _normalize(np.stack([np.asarray(v, np.float32) for v in sample[vec_col]]))
     rng = np.random.default_rng(seed)
     cents = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
@@ -134,52 +129,200 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=4096).to_pandas()
-    out_q, out_rank, out_id, out_sim = [], [], [], []
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
-        for r, (_, row) in enumerate(g.iterrows(), start=1):
-            out_q.append(int(qid))
-            out_rank.append(r)
-            out_id.append(int(row[id_col]))
-            out_sim.append(float(row["cos_sim"]))
+    return _merge_topk(parts, k, id_col)
+
+
+def _merge_topk(parts, k: int, id_col: str) -> pa.Table:
+    """Vectorized driver-side reduce of the tiny per-batch top-k partials:
+    (query_id asc, cos_sim desc, id asc) lexsort + per-query head(k)."""
+    if len(parts) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         id_col: pa.array([], pa.int64()),
+                         "cos_sim": pa.array([], pa.float64())})
+    q = parts["query_id"].to_numpy(np.int64)
+    s = parts["cos_sim"].to_numpy(np.float64)
+    i = parts[id_col].to_numpy(np.int64)
+    order = np.lexsort((i, -s, q))
+    q, s, i = q[order], s[order], i[order]
+    starts = np.concatenate([[True], q[1:] != q[:-1]])
+    rank = np.arange(q.size) - np.maximum.accumulate(
+        np.where(starts, np.arange(q.size), 0)) + 1
+    keep = rank <= k
     return pa.table({
-        "query_id": pa.array(out_q, pa.int64()),
-        "rank": pa.array(out_rank, pa.int32()),
-        id_col: pa.array(out_id, pa.int64()),
-        "cos_sim": pa.array(out_sim, pa.float64()),
+        "query_id": pa.array(q[keep], pa.int64()),
+        "rank": pa.array(rank[keep].astype(np.int32)),
+        id_col: pa.array(i[keep], pa.int64()),
+        "cos_sim": pa.array(s[keep], pa.float64()),
+    })
+
+
+_PAIRS_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                           ("cos_sim", pa.float64())])
+
+
+def _norm_pack(batch: pa.Table, vec_col: str, id_col: str, dtype) -> pa.Table:
+    """Normalize a block's vectors once; store as a packed list column."""
+    if batch.num_rows == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "nvec": pa.array([], pa.list_(pa.float64()))})
+    mat = _normalize(_batch_matrix(batch, vec_col, dtype)).astype(np.float64)
+    n, d = mat.shape
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * d)
+    return pa.table({
+        id_col: batch[id_col],
+        "nvec": pa.ListArray.from_arrays(offsets, pa.array(mat.ravel())),
+    })
+
+
+@ray.remote
+def _block_pair_hits(ta: pa.Table, tb: pa.Table, same: bool, threshold: float,
+                     id_col: str, dtype) -> pa.Table:
+    """Hits of one (block_i, block_j) tile of the similarity matrix."""
+    if ta.num_rows == 0 or tb.num_rows == 0:
+        return _PAIRS_SCHEMA.empty_table()
+    ids_a = ta[id_col].to_numpy()
+    ids_b = tb[id_col].to_numpy()
+    ma = _batch_matrix(ta, "nvec", dtype)
+    mb = _batch_matrix(tb, "nvec", dtype)
+    sims = ma @ mb.T
+    ii, jj = np.nonzero(sims >= threshold)
+    ga, gb = ids_a[ii], ids_b[jj]
+    keep = ga < gb if same else ga != gb
+    lo = np.minimum(ga[keep], gb[keep])
+    hi = np.maximum(ga[keep], gb[keep])
+    return pa.table({
+        "id_a": pa.array(lo, pa.int64()),
+        "id_b": pa.array(hi, pa.int64()),
+        "cos_sim": pa.array(sims[ii[keep], jj[keep]].astype(np.float64)),
     })
 
 
 def cosine_neardup(ds, threshold: float = 0.9, vec_col: str = "embedding",
                    id_col: str = "vec_id", dtype=np.float32):
-    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
-    id_a < id_b and cos_sim >= threshold.
+    """EXACT embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
+    with id_a < id_b and cos_sim >= threshold.
 
-    The normalized matrix is broadcast once (`ray.put`); each batch does one
-    matmul against it and keeps its upper-triangle hits — O(N·B) per batch,
-    no shuffle.  At 10^9+ vectors this becomes IVF/LSH bucketing first
-    (route vectors to centroid buckets, compare within buckets) — the
-    brute pass here is the exact small/medium-scale tool and the verifier
-    for bucketed variants.
+    Distributed block-pair tiling: vectors are normalized once per block
+    and pinned in the object store (the driver holds block REFS only, never
+    the matrix); one Ray task per (i <= j) block pair does a single matmul
+    over its tile and emits hits.  Exact all-pairs is inherently O(N²)
+    compute — this distributes it without any driver-side materialization
+    or full-matrix broadcast; at 10^9+ vectors use ``cosine_neardup_lsh``
+    (hyperplane-bucketed candidates) and keep this as the verifier shape.
+    The raw-task fan-out exists because the Dataset API has no
+    self-cartesian operator; inputs/outputs stay Arrow blocks end to end.
     """
-    full = ds.to_pandas()  # broadcast side; caller guarantees it fits
-    ids_all = full[id_col].to_numpy()
-    mat = _normalize(np.stack([np.asarray(v, dtype) for v in full[vec_col]]))
-    state = ray.put((ids_all, mat))
+    import ray.data
 
-    def batch_pairs(batch: pa.Table) -> pa.Table:
-        aids, amat = ray.get(state)
-        vecs = _normalize(_batch_matrix(batch, vec_col, dtype))
-        bids = batch[id_col].to_numpy()
-        sims = vecs @ amat.T  # (batch, N)
-        hit_b, hit_a = np.nonzero(sims >= threshold)
-        ga, gb = aids[hit_a], bids[hit_b]
-        keep = gb < ga  # strict: emit each unordered pair once, (small, large)
+    packed = ds.map_batches(_norm_pack, fn_kwargs={
+        "vec_col": vec_col, "id_col": id_col, "dtype": dtype,
+    }, batch_format="pyarrow", zero_copy_batch=True)
+    refs = [r for r, n in zip(*_refs_with_counts(packed)) if n > 0]
+    if not refs:
+        return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
+    out = [
+        _block_pair_hits.remote(refs[i], refs[j], i == j, threshold, id_col, dtype)
+        for i in range(len(refs)) for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(out)
+
+
+def _refs_with_counts(packed):
+    """Block refs + per-block row counts of a materialized dataset."""
+    mat = packed.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def _n(t: pa.Table) -> int:
+        return t.num_rows
+
+    return refs, ray.get([_n.remote(r) for r in refs])
+
+
+def cosine_neardup_lsh(ds, threshold: float = 0.9, nbits: int = 16,
+                       bands: int = 8, vec_col: str = "embedding",
+                       id_col: str = "vec_id", dtype=np.float32,
+                       pair_buckets: int = 64, seed: int = 7):
+    """Approximate near-dup pairs via random-hyperplane LSH: vectors whose
+    sign patterns agree on at least one band become candidates; exact
+    cosine is computed inside the candidate bucket, so every emitted pair
+    is a TRUE >= threshold pair (precision 1.0) — recall < 1.0 for pairs
+    whose signs differ in every band.  The scale path: shuffle volume is
+    bands x (id, nvec) rows grouped by (band, pattern), never all-pairs.
+    """
+    import ray.data
+    from rayindex.datapipe.dedup import _dedup_pairs
+
+    first = ds.take(1)
+    if not first:
+        return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
+    dim = len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((dim, nbits)).astype(np.float64)
+    width = nbits // bands
+    h_ref = ray.put(H)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "band_id": pa.array([], pa.int32()),
+            "pattern": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int32()),
+            "nvec": pa.array([], pa.list_(pa.float64())),
+        })
+        if batch.num_rows == 0:
+            return empty
+        hp = ray.get(h_ref)
+        mat = _normalize(_batch_matrix(batch, vec_col, np.float64))
+        bits = ((mat @ hp) >= 0).astype(np.int64)  # (n, nbits)
+        n = mat.shape[0]
+        pats = np.zeros((n, bands), np.int64)
+        for b in range(bands):
+            for w in range(width):
+                pats[:, b] = (pats[:, b] << 1) | bits[:, b * width + w]
+        d = mat.shape[1]
+        offsets = pa.array((np.arange(n * bands + 1, dtype=np.int32) * d))
+        nvec_rep = np.repeat(mat, bands, axis=0)
         return pa.table({
-            "id_a": pa.array(gb[keep], pa.int64()),
-            "id_b": pa.array(ga[keep], pa.int64()),
-            "cos_sim": pa.array(sims[hit_b[keep], hit_a[keep]].astype(np.float64)),
+            id_col: pa.array(np.repeat(batch[id_col].to_numpy(), bands), pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "pattern": pa.array(pats.ravel()),
+            "bucket": pa.array((pats % pair_buckets).astype(np.int32).ravel()),
+            "nvec": pa.ListArray.from_arrays(offsets, pa.array(nvec_rep.ravel())),
         })
 
-    return ds.map_batches(batch_pairs, batch_format="pyarrow", zero_copy_batch=True,
-                          batch_size=2048)
+    import pandas as pd
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "est_jaccard": pd.Series([], dtype="float64")})
+        if len(g) < 2 or id_col not in g.columns:
+            return empty
+        a_out, b_out, s_out = [], [], []
+        for _, grp in g.groupby("pattern", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy(np.int64)
+            m = np.stack([np.asarray(v, np.float64) for v in grp["nvec"]])
+            sims = m @ m.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sims[ii, jj] >= threshold
+            a_out.extend(ids[ii[keep]].tolist())
+            b_out.extend(ids[jj[keep]].tolist())
+            s_out.extend(sims[ii[keep], jj[keep]].tolist())
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out,
+                             "est_jaccard": np.asarray(s_out, np.float64)})
+
+    pairs = (ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+               .groupby(["band_id", "bucket"])
+               .map_groups(bucket_pairs, batch_format="pandas"))
+    deduped = _dedup_pairs(pairs, pair_buckets)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"doc_a": "id_a", "doc_b": "id_b",
+                                  "est_jaccard": "cos_sim"})
+
+    return deduped.map_batches(rename, batch_format="pandas")

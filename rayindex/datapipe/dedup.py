@@ -36,22 +36,21 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     Equivalent SQL: SELECT min(doc_id) doc_id, count(*) n_dups
     FROM documents GROUP BY text.
+
+    Native ``aggregate(Min, Count)`` over the hash key — one sort-based
+    shuffle of (hash, id) pairs with per-block combining, no per-distinct-
+    hash pandas groups (millions of tiny map_groups calls at corpus scale).
     """
+    from ray.data.aggregate import Count, Min
 
     def add_hash(t: pa.Table) -> pa.Table:
         hs = [hashlib.sha256((x or "").encode()).hexdigest() for x in t[text_col].to_pylist()]
         return pa.table({id_col: t[id_col], "h": pa.array(hs, pa.string())})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            id_col: [int(g[id_col].min())],
-            "n_dups": [len(g)],
-        })
-
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_dups"))
         .select_columns([id_col, "n_dups"])
     )
 
@@ -117,17 +116,61 @@ class MinHasher:
         })
 
 
+_EMPTY_PAIRS = {"doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "est_jaccard": pd.Series([], dtype="float64")}
+
+
+def _dedup_pairs(pairs, pair_buckets: int,
+                 extra_cols: tuple[tuple[str, str], ...] = (("est_jaccard", "float64"),)):
+    """Distributed (doc_a, doc_b) pair dedup: hash-partition pairs into
+    ``pair_buckets`` groups and drop duplicates inside each — every copy of
+    a pair lands in the same group, no single-partition funnel."""
+    cols = ["doc_a", "doc_b", *(c for c, _ in extra_cols)]
+    dtypes = {"doc_a": "int64", "doc_b": "int64", **dict(extra_cols)}
+
+    def _empty(with_pk: bool) -> pd.DataFrame:
+        out = pd.DataFrame({c: pd.Series([], dtype=dtypes[c]) for c in cols})
+        if with_pk:
+            out["pk"] = pd.Series([], dtype="int64")
+        return out
+
+    def add_pk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "doc_a" not in df.columns:
+            return _empty(with_pk=True)
+        df = df.copy()
+        df["pk"] = (df["doc_a"].to_numpy(np.int64) * 1000003
+                    + df["doc_b"].to_numpy(np.int64)) % pair_buckets
+        return df
+
+    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "doc_a" not in g.columns:
+            return _empty(with_pk=False)
+        return (g.sort_values(["doc_a", "doc_b"])
+                 .drop_duplicates(["doc_a", "doc_b"])[cols])
+
+    return (pairs.map_batches(add_pk, batch_format="pandas")
+                 .groupby("pk")
+                 .map_groups(drop_dups, batch_format="pandas"))
+
+
 def minhash_candidates(ds, num_perm: int = 128, bands: int = 32,
                        shingle_k: int = 5, text_col: str = "text",
-                       id_col: str = "doc_id"):
+                       id_col: str = "doc_id", pair_buckets: int = 64):
     """LSH banding: docs sharing any band bucket become candidate pairs.
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, deduplicated.
 
-    Shuffle shape: signatures explode to (band_id, band_bytes, doc_id, sig)
-    rows and group by ``band_id`` ONLY — a handful of large groups (Ray's
-    per-group overhead sinks thousands-of-tiny-buckets layouts); bucket
-    detection inside the group is a vectorized pandas duplicated() mask.
-    The raw band bytes are the bucket key (exact — no hash collisions).
+    Shuffle shape: signatures explode to (band_id, bucket, band_key,
+    doc_id, sig) rows and group by ``(band_id, bucket)`` where ``bucket``
+    is a hash of the band values mod ``pair_buckets`` — reducer
+    parallelism is bands x pair_buckets and each reducer receives only its
+    bucket's rows (grouping by band alone caps parallelism at ``bands``
+    and ships a full corpus-width band to ONE reducer).  Docs with equal
+    band values share a bucket by construction, so no candidates are lost;
+    exact bucket membership inside the group still compares the raw
+    ``band_key`` bytes (hash collisions only co-locate, never pair).
+    Candidate pairs are deduplicated DISTRIBUTED via a second
+    hash-partitioned groupby (no repartition(1) funnel).
     """
     rows_per_band = num_perm // bands
 
@@ -144,6 +187,7 @@ def minhash_candidates(ds, num_perm: int = 128, bands: int = 32,
             return pa.table({
                 id_col: pa.array([], pa.int64()),
                 "band_id": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int32()),
                 "band_key": pa.array([], pa.binary()),
                 "sig": pa.array([], pa.list_(pa.uint64())),
             })
@@ -156,20 +200,27 @@ def minhash_candidates(ds, num_perm: int = 128, bands: int = 32,
             mat[i, b * rows_per_band : (b + 1) * rows_per_band].tobytes()
             for i in range(n) for b in range(bands)
         ]
+        # deterministic bucket = polynomial mix of the band's values — any
+        # two docs with equal band values get the same bucket (doc-major
+        # ravel matches the ids/band_ids layout)
+        band_mat = mat.reshape(n, bands, rows_per_band)
+        h = np.zeros((n, bands), np.uint64)
+        for r in range(rows_per_band):
+            h = h * np.uint64(1000003) + band_mat[:, :, r]
+        buckets = (h % np.uint64(pair_buckets)).astype(np.int32).ravel()
         sig_rows = np.repeat(mat, bands, axis=0)  # full signature per band row
         offsets = np.arange(n * bands + 1, dtype=np.int32) * num_perm
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
             "band_id": pa.array(band_ids, pa.int32()),
+            "bucket": pa.array(buckets, pa.int32()),
             "band_key": pa.array(keys, pa.binary()),
             "sig": pa.ListArray.from_arrays(pa.array(offsets), pa.array(sig_rows.ravel())),
         })
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                              "doc_b": pd.Series([], dtype="int64"),
-                              "est_jaccard": pd.Series([], dtype="float64")})
-        if len(g) < 2:
+        empty = pd.DataFrame(dict(_EMPTY_PAIRS))
+        if len(g) < 2 or id_col not in g.columns:
             return empty
         dup_mask = g.duplicated("band_key", keep=False)
         if not dup_mask.any():
@@ -191,54 +242,102 @@ def minhash_candidates(ds, num_perm: int = 128, bands: int = 32,
 
     pairs = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby("band_id")
+        .groupby(["band_id", "bucket"])
         .map_groups(band_pairs, batch_format="pandas")
     )
+    return _dedup_pairs(pairs, pair_buckets)
 
-    # candidates are rare by construction → one small partition dedups them
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["doc_a", "doc_b"]).drop_duplicates(["doc_a", "doc_b"])
 
-    return pairs.repartition(1).map_batches(dedup_pairs, batch_format="pandas")
+_VERIFIED_EMPTY = pa.table({"doc_a": pa.array([], pa.int64()),
+                            "doc_b": pa.array([], pa.int64()),
+                            "jaccard": pa.array([], pa.float64())})
 
 
 def verify_candidates(ds, pairs_ds, shingle_k: int = 5, text_col: str = "text",
-                      id_col: str = "doc_id", min_jaccard: float = 0.0):
-    """Exact n-gram Jaccard verification of LSH candidate pairs.
+                      id_col: str = "doc_id", min_jaccard: float = 0.0,
+                      num_partitions: int = 8):
+    """Exact n-gram Jaccard verification of LSH candidate pairs —
+    distributed end to end.
 
-    The candidate list is small by construction (LSH collisions only), so
-    it is collected and ``ray.put`` once; the verification pass re-reads
-    only the candidate docs' texts (broadcast id-set semi-join filter
-    inside map_batches — no shuffle) and computes exact shingle Jaccard on
-    the driver over the gathered texts.  Returns a pyarrow table
-    (doc_a, doc_b, jaccard) filtered to ``min_jaccard``.
+    - The driver collects only the candidate *id set* (ints), which is
+      ``ray.put`` once and read inside each shingling task (broadcast
+      semi-join filter) — texts never reach the driver.
+    - Shingle sets are computed only for candidate docs, then hash-joined
+      onto the pair rows twice (doc_a side, doc_b side) — a shuffle of
+      candidate shingle sets, never of the corpus.
+    - Exact Jaccard runs vectorized inside ``map_batches`` where both
+      sides' shingles are co-located.
+
+    Returns a Dataset of (doc_a, doc_b, jaccard) filtered to
+    ``min_jaccard``.
     """
+    import ray
+    import ray.data
     import pyarrow.compute as pc
 
-    pairs = pairs_ds.to_pandas() if hasattr(pairs_ds, "to_pandas") else pairs_ds
-    if len(pairs) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    needed = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    if isinstance(pairs_ds, pd.DataFrame):
+        pairs_ds = ray.data.from_arrow(pa.Table.from_pandas(pairs_ds, preserve_index=False))
+    elif isinstance(pairs_ds, pa.Table):
+        pairs_ds = ray.data.from_arrow(pairs_ds)
 
-    def pick(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t[id_col], value_set=pa.array(needed, pa.int64()))
-        return t.filter(mask).select([id_col, text_col])
+    id_parts = pairs_ds.map_batches(
+        lambda t: pa.table({"i": pc.unique(pa.chunked_array([
+            t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()
+        ]).combine_chunks())}),
+        batch_format="pyarrow")
+    needed: set[int] = set()
+    for b in id_parts.iter_batches(batch_format="pyarrow"):
+        needed.update(b["i"].to_pylist())
+    if not needed:
+        return ray.data.from_arrow(_VERIFIED_EMPTY)
+    needed_ref = ray.put(pa.array(sorted(needed), pa.int64()))
 
-    texts_df = ds.map_batches(pick, batch_format="pyarrow",
-                              zero_copy_batch=True).to_pandas()
-    texts = dict(zip(texts_df[id_col], texts_df[text_col]))
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        j = exact_jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
-        if j >= min_jaccard:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_j.append(j)
-    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                     "doc_b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        vs = ray.get(needed_ref)
+        sub = t.filter(pc.is_in(t[id_col], value_set=vs))
+        shs = [_shingles(x, shingle_k) for x in sub[text_col].to_pylist()]
+        # binary blobs, not list<uint64>: Acero hash joins reject list-typed
+        # payload columns
+        return pa.table({
+            id_col: sub[id_col],
+            "sh": pa.array([s.tobytes() for s in shs], pa.large_binary()),
+        })
+
+    sh = ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _side(side: str):
+        return sh.map_batches(
+            lambda t, s=side: pa.table({f"doc_{s}": t[id_col], f"sh_{s}": t["sh"]}),
+            batch_format="pyarrow")
+
+    j = pairs_ds.join(_side("a"), join_type="inner",
+                      num_partitions=num_partitions, on=("doc_a",))
+    j = j.join(_side("b"), join_type="inner",
+               num_partitions=num_partitions, on=("doc_b",))
+
+    def jac(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sh_a" not in t.column_names:
+            return _VERIFIED_EMPTY
+        out_a, out_b, out_j = [], [], []
+        for a, b, sa, sb in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist(),
+                                t["sh_a"].to_pylist(), t["sh_b"].to_pylist()):
+            aa = np.frombuffer(sa or b"", np.uint64)
+            bb = np.frombuffer(sb or b"", np.uint64)
+            if aa.size == 0 and bb.size == 0:
+                jv = 1.0
+            else:
+                inter = np.intersect1d(aa, bb, assume_unique=True).size
+                union = aa.size + bb.size - inter
+                jv = inter / union if union else 0.0
+            if jv >= min_jaccard:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(jv)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return j.map_batches(jac, batch_format="pyarrow")
 
 
 def exact_jaccard(text_a: str, text_b: str, shingle_k: int = 5) -> float:
@@ -280,3 +379,87 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via the byte view."""
+    return np.unpackbits(x.view(np.uint8)).reshape(x.size, 8 * 8).sum(axis=1)
+
+
+def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id", pair_buckets: int = 64):
+    """EXACT SimHash near-dup pairs: (doc_a, doc_b, hamming) with
+    hamming(sig_a, sig_b) <= max_hamming, doc_a < doc_b, deduplicated.
+
+    Banding with ``max_hamming + 1`` bands over the 64-bit signature: two
+    signatures differing in <= t bits must agree exactly on at least one
+    band (pigeonhole), so band-equality candidates are a SUPERSET of the
+    true pairs and the in-group exact popcount filter makes the output
+    exact — the same candidate→verify shape as MinHash-LSH, but closed
+    under one operator.  Groups are (band_id, band value mod
+    ``pair_buckets``); pair dedup is hash-partition distributed.
+    """
+    bands = max_hamming + 1
+    widths = [64 // bands + (1 if i < 64 % bands else 0) for i in range(bands)]
+    shifts = np.cumsum([0] + widths[:-1]).astype(np.uint64)
+
+    sigs = ds.map_batches(simhash_batch,
+                          fn_kwargs={"text_col": text_col, "id_col": id_col},
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "band_id": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int32()),
+                "bval": pa.array([], pa.uint64()),
+                "sig": pa.array([], pa.uint64()),
+            })
+        sig = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t[id_col].to_numpy()
+        out_id = np.repeat(ids, bands)
+        out_band = np.tile(np.arange(bands, dtype=np.int32), n)
+        bvals = np.empty((n, bands), np.uint64)
+        for i, (s, w) in enumerate(zip(shifts, widths)):
+            bvals[:, i] = (sig >> s) & np.uint64((1 << w) - 1)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "band_id": pa.array(out_band),
+            "bucket": pa.array((bvals % np.uint64(pair_buckets))
+                               .astype(np.int32).ravel()),
+            "bval": pa.array(bvals.ravel()),
+            "sig": pa.array(np.repeat(sig, bands)),
+        })
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+        if len(g) < 2 or id_col not in g.columns:
+            return empty
+        dup = g.duplicated("bval", keep=False)
+        if not dup.any():
+            return empty
+        g = g[dup]
+        a_out, b_out, h_out = [], [], []
+        for _, bucket in g.groupby("bval", sort=False):
+            if len(bucket) < 2:
+                continue
+            bucket = bucket.sort_values(id_col)
+            ids = bucket[id_col].to_numpy(np.int64)
+            sg = bucket["sig"].to_numpy().astype(np.uint64)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            hm = _popcount64(sg[ii] ^ sg[jj])
+            keep = hm <= max_hamming
+            a_out.extend(ids[ii[keep]].tolist())
+            b_out.extend(ids[jj[keep]].tolist())
+            h_out.extend(hm[keep].tolist())
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out,
+                             "hamming": np.asarray(h_out, np.int64)})
+
+    pairs = (sigs.map_batches(explode, batch_format="pyarrow")
+                 .groupby(["band_id", "bucket"])
+                 .map_groups(band_pairs, batch_format="pandas"))
+    return _dedup_pairs(pairs, pair_buckets, extra_cols=(("hamming", "int64"),))

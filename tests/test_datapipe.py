@@ -68,7 +68,8 @@ def test_verify_candidates(docs_ds):
     assert (1, 3) not in got
     # empty candidate list → empty result with schema
     empty = verify_candidates(ds, out.iloc[0:0], shingle_k=3)
-    assert empty.num_rows == 0 and empty.column_names == ["doc_a", "doc_b", "jaccard"]
+    assert empty.count() == 0
+    assert empty.schema().names == ["doc_a", "doc_b", "jaccard"]
 
 
 def test_simhash_properties(docs_ds, ray_session):
@@ -80,6 +81,83 @@ def test_simhash_properties(docs_ds, ray_session):
     assert sig[1] == sig[2]  # identical text -> identical simhash
     assert hamming64(int(sig[1]), int(sig[3])) < hamming64(int(sig[1]), int(sig[4]))
     assert sig[8] == 0  # empty text
+
+
+def test_simhash_pairs_exact_vs_bruteforce(docs_ds):
+    """Banded SimHash pairs must equal brute-force all-pairs hamming <= t
+    exactly (pigeonhole guarantees candidate completeness; the in-group
+    popcount filter guarantees precision)."""
+    from rayindex.datapipe.dedup import hamming64, simhash_batch, simhash_pairs
+
+    ds, _ = docs_ds
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow").to_pandas()
+    sig = dict(zip(sigs.doc_id, sigs.simhash))
+    for t in (0, 3, 10):
+        want = {
+            (a, b, hamming64(int(sig[a]), int(sig[b])))
+            for a in sig for b in sig if a < b
+            and hamming64(int(sig[a]), int(sig[b])) <= t
+        }
+        got_df = simhash_pairs(ds, max_hamming=t).to_pandas()
+        got = set(zip(got_df.doc_a, got_df.doc_b, got_df.hamming))
+        assert got == want, f"t={t}"
+        assert got_df.duplicated(["doc_a", "doc_b"]).sum() == 0
+
+
+@pytest.fixture(scope="module")
+def vec_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    n, d = 120, 16
+    base = rng.standard_normal((n, d))
+    # plant near-dup pairs: rows 100.. are jittered copies of rows 0..19
+    base[100:] = base[:20] + 0.05 * rng.standard_normal((20, d))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in base], pa.list_(pa.float64())),
+    })
+    return ray.data.from_arrow(tbl).repartition(5), base
+
+
+def _brute_pairs(base, threshold):
+    m = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = m @ m.T
+    out = set()
+    n = len(base)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= threshold:
+                out.add((i, j))
+    return out
+
+
+def test_cosine_neardup_exact_block_pairs(vec_ds):
+    """Distributed block-pair tiling must equal the in-memory all-pairs
+    result exactly — every pair once, correct orientation, no driver-side
+    matrix materialization."""
+    from rayindex.datapipe.ann import cosine_neardup
+
+    ds, base = vec_ds
+    got_df = cosine_neardup(ds, threshold=0.9, dtype=np.float64).to_pandas()
+    got = set(zip(got_df.id_a, got_df.id_b))
+    assert got == _brute_pairs(base, 0.9)
+    assert (got_df.id_a < got_df.id_b).all()
+    assert got_df.duplicated(["id_a", "id_b"]).sum() == 0
+
+
+def test_cosine_neardup_lsh_recall(vec_ds):
+    """Hyperplane-LSH candidates: perfect precision (every emitted pair is
+    a true >= threshold pair) and high recall on planted near-dups."""
+    from rayindex.datapipe.ann import cosine_neardup_lsh
+
+    ds, base = vec_ds
+    want = _brute_pairs(base, 0.9)
+    got_df = cosine_neardup_lsh(ds, threshold=0.9, nbits=16, bands=8,
+                                dtype=np.float64).to_pandas()
+    got = set(zip(got_df.id_a, got_df.id_b))
+    assert got <= want  # precision 1.0 by construction
+    assert len(got) >= 0.8 * len(want), (len(got), len(want))
 
 
 def test_langid(docs_ds):
