@@ -179,32 +179,38 @@ class TokenizeToChunks:
                 f">= 2^26; raise max_content_bytes guard or scoring._POS_SHIFT")
 
         n_docs_batch = doc_ids.size
+        R = cfg.fine_block_docs
         if g_terms.size:
-            # regroup (doc, term) rows into per-term runs of ascending docs —
-            # fully vectorized; blobs are cut from ONE whole-stream VB pass
-            # per stream (codec.vb_encode_split).  Block-max metadata is NOT
-            # computed here: the shard writer recomputes it canonically.
+            # regroup (doc, term) rows into per-(term, fine block) runs of
+            # ascending docs — fully vectorized; blobs are cut from ONE
+            # whole-stream VB pass per stream (codec.vb_encode_split).
+            # Fine blocks are doc-range keyed (doc // fine_block_docs), so
+            # every downstream merge is a metadata aggregate + byte splice:
+            # the shard writer never decodes a posting stream.
             term_codes, term_uniques = pd.factorize(g_terms, sort=True)
             g_starts = np.cumsum(g_tfs) - g_tfs  # position-slice start per group
             order2 = np.lexsort((g_doc, term_codes))
             sorted_codes = term_codes[order2]
             t_docs = doc_ids[g_doc[order2]]
             t_tfs = g_tfs[order2]
-            term_starts = np.flatnonzero(
-                np.concatenate([[True], sorted_codes[1:] != sorted_codes[:-1]])
-            )
-            term_ends = np.append(term_starts[1:], sorted_codes.size)
-            terms = [term_uniques[c] for c in sorted_codes[term_starts]]
+            t_dls = counts[g_doc[order2]]
+            t_blk = t_docs // R
+            seg_starts = np.flatnonzero(np.concatenate([[True],
+                (sorted_codes[1:] != sorted_codes[:-1])
+                | (t_blk[1:] != t_blk[:-1])]))
+            seg_ends = np.append(seg_starts[1:], sorted_codes.size)
+            terms = [term_uniques[c] for c in sorted_codes[seg_starts]]
 
-            first = t_docs[term_starts]
-            last = t_docs[term_ends - 1]
-            nd = term_ends - term_starts
-            cf = np.add.reduceat(t_tfs, term_starts)
-            max_tf = np.maximum.reduceat(t_tfs, term_starts)
+            first = t_docs[seg_starts]
+            last = t_docs[seg_ends - 1]
+            nd = seg_ends - seg_starts
+            cf = np.add.reduceat(t_tfs, seg_starts)
+            max_tf = np.maximum.reduceat(t_tfs, seg_starts)
+            min_dl = np.minimum.reduceat(t_dls, seg_starts)
 
             doc_blobs = codec.vb_encode_split(
-                codec.segmented_delta_encode(t_docs, term_starts), term_starts)
-            tf_blobs = codec.vb_encode_split(t_tfs.astype(np.uint64), term_starts)
+                codec.segmented_delta_encode(t_docs, seg_starts), seg_starts)
+            tf_blobs = codec.vb_encode_split(t_tfs.astype(np.uint64), seg_starts)
 
             if cfg.keep_positions and pos_flat.size:
                 # gather positions into the (term, doc) sorted order
@@ -214,9 +220,9 @@ class TokenizeToChunks:
                 pos_sorted = pos_flat[src]
                 grp_starts = np.cumsum(lens) - lens  # per-(term,doc) segments
                 pos_deltas = codec.segmented_delta_encode(pos_sorted, grp_starts)
-                # term boundaries in position-value space
-                term_pos_starts = grp_starts[term_starts]
-                pos_blobs = codec.vb_encode_split(pos_deltas, term_pos_starts)
+                # fine-block boundaries in position-value space
+                seg_pos_starts = grp_starts[seg_starts]
+                pos_blobs = codec.vb_encode_split(pos_deltas, seg_pos_starts)
             else:
                 pos_blobs = [b""] * len(terms)
 
@@ -226,11 +232,13 @@ class TokenizeToChunks:
                 "range_id": (first // cfg.doc_range_size).astype(np.int64),
                 "shard": np.asarray(
                     [term_shard(t, cfg.num_shards) for t in terms], np.int32),
+                "block_id": t_blk[seg_starts].astype(np.int64),
                 "first_doc": first,
                 "last_doc": last,
                 "n_docs": nd.astype(np.int64),
                 "cf": cf.astype(np.int64),
                 "max_tf": max_tf.astype(np.int32),
+                "min_dl": min_dl.astype(np.int32),
                 "doc_blob": doc_blobs,
                 "tf_blob": tf_blobs,
                 "pos_blob": pos_blobs,
@@ -238,10 +246,10 @@ class TokenizeToChunks:
         else:
             n_t = 0
             chunk_tbl = {k: [] for k in (
-                "term", "range_id", "shard", "first_doc", "last_doc", "n_docs",
-                "cf", "max_tf", "doc_blob", "tf_blob", "pos_blob")}
+                "term", "range_id", "shard", "block_id", "first_doc", "last_doc",
+                "n_docs", "cf", "max_tf", "min_dl", "doc_blob", "tf_blob",
+                "pos_blob")}
 
-        n = n_t + n_docs_batch
         cols = {
             "term": pa.array(
                 list(chunk_tbl["term"]) + [None] * n_docs_batch, pa.string()),
@@ -257,9 +265,6 @@ class TokenizeToChunks:
                 list(chunk_tbl["tf_blob"]) + [b""] * n_docs_batch, pa.large_binary()),
             "pos_blob": pa.array(
                 list(chunk_tbl["pos_blob"]) + [b""] * n_docs_batch, pa.large_binary()),
-            "block_last": pa.array([[]] * n, pa.list_(pa.int64())),
-            "block_max_tf": pa.array([[]] * n, pa.list_(pa.int32())),
-            "block_min_dl": pa.array([[]] * n, pa.list_(pa.int32())),
             "doc_id": pa.array(
                 [None] * n_t + doc_ids.tolist(), pa.int64()),
             "n_tokens": pa.array(
@@ -267,9 +272,10 @@ class TokenizeToChunks:
             "lang": pa.array([None] * n_t + langs, pa.string()),
             "repo": pa.array([None] * n_t + repos, pa.string()),
         }
-        for name, dtype in (("first_doc", pa.int64()), ("last_doc", pa.int64()),
+        for name, dtype in (("block_id", pa.int64()),
+                            ("first_doc", pa.int64()), ("last_doc", pa.int64()),
                             ("n_docs", pa.int64()), ("cf", pa.int64()),
-                            ("max_tf", pa.int32())):
+                            ("max_tf", pa.int32()), ("min_dl", pa.int32())):
             cols[name] = pa.array(
                 np.concatenate([np.asarray(chunk_tbl[name],
                                            dtype.to_pandas_dtype()),
@@ -291,11 +297,54 @@ def _stage_chunks(doc_store: str, out: str, cfg: BuildConfig) -> dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
-# stage 3: salted two-phase merge → shard files
+# stage 3: salted two-phase fine-block merge → shard files
+#
+# Every row is a (term, fine block) part; fine blocks are doc-range keyed
+# (block_id = doc // fine_block_docs) so ALL merging is (a) metadata
+# aggregation (max/min/sum keyed by block_id — order independent, hence
+# canonical under any batching) and (b) byte splicing of VB streams, where
+# only each non-leading part's first value is re-encoded as a delta bridge.
+# No stage ever decodes a posting stream (the round-1 whole-shard decode —
+# the DRAM-bandwidth hotspot behind writer anti-scaling — is gone); the
+# one exception is the rare interleaved-parts repair, which decodes only
+# the affected fine block (< fine_block_docs postings).
 # ---------------------------------------------------------------------------
 
 
 _EMPTY_CHUNKS = None
+
+
+def _vb_head_lens(data: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Byte length of the first VB value at each ``starts`` offset —
+    vectorized scan for the terminating high bit (values are <= 10 bytes)."""
+    h = np.zeros(starts.size, np.int64)
+    rem = np.ones(starts.size, bool)
+    for i in range(10):
+        if not rem.any():
+            break
+        idx = np.flatnonzero(rem)
+        b = data[starts[idx] + i]
+        done = (b & 0x80) != 0
+        h[idx[done]] = i + 1
+        rem[idx[done]] = False
+    if rem.any():
+        raise ValueError("malformed VB stream: no terminating byte in 10")
+    return h
+
+
+def _ragged_copy(dst: np.ndarray, dst_starts: np.ndarray, src: np.ndarray,
+                 src_starts: np.ndarray, lens: np.ndarray) -> None:
+    """Vectorized multi-slice copy: dst[ds:ds+l] = src[ss:ss+l] per piece."""
+    lens = np.asarray(lens, np.int64)
+    nz = lens > 0
+    if not nz.any():
+        return
+    d0 = np.asarray(dst_starts, np.int64)[nz]
+    s0 = np.asarray(src_starts, np.int64)[nz]
+    ln = lens[nz]
+    base = np.cumsum(ln) - ln
+    off = np.arange(int(ln.sum()), dtype=np.int64) - np.repeat(base, ln)
+    dst[np.repeat(d0, ln) + off] = src[np.repeat(s0, ln) + off]
 
 
 def _binary_column_view(g: pa.Table, name: str) -> tuple[memoryview, np.ndarray]:
@@ -323,117 +372,44 @@ def _empty_chunks_table() -> pa.Table:
     return _EMPTY_CHUNKS
 
 
-class _SortedChunkView:
-    """Column view over a chunk table sorted by (term, first_doc), with
-    per-term run boundaries and run aggregates precomputed vectorized."""
+def _repair_interleaved(g: pa.Table, codes: np.ndarray,
+                        overlap: np.ndarray) -> pa.Table:
+    """Decode-merge fine blocks whose parts interleave (batches straddling
+    block boundaries).  Only the affected fine blocks (< fine_block_docs
+    postings each) are decoded; everything else passes through untouched.
+    Returns an UNSORTED table (caller re-sorts)."""
+    blk = g["block_id"].to_numpy()
+    fb_change = np.concatenate([[True], (codes[1:] != codes[:-1])
+                                | (blk[1:] != blk[:-1])])
+    fb_id = np.cumsum(fb_change) - 1
+    bad_fb = np.unique(fb_id[overlap])
+    sel = np.isin(fb_id, bad_fb)
+    good = g.filter(pa.array(~sel))
 
-    def __init__(self, group: pa.Table):
-        idx = pc.sort_indices(
-            group, sort_keys=[("term", "ascending"), ("first_doc", "ascending")]
-        )
-        g = group.take(idx).combine_chunks()
-        first = g["first_doc"].to_numpy()
-        last = g["last_doc"].to_numpy()
-        n_docs = g["n_docs"].to_numpy()
-        cf = g["cf"].to_numpy()
-        max_tf = g["max_tf"].to_numpy()
-        # term run boundaries via dictionary codes (no python string compares)
-        codes = pc.dictionary_encode(g["term"]).combine_chunks().indices.to_numpy()
-        starts = np.flatnonzero(np.concatenate([[True], codes[1:] != codes[:-1]]))
-        ends = np.append(starts[1:], codes.size)
-        self.starts = starts
-        self.ends = ends
-        self.n_runs = starts.size
-        all_terms = g["term"]
-        self.run_terms = all_terms.take(pa.array(starts)).to_pylist()
-        # run aggregates, vectorized
-        self.r_first = first[starts]
-        # max, not last-row: under overlapping ranges the chunk with the
-        # largest first_doc need not have the largest last_doc
-        self.r_last = np.maximum.reduceat(last, starts)
-        cs_nd = np.concatenate([[0], np.cumsum(n_docs)])
-        cs_cf = np.concatenate([[0], np.cumsum(cf)])
-        self.r_nd = cs_nd[ends] - cs_nd[starts]
-        self.r_cf = cs_cf[ends] - cs_cf[starts]
-        self.r_maxtf = np.maximum.reduceat(max_tf, starts)
-        # per-run monotonicity: within a run, chunk i must start after chunk
-        # i-1 ends (the normal case — contiguous upstream batches)
-        ok = np.ones(codes.size, bool)
-        ok[1:] = (first[1:] > last[:-1]) | (codes[1:] != codes[:-1])
-        bad_rows = ~ok
-        self.run_disjoint = np.ones(self.n_runs, bool)
-        if bad_rows.any():
-            cs_bad = np.concatenate([[0], np.cumsum(bad_rows)])
-            self.run_disjoint = (cs_bad[ends] - cs_bad[starts]) == 0
-        # python-int copies for the per-run splice loop
-        self.first_l = first.tolist()
-        self.last_l = last.tolist()
-        # zero-copy access to the blob columns: after take+combine the
-        # binary column's data buffer IS the row-order concatenation, so a
-        # term run's tf/pos stream is ONE buffer slice — no per-row bytes
-        # objects, no join
-        self._doc_mv, self._doc_offs = _binary_column_view(g, "doc_blob")
-        self._tf_mv, self._tf_offs = _binary_column_view(g, "tf_blob")
-        self._pos_mv, self._pos_offs = _binary_column_view(g, "pos_blob")
-        self.shard = g["shard"].to_numpy()
-        self.range_id = g["range_id"].to_numpy()
-        self._chunk_nd = n_docs
-        self._chunk_cf = cf
-        self._chunk_mtf = max_tf
-
-    def doc_blob_at(self, i: int) -> memoryview:
-        return self._doc_mv[self._doc_offs[i] : self._doc_offs[i + 1]]
-
-    def _slice(self, mv: memoryview, offs: np.ndarray, s: int, e: int) -> memoryview:
-        return mv[offs[s] : offs[e]]
-
-    def run_blobs(self, r: int) -> tuple[bytes, bytes, bytes]:
-        """Merged (doc, tf, pos) blobs for run ``r``.
-
-        Fast path (disjoint ascending ranges): byte-splice — only each
-        subsequent chunk's first doc value is re-encoded as a delta against
-        the previous chunk's last doc; tf/pos streams concatenate as-is.
-        Overlap fallback: full decode / interleave / re-encode.
-        """
-        s, e = int(self.starts[r]), int(self.ends[r])
-        tf_run = self._slice(self._tf_mv, self._tf_offs, s, e)
-        pos_run = self._slice(self._pos_mv, self._pos_offs, s, e)
-        if e - s == 1:
-            return self.doc_blob_at(s), tf_run, pos_run
-        if self.run_disjoint[r]:
-            first_l, last_l = self.first_l, self.last_l
-            doc_parts = [self.doc_blob_at(s)]
-            ap = doc_parts.append
-            for i in range(s + 1, e):
-                b = self.doc_blob_at(i)
-                head = codec.vb_first_value_len(b)
-                ap(codec.vb_encode_one(first_l[i] - last_l[i - 1]))
-                ap(b[head:])
-            return b"".join(doc_parts), tf_run, pos_run
-        return self._merge_overlapping(s, e)
-
-    def _merge_overlapping(self, s: int, e: int) -> tuple[bytes, bytes, bytes]:
-        """Overlap fallback (batches straddling block boundaries interleave
-        doc ranges): decode ALL the run's chunks in one vectorized pass,
-        argsort by doc, re-encode once.  Positions are re-gathered into the
-        new doc order through an index map — no per-chunk python decode."""
-        nd = self._chunk_nd[s:e].astype(np.int64)
+    doc_mv, doc_offs = _binary_column_view(g, "doc_blob")
+    tf_mv, tf_offs = _binary_column_view(g, "tf_blob")
+    pos_mv, pos_offs = _binary_column_view(g, "pos_blob")
+    nd_all = g["n_docs"].to_numpy()
+    mdl_all = g["min_dl"].to_numpy()
+    rows: dict[str, list] = {k: [] for k in (
+        "term", "range_id", "shard", "block_id", "first_doc", "last_doc",
+        "n_docs", "cf", "max_tf", "min_dl", "doc_blob", "tf_blob", "pos_blob")}
+    for f in bad_fb.tolist():
+        idxs = np.flatnonzero(fb_id == f)
+        s, e = int(idxs[0]), int(idxs[-1]) + 1
+        nd = nd_all[s:e].astype(np.int64)
         doc_ids = codec.segmented_delta_decode(
-            codec.vb_decode(self._slice(self._doc_mv, self._doc_offs, s, e)), nd)
-        tfs = codec.vb_decode(
-            self._slice(self._tf_mv, self._tf_offs, s, e)).astype(np.int64)
+            codec.vb_decode(doc_mv[doc_offs[s]:doc_offs[e]]), nd)
+        tfs = codec.vb_decode(tf_mv[tf_offs[s]:tf_offs[e]]).astype(np.int64)
         order = np.argsort(doc_ids, kind="stable")
-        doc_sorted = doc_ids[order]
-        if doc_sorted.size > 1 and not (np.diff(doc_sorted) > 0).all():
-            raise ValueError("duplicate doc_id across chunks of one term")
+        d_sorted = doc_ids[order]
+        if d_sorted.size > 1 and not (np.diff(d_sorted) > 0).all():
+            raise ValueError("duplicate doc_id across parts of one fine block")
         tf_sorted = tfs[order]
-        doc_blob = codec.vb_encode(codec.delta_encode(doc_sorted))
-        tf_blob = codec.vb_encode(tf_sorted.astype(np.uint64))
         pos_blob = b""
-        pos_all = self._slice(self._pos_mv, self._pos_offs, s, e)
+        pos_all = pos_mv[pos_offs[s]:pos_offs[e]]
         if len(pos_all):
             pos_vals = codec.segmented_delta_decode(codec.vb_decode(pos_all), tfs)
-            # gather each doc's position run into the sorted order
             starts = np.cumsum(tfs) - tfs
             lens = tfs[order]
             offs = np.repeat(np.cumsum(lens) - lens, lens)
@@ -442,81 +418,251 @@ class _SortedChunkView:
             seg_starts = np.cumsum(lens) - lens
             pos_blob = codec.vb_encode(
                 codec.segmented_delta_encode(pos_sorted, seg_starts))
-        return doc_blob, tf_blob, pos_blob
+        rows["term"].append(g["term"][s].as_py())
+        rows["range_id"].append(g["range_id"][s].as_py())
+        rows["shard"].append(g["shard"][s].as_py())
+        rows["block_id"].append(g["block_id"][s].as_py())
+        rows["first_doc"].append(int(d_sorted[0]))
+        rows["last_doc"].append(int(d_sorted[-1]))
+        rows["n_docs"].append(int(d_sorted.size))
+        rows["cf"].append(int(tf_sorted.sum()))
+        rows["max_tf"].append(int(tf_sorted.max()))
+        rows["min_dl"].append(int(mdl_all[s:e].min()))
+        rows["doc_blob"].append(codec.vb_encode(codec.delta_encode(d_sorted)))
+        rows["tf_blob"].append(codec.vb_encode(tf_sorted.astype(np.uint64)))
+        rows["pos_blob"].append(pos_blob)
+    n_rep = len(rows["term"])
+    rep = pa.table(
+        {
+            "term": pa.array(rows["term"], pa.string()),
+            "range_id": pa.array(rows["range_id"], pa.int64()),
+            "shard": pa.array(rows["shard"], pa.int32()),
+            "block_id": pa.array(rows["block_id"], pa.int64()),
+            "first_doc": pa.array(rows["first_doc"], pa.int64()),
+            "last_doc": pa.array(rows["last_doc"], pa.int64()),
+            "n_docs": pa.array(rows["n_docs"], pa.int64()),
+            "cf": pa.array(rows["cf"], pa.int64()),
+            "max_tf": pa.array(rows["max_tf"], pa.int32()),
+            "min_dl": pa.array(rows["min_dl"], pa.int32()),
+            "doc_blob": pa.array(rows["doc_blob"], pa.large_binary()),
+            "tf_blob": pa.array(rows["tf_blob"], pa.large_binary()),
+            "pos_blob": pa.array(rows["pos_blob"], pa.large_binary()),
+            "doc_id": pa.nulls(n_rep, pa.int64()),
+            "n_tokens": pa.nulls(n_rep, pa.int64()),
+            "lang": pa.nulls(n_rep, pa.string()),
+            "repo": pa.nulls(n_rep, pa.string()),
+        },
+        schema=schema.POSTING_CHUNKS,
+    )
+    return pa.concat_tables([good, rep]).combine_chunks()
+
+
+class _FineView:
+    """Sorted fine-block rows of one reducer group, with canonical block
+    grouping and the spliced doc stream assembled in one vectorized pass.
+
+    ``block_size=None``: one output group per fine block (phase-1 part
+    merge).  ``block_size=B``: fine blocks are coalesced into dict blocks
+    of ~B postings via the canonical per-term cumsum rule — group
+    boundaries depend only on the fine-block sequence (doc-range keyed),
+    never on upstream batching, so artifacts stay byte-identical under any
+    parallelism.  Doc streams restart their delta chain (absolute value)
+    exactly at group starts; every internal part boundary gets a bridge
+    delta — producing bytes identical to encoding the whole group at once.
+    """
+
+    def __init__(self, group: pa.Table, block_size: int | None):
+        g = group
+        for _ in range(3):
+            idx = pc.sort_indices(g, sort_keys=[
+                ("term", "ascending"), ("block_id", "ascending"),
+                ("first_doc", "ascending")])
+            g = g.take(idx).combine_chunks()
+            codes = pc.dictionary_encode(g["term"]).combine_chunks().indices.to_numpy()
+            first = g["first_doc"].to_numpy()
+            last = g["last_doc"].to_numpy()
+            n = codes.size
+            overlap = np.zeros(n, bool)
+            if n > 1:
+                overlap[1:] = (codes[1:] == codes[:-1]) & (first[1:] <= last[:-1])
+            if not overlap.any():
+                break
+            g = _repair_interleaved(g, codes, overlap)
+        else:
+            raise RuntimeError("interleave repair did not converge")
+        self.g = g
+        blk = g["block_id"].to_numpy()
+        nd = g["n_docs"].to_numpy()
+        cf = g["cf"].to_numpy()
+
+        def cs(a: np.ndarray) -> np.ndarray:
+            return np.concatenate([[0], np.cumsum(a)])
+
+        # fine-block runs (consecutive rows, same (term, block_id))
+        if n:
+            fb_change = np.concatenate([[True], (codes[1:] != codes[:-1])
+                                        | (blk[1:] != blk[:-1])])
+        else:
+            fb_change = np.zeros(0, bool)
+        fb_row_start = np.flatnonzero(fb_change)
+        fb_row_end = np.append(fb_row_start[1:], n)
+        cs_nd = cs(nd)
+        fb_n = cs_nd[fb_row_end] - cs_nd[fb_row_start]
+        fb_code = codes[fb_row_start]
+        # canonical per-term posting cumsum over fine blocks
+        t_change = (np.concatenate([[True], fb_code[1:] != fb_code[:-1]])
+                    if fb_code.size else np.zeros(0, bool))
+        tstart_idx = np.flatnonzero(t_change)
+        cum = np.cumsum(fb_n)
+        base_vals = np.where(tstart_idx > 0, cum[np.maximum(tstart_idx - 1, 0)], 0)
+        fb_per_term = np.diff(np.append(tstart_idx, fb_code.size))
+        base = np.repeat(base_vals, fb_per_term)
+        cum_in_term = cum - base
+        if block_size:
+            fb_grp = (cum_in_term - 1) // block_size
+            grp_change_fb = t_change | np.concatenate(
+                [[True], fb_grp[1:] != fb_grp[:-1]]) if fb_code.size else t_change
+        else:
+            grp_change_fb = np.ones(fb_code.size, bool)
+        grp_change_row = np.zeros(n, bool)
+        grp_change_row[fb_row_start[grp_change_fb]] = True
+        grp_start = np.flatnonzero(grp_change_row)
+        grp_end = np.append(grp_start[1:], n)
+        self.grp_start, self.grp_end = grp_start, grp_end
+        self.n_groups = grp_start.size
+        # per-group metadata (order-independent aggregates)
+        self.g_first = first[grp_start]
+        self.g_last = last[np.maximum(grp_end - 1, 0)] if n else np.zeros(0, np.int64)
+        self.g_n = cs_nd[grp_end] - cs_nd[grp_start]
+        cs_cf = cs(cf)
+        self.g_cf = cs_cf[grp_end] - cs_cf[grp_start]
+        if n:
+            self.g_mtf = np.maximum.reduceat(g["max_tf"].to_numpy(), grp_start)
+            self.g_mdl = np.minimum.reduceat(g["min_dl"].to_numpy(), grp_start)
+        else:
+            self.g_mtf = np.zeros(0, np.int32)
+            self.g_mdl = np.zeros(0, np.int32)
+        self.g_blk = blk[grp_start]
+        # term runs over groups
+        gcodes = codes[grp_start]
+        self.tg_start = np.flatnonzero(np.concatenate([[True], gcodes[1:] != gcodes[:-1]])
+                                       ) if gcodes.size else np.zeros(0, np.int64)
+        self.tg_end = np.append(self.tg_start[1:], self.n_groups)
+        self.n_terms = self.tg_start.size
+        self.run_terms = g["term"].take(
+            pa.array(grp_start[self.tg_start], pa.int64())).to_pylist()
+
+        # --- assemble the spliced doc stream (one vectorized gather) ------
+        self._doc_mv, doc_offs = _binary_column_view(g, "doc_blob")
+        self._tf_mv, self._tf_offs = _binary_column_view(g, "tf_blob")
+        self._pos_mv, self._pos_offs = _binary_column_view(g, "pos_blob")
+        data = np.frombuffer(self._doc_mv, np.uint8)
+        row_len = doc_offs[1:] - doc_offs[:-1]
+        internal = np.ones(n, bool)
+        internal[grp_start] = False
+        iidx = np.flatnonzero(internal)
+        heads = np.zeros(n, np.int64)
+        bridge_len_row = np.zeros(n, np.int64)
+        bridge_start_row = np.zeros(n, np.int64)
+        if iidx.size:
+            heads[iidx] = _vb_head_lens(data, doc_offs[:-1][iidx])
+            bridge_vals = (first[iidx] - last[iidx - 1]).astype(np.uint64)
+            bout, bends = codec._vb_encode_arr(bridge_vals)
+            bstart = np.zeros(iidx.size, np.int64)
+            bstart[1:] = bends[:-1] + 1
+            bridge_len_row[iidx] = bends - bstart + 1
+            bridge_start_row[iidx] = bstart
+        else:
+            bout = np.zeros(0, np.uint8)
+        bodyB_start = doc_offs[:-1] + heads
+        bodyB_len = row_len - heads
+        out_len = bridge_len_row + bodyB_len
+        out_start = np.cumsum(out_len) - out_len
+        out = np.empty(int(out_len.sum()), np.uint8)
+        _ragged_copy(out, out_start, bout, bridge_start_row, bridge_len_row)
+        _ragged_copy(out, out_start + bridge_len_row, data, bodyB_start, bodyB_len)
+        self.doc_stream = out
+        cs_out = cs(out_len)
+        self.g_doc_start = cs_out[grp_start]
+        self.g_doc_len = cs_out[grp_end] - cs_out[grp_start]
+        self.g_tf_start = self._tf_offs[grp_start]
+        self.g_tf_len = self._tf_offs[grp_end] - self._tf_offs[grp_start]
+        self.g_pos_start = self._pos_offs[grp_start]
+        self.g_pos_len = self._pos_offs[grp_end] - self._pos_offs[grp_start]
+
+
+def _large_binary_from(buffer, offsets: np.ndarray) -> pa.LargeBinaryArray:
+    """Zero-copy large_binary array over contiguous slices of ``buffer``
+    (absolute int64 offsets, length = len(offsets) - 1)."""
+    off = pa.py_buffer(np.ascontiguousarray(offsets, np.int64).tobytes())
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(offsets) - 1, [None, off, pa.py_buffer(buffer)])
 
 
 def _merge_shard_range(group: pa.Table) -> pa.Table:
-    """Phase-1 reducer over a (shard, range_id) group: merge every term's
-    chunks within the doc range.  Grouping by (shard, range) instead of
-    (term, range) keeps the same skew bound — a hot term's postings stay
-    spread across ranges — while making the number of Ray groups small and
-    the per-term work a tight in-memory loop.  Block metadata is emitted
-    empty: the shard writer recomputes it canonically from the final merged
-    streams."""
+    """Phase-1 reducer over a (shard, range_id) group: merge every fine
+    block's parts (bridge splice + metadata aggregation).  Grouping by
+    (shard, range) instead of (term, range) keeps the same skew bound — a
+    hot term's postings stay spread across ranges — while making the number
+    of Ray groups small and the per-fine-block work pure numpy."""
     if group.num_rows == 0:  # Ray may hand the UDF an empty block
         return _empty_chunks_table()
-    v = _SortedChunkView(group)
-    doc_blobs, tf_blobs, pos_blobs = [], [], []
-    for r in range(v.n_runs):
-        db, tb, pb = v.run_blobs(r)
-        doc_blobs.append(db)
-        tf_blobs.append(tb)
-        pos_blobs.append(pb)
-    n = v.n_runs
+    v = _FineView(group, block_size=None)
+    ngrp = v.n_groups
+    gs = v.grp_start
+    doc_arr = _large_binary_from(
+        v.doc_stream, np.append(v.g_doc_start, v.g_doc_start[-1] + v.g_doc_len[-1])
+        if ngrp else np.zeros(1, np.int64))
+    tf_arr = _large_binary_from(
+        v._tf_mv, np.append(v.g_tf_start, v.g_tf_start[-1] + v.g_tf_len[-1])
+        if ngrp else np.zeros(1, np.int64))
+    pos_arr = _large_binary_from(
+        v._pos_mv, np.append(v.g_pos_start, v.g_pos_start[-1] + v.g_pos_len[-1])
+        if ngrp else np.zeros(1, np.int64))
+    take = pa.array(gs, pa.int64())
     return pa.table(
         {
-            "term": pa.array(v.run_terms, pa.string()),
-            "range_id": pa.array(v.range_id[v.starts].astype(np.int64)),
-            "shard": pa.array(v.shard[v.starts].astype(np.int32)),
-            "first_doc": pa.array(v.r_first.astype(np.int64)),
-            "last_doc": pa.array(v.r_last.astype(np.int64)),
-            "n_docs": pa.array(v.r_nd.astype(np.int64)),
-            "cf": pa.array(v.r_cf.astype(np.int64)),
-            "max_tf": pa.array(v.r_maxtf.astype(np.int32)),
-            "doc_blob": pa.array(doc_blobs, pa.large_binary()),
-            "tf_blob": pa.array(tf_blobs, pa.large_binary()),
-            "pos_blob": pa.array(pos_blobs, pa.large_binary()),
-            "block_last": pa.array([[]] * n, pa.list_(pa.int64())),
-            "block_max_tf": pa.array([[]] * n, pa.list_(pa.int32())),
-            "block_min_dl": pa.array([[]] * n, pa.list_(pa.int32())),
-            "doc_id": pa.array([None] * n, pa.int64()),
-            "n_tokens": pa.array([None] * n, pa.int64()),
-            "lang": pa.array([None] * n, pa.string()),
-            "repo": pa.array([None] * n, pa.string()),
+            "term": v.g["term"].take(take),
+            "range_id": v.g["range_id"].take(take),
+            "shard": v.g["shard"].take(take),
+            "block_id": pa.array(v.g_blk.astype(np.int64)),
+            "first_doc": pa.array(v.g_first.astype(np.int64)),
+            "last_doc": pa.array(v.g_last.astype(np.int64)),
+            "n_docs": pa.array(v.g_n.astype(np.int64)),
+            "cf": pa.array(v.g_cf.astype(np.int64)),
+            "max_tf": pa.array(v.g_mtf.astype(np.int32)),
+            "min_dl": pa.array(v.g_mdl.astype(np.int32)),
+            "doc_blob": doc_arr,
+            "tf_blob": tf_arr,
+            "pos_blob": pos_arr,
+            "doc_id": pa.nulls(ngrp, pa.int64()),
+            "n_tokens": pa.nulls(ngrp, pa.int64()),
+            "lang": pa.nulls(ngrp, pa.string()),
+            "repo": pa.nulls(ngrp, pa.string()),
         },
         schema=schema.POSTING_CHUNKS,
     )
 
 
 class WriteShard:
-    """Phase-2 reducer: receives every range-chunk of one shard, merges per
-    term (byte-splice), and writes the shard blob + term dictionary
+    """Phase-2 reducer: receives every fine-block row of one shard,
+    coalesces fine blocks into canonical dict blocks (bridge splice — no
+    posting decode anywhere), and writes the shard blob + term dictionary
     atomically.  The blob file is the mmap target at query time — the
     engine's replacement for the reference's JSON-lines index +
     word2byte.json seek/read pair
     (/root/reference/indexing/index_hasher/index_hasher.py:44-65).
 
-    Block-max metadata is recomputed canonically here (every
-    ``block_size`` postings of the FINAL merged list) so the artifact is
-    byte-identical regardless of upstream batch/partition boundaries; doc
-    lengths come from a ``ray.put`` broadcast of the doc_stats column —
-    one object read per reducer, not re-shipped per batch.  (At 10^12-doc
-    scale this array would be sharded by doc range instead; the layout
-    already supports that since reducers see ascending doc runs.)"""
+    Block metadata (first/last/n/max_tf/min_dl + per-stream byte offsets)
+    falls out of the fine rows' aggregates: min_dl was computed at tokenize
+    time where doc lengths were local, so this stage needs NO doc-length
+    broadcast and touches each output byte exactly once (one vectorized
+    gather + sequential file write)."""
 
-    def __init__(self, shard_dir: str, fingerprint: str, block_size: int,
-                 doc_len_ref):
+    def __init__(self, shard_dir: str, fingerprint: str, block_size: int):
         self.shard_dir = shard_dir
         self.fingerprint = fingerprint
         self.block_size = block_size
-        self.doc_len_ref = doc_len_ref
-        self._doc_len = None
-
-    @property
-    def doc_len(self) -> np.ndarray:
-        if self._doc_len is None:
-            self._doc_len = ray.get(self.doc_len_ref)
-        return self._doc_len
 
     def __call__(self, group: pa.Table) -> pa.Table:
         empty = pa.table({"shard": pa.array([], pa.int64()),
@@ -530,120 +676,107 @@ class WriteShard:
             m = json.load(open(BuildCheckpoint.shard_manifest_path(self.shard_dir, shard_id)))
             return pa.table({"shard": [shard_id], "n_terms": [m["n_terms"]],
                              "bytes": [m["bytes"]], "skipped": [True]})
-        v = _SortedChunkView(group)
-        bs = self.block_size
-        # merge every term's chunks (byte-splice fast path)
-        doc_blobs, tf_blobs, pos_blobs = [], [], []
-        for r in range(v.n_runs):
-            db, tb, pb = v.run_blobs(r)
-            doc_blobs.append(db)
-            tf_blobs.append(tb)
-            pos_blobs.append(pb)
-        # ONE vectorized decode of the whole shard's doc/tf streams for the
-        # canonical block-max metadata (per-term nd gives the segmentation)
-        r_nd = v.r_nd.astype(np.int64)
-        doc_ids = codec.segmented_delta_decode(
-            codec.vb_decode(b"".join(doc_blobs)), r_nd)
-        tfs = codec.vb_decode(b"".join(tf_blobs)).astype(np.int64)
-        dls = self.doc_len[doc_ids]
-        term_val_starts = np.cumsum(r_nd) - r_nd
-        # ragged per-term blocks, computed globally: blocks tile the value
-        # stream contiguously, so one reduceat covers every term's blocks
-        nb = (r_nd + bs - 1) // bs
-        nb = np.maximum(nb, 1)
-        blk_term = np.repeat(np.arange(v.n_runs), nb)
-        within = (np.arange(int(nb.sum())) - np.repeat(np.cumsum(nb) - nb, nb)) * bs
-        blk_starts = term_val_starts[blk_term] + within
-        blk_ends = np.minimum(blk_starts + bs, (term_val_starts + r_nd)[blk_term])
-        block_last_all = doc_ids[np.maximum(blk_ends, 1) - 1]
-        block_maxtf_all = np.maximum.reduceat(tfs, blk_starts) if tfs.size else np.zeros(0, np.int64)
-        block_mindl_all = np.minimum.reduceat(dls, blk_starts) if dls.size else np.zeros(0, np.int64)
-        blk_offsets = np.concatenate([[0], np.cumsum(nb)]).astype(np.int32)
-        # byte offsets into the shard blob, vectorized
-        dlen = np.fromiter(map(len, doc_blobs), np.int64, v.n_runs)
-        tlen = np.fromiter(map(len, tf_blobs), np.int64, v.n_runs)
-        plen = np.fromiter(map(len, pos_blobs), np.int64, v.n_runs)
+        v = _FineView(group, block_size=self.block_size)
+        tg_s, tg_e = v.tg_start, v.tg_end
+        nt = v.n_terms
+
+        def cs(a: np.ndarray) -> np.ndarray:
+            return np.concatenate([[0], np.cumsum(a)])
+
+        cgn = cs(v.g_n)
+        df = cgn[tg_e] - cgn[tg_s]
+        cgc = cs(v.g_cf)
+        cf = cgc[tg_e] - cgc[tg_s]
+        mtf = (np.maximum.reduceat(v.g_mtf, tg_s) if nt
+               else np.zeros(0, np.int32))
+        cdl = cs(v.g_doc_len)
+        dlen = cdl[tg_e] - cdl[tg_s]
+        ctl = cs(v.g_tf_len)
+        tlen = ctl[tg_e] - ctl[tg_s]
+        cpl = cs(v.g_pos_len)
+        plen = cpl[tg_e] - cpl[tg_s]
         rec = dlen + tlen + plen
         rec_start = np.concatenate([[0], np.cumsum(rec)[:-1]])
+        # per-block byte offsets RELATIVE to the term's stream starts
+        grp_per_term = tg_e - tg_s
+        boff_doc = v.g_doc_start - np.repeat(v.g_doc_start[tg_s], grp_per_term)
+        boff_tf = v.g_tf_start - np.repeat(v.g_tf_start[tg_s], grp_per_term)
+        boff_pos = v.g_pos_start - np.repeat(v.g_pos_start[tg_s], grp_per_term)
+        loff = pa.array(np.append(tg_s, v.n_groups).astype(np.int32))
+
+        def lst(vals: np.ndarray, typ) -> pa.ListArray:
+            return pa.ListArray.from_arrays(loff, pa.array(vals.astype(typ.to_pandas_dtype()), typ))
+
         dict_table = pa.table(
             {
                 "term": pa.array(v.run_terms, pa.string()),
-                "df": pa.array(r_nd),
-                "cf": pa.array(v.r_cf.astype(np.int64)),
-                "max_tf": pa.array(v.r_maxtf.astype(np.int32)),
+                "df": pa.array(df.astype(np.int64)),
+                "cf": pa.array(cf.astype(np.int64)),
+                "max_tf": pa.array(mtf.astype(np.int32)),
                 "doc_off": pa.array(rec_start),
                 "doc_len": pa.array(dlen),
                 "tf_off": pa.array(rec_start + dlen),
                 "tf_len": pa.array(tlen),
                 "pos_off": pa.array(rec_start + dlen + tlen),
                 "pos_len": pa.array(plen),
-                "block_last": pa.ListArray.from_arrays(
-                    pa.array(blk_offsets), pa.array(block_last_all.astype(np.int64))),
-                "block_max_tf": pa.ListArray.from_arrays(
-                    pa.array(blk_offsets), pa.array(block_maxtf_all.astype(np.int32))),
-                "block_min_dl": pa.ListArray.from_arrays(
-                    pa.array(blk_offsets), pa.array(block_mindl_all.astype(np.int32))),
+                "block_first": lst(v.g_first, pa.int64()),
+                "block_last": lst(v.g_last, pa.int64()),
+                "block_n": lst(v.g_n, pa.int32()),
+                "block_max_tf": lst(v.g_mtf, pa.int32()),
+                "block_min_dl": lst(v.g_mdl, pa.int32()),
+                "block_doc_boff": lst(boff_doc, pa.int64()),
+                "block_tf_boff": lst(boff_tf, pa.int64()),
+                "block_pos_boff": lst(boff_pos, pa.int64()),
             },
             schema=schema.TERM_DICT,
         )
-        # stream the blob file record by record — no whole-shard join in heap
+        # stream the blob file record by record — per-term memoryview slices
+        # of the assembled doc stream and the (contiguous) tf/pos buffers
+        doc_view = memoryview(v.doc_stream)
+        tdoc_start = v.g_doc_start[tg_s]
+        ttf_start = v.g_tf_start[tg_s]
+        tpos_start = v.g_pos_start[tg_s]
         bin_path = os.path.join(self.shard_dir, f"shard_{shard_id:05d}.bin")
         tmp_path = bin_path + f".tmp-{os.getpid()}"
         with open(tmp_path, "wb", buffering=4 << 20) as f:
-            for db, tb, pb in zip(doc_blobs, tf_blobs, pos_blobs):
-                f.write(db)
-                f.write(tb)
-                f.write(pb)
+            for t in range(nt):
+                f.write(doc_view[tdoc_start[t]:tdoc_start[t] + dlen[t]])
+                f.write(v._tf_mv[ttf_start[t]:ttf_start[t] + tlen[t]])
+                f.write(v._pos_mv[tpos_start[t]:tpos_start[t] + plen[t]])
         os.replace(tmp_path, bin_path)
         total_bytes = int(rec.sum())
         tmp = os.path.join(self.shard_dir, f"shard_{shard_id:05d}.dict.parquet.tmp-{os.getpid()}")
         pq.write_table(dict_table, tmp)
         os.replace(tmp, os.path.join(self.shard_dir, f"shard_{shard_id:05d}.dict.parquet"))
-        n_terms = v.n_runs
         BuildCheckpoint.write_shard_manifest(
             self.shard_dir, shard_id, self.fingerprint,
-            {"n_terms": n_terms, "bytes": total_bytes},
+            {"n_terms": int(nt), "bytes": total_bytes},
         )
-        return pa.table({"shard": [shard_id], "n_terms": [n_terms],
+        return pa.table({"shard": [shard_id], "n_terms": [int(nt)],
                          "bytes": [total_bytes], "skipped": [False]})
 
 
 def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
-                  fingerprint: str, stats_dir: str,
-                  multi_range: bool) -> dict[str, Any]:
-    # broadcast the doc-length table once (block-min-dl recompute)
-    ds_t = pq.read_table(os.path.join(stats_dir, "doc_stats"),
-                         columns=["doc_id", "n_tokens"])
-    ids = ds_t["doc_id"].to_numpy()
-    doc_len = np.zeros(int(ids.max()) + 1 if len(ids) else 1, np.int64)
-    doc_len[ids] = ds_t["n_tokens"].to_numpy()
-    doc_len_ref = ray.put(doc_len)
-
+                  fingerprint: str, multi_range: bool) -> dict[str, Any]:
     ds = ray.data.read_parquet(chunks_path, filter=pc.is_valid(pc.field("term")),
                                override_num_blocks=_shuffle_read_blocks(chunks_path))
     # phase 1 (salted two-phase merge): (shard, range_id) groups keep hot
     # terms spread across reducers, bounded per doc range.  With a single
     # range (corpus smaller than doc_range_size) the shard writer's own
-    # per-term merge does identical work, so the extra shuffle is skipped —
-    # the two-phase path engages exactly when the data is big enough to
-    # need it.
+    # per-fine-block merge does identical work, so the extra shuffle is
+    # skipped — the two-phase path engages exactly when the data is big
+    # enough to need it.
     if multi_range:
         ds = ds.groupby(["shard", "range_id"]).map_groups(
             _merge_shard_range, batch_format="pyarrow"
         )
-    # phase 2: all of a shard's terms on one reducer; byte-splice merge + write
-    writer = WriteShard(shard_dir, fingerprint, cfg.block_size, doc_len_ref)
+    # phase 2: all of a shard's fine rows on one reducer; splice + write
+    writer = WriteShard(shard_dir, fingerprint, cfg.block_size)
 
     def write_shard(group: pa.Table) -> pa.Table:
         return writer(group)
 
-    # shard writers are memory-bandwidth bound (whole-shard decode + blob
-    # concatenation): more than ~8 concurrent writers thrash the cache and
-    # ANTI-scale (measured 52.6s → 15.0s at 32 CPUs with an 8-writer cap),
-    # so reserve proportionally more CPUs per task on bigger machines
-    task_cpus = max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
-    res = ds.groupby("shard").map_groups(write_shard, batch_format="pyarrow",
-                                         num_cpus=task_cpus)
+    res = ds.groupby("shard").map_groups(write_shard, batch_format="pyarrow")
     stats = res.to_pandas()
     # shards with no terms still need (empty) files for the searcher
     present = set(stats["shard"].tolist())
@@ -781,7 +914,7 @@ def build_index(
     # clear=False: completed shards are skipped via their own manifests
     r4 = ckpt.run_stage(
         "shards",
-        lambda d: _stage_shards(chunks, d, cfg, fp, stats_dir, multi_range),
+        lambda d: _stage_shards(chunks, d, cfg, fp, multi_range),
         clear=False)
     r5 = ckpt.run_stage(
         "finalize",

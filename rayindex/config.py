@@ -54,7 +54,11 @@ class BuildConfig:
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
     num_shards: int = 16
     doc_range_size: int = 1 << 17  # 131072 docs per posting range
-    block_size: int = 128          # docs per block-max block
+    block_size: int = 128          # target postings per coalesced block
+    fine_block_docs: int = 128     # doc-range granularity of fine blocks:
+    # block metadata is aggregated per (term, doc_id // fine_block_docs) —
+    # a pure metadata merge at every stage (no posting decode); smaller =
+    # tighter WAND bounds for dense terms, more metadata rows shuffled
     keep_positions: bool = True    # positional index (phrase/proximity support)
     tokenize_batch_size: int = 256
     max_content_bytes: int = 8 << 20  # drop pathological rows (ref: title/url>=1000 filter)

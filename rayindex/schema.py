@@ -37,27 +37,31 @@ DOC_STORE = pa.schema(
     ]
 )
 
-# Tokenize-stage checkpoint: pre-aggregated posting *chunks* (one row per
-# (term, contiguous doc run within a batch)) interleaved with per-doc stat
-# rows (term == NULL).  Replaces the reference's raw
-# ``{term: [df, {doc: [pos]}]}`` in-memory dict + 60k-doc segment spill
-# (/root/reference/indexing/index_builder/index_build.py:124,188-197).
+# Tokenize-stage checkpoint: pre-aggregated posting *fine blocks* (one row
+# per (term, doc-range fine block, batch)) interleaved with per-doc stat
+# rows (term == NULL).  ``block_id = doc_id // fine_block_docs`` keys the
+# row to a fixed doc range, which makes EVERY downstream merge a pure
+# metadata + byte-splice operation: block membership is a function of the
+# doc_id alone, so aggregates (max_tf, min_dl, cf, n) merge canonically
+# regardless of how batches fragmented the postings — no reducer ever
+# decodes a posting stream to recompute block-max metadata.  Replaces the
+# reference's raw ``{term: [df, {doc: [pos]}]}`` in-memory dict + 60k-doc
+# segment spill (/root/reference/indexing/index_builder/index_build.py:124,188-197).
 POSTING_CHUNKS = pa.schema(
     [
         ("term", pa.string()),        # NULL => doc-stat row
         ("range_id", pa.int64()),     # doc_id // doc_range_size (salt key)
         ("shard", pa.int32()),        # crc32(term) % num_shards
+        ("block_id", pa.int64()),     # doc_id // fine_block_docs
         ("first_doc", pa.int64()),
         ("last_doc", pa.int64()),
         ("n_docs", pa.int64()),
         ("cf", pa.int64()),
         ("max_tf", pa.int32()),
+        ("min_dl", pa.int32()),       # min doc length over the row's docs
         ("doc_blob", pa.large_binary()),
         ("tf_blob", pa.large_binary()),
         ("pos_blob", pa.large_binary()),
-        ("block_last", pa.list_(pa.int64())),
-        ("block_max_tf", pa.list_(pa.int32())),
-        ("block_min_dl", pa.list_(pa.int32())),
         # doc-stat payload (only on term==NULL rows)
         ("doc_id", pa.int64()),
         ("n_tokens", pa.int64()),
@@ -92,7 +96,11 @@ COLLECTION_STATS = pa.schema(
 # Per-shard term dictionary: byte offsets into the shard's blob file — the
 # equivalent of the reference's word2byte.json seek+read map
 # (/root/reference/indexing/index_hasher/index_hasher.py:44-65), with df/cf
-# and block-max metadata inline.
+# and per-block metadata inline.  Posting blocks are coalesced fine blocks
+# (~block_size postings each); each block records its absolute first doc
+# (delta chains restart at block starts) and its byte offset within the
+# term's doc/tf/pos streams, so a single block decodes STANDALONE — the
+# random access block-max WAND and lazy positional fetch need.
 TERM_DICT = pa.schema(
     [
         ("term", pa.string()),
@@ -105,9 +113,14 @@ TERM_DICT = pa.schema(
         ("tf_len", pa.int64()),
         ("pos_off", pa.int64()),
         ("pos_len", pa.int64()),
+        ("block_first", pa.list_(pa.int64())),
         ("block_last", pa.list_(pa.int64())),
+        ("block_n", pa.list_(pa.int32())),
         ("block_max_tf", pa.list_(pa.int32())),
         ("block_min_dl", pa.list_(pa.int32())),
+        ("block_doc_boff", pa.list_(pa.int64())),
+        ("block_tf_boff", pa.list_(pa.int64())),
+        ("block_pos_boff", pa.list_(pa.int64())),
     ]
 )
 

@@ -76,6 +76,24 @@ class MiniIndexProvider:
         possible; the default pays a full posting decode."""
         return self.lookup(term, need_positions=False) is not None
 
+    def fetch_positions(self, term: str, docs: np.ndarray) -> Posting | None:
+        """Postings restricted to ``docs``, with positions.  Providers with
+        block-addressable storage override this to decode only the blocks
+        containing candidate docs (searcher.IndexReader.fetch_positions);
+        the default decodes everything and subsets."""
+        p = self.lookup(term, need_positions=True)
+        if p is None:
+            return None
+        docs = np.asarray(docs, np.int64)
+        mask = np.isin(p.docs, docs, assume_unique=True)
+        sel = np.flatnonzero(mask)
+        lens = p.tfs[sel]
+        starts = np.cumsum(p.tfs) - p.tfs
+        base = np.cumsum(lens) - lens
+        take = (np.repeat(starts[sel], lens)
+                + np.arange(int(lens.sum())) - np.repeat(base, lens))
+        return Posting(docs=p.docs[sel], tfs=lens, positions=p.positions[take])
+
 
 # ---------------------------------------------------------------------------
 # term weights (vectorized over a term's matching candidate subset)
@@ -363,20 +381,26 @@ def rank_phrases(provider: MiniIndexProvider, phrases: list[list[str]], scorer: 
                  allowed: np.ndarray | None = None
                  ) -> tuple[np.ndarray, np.ndarray] | None:
     """Phrase ranking via positional intersection; same per-phrase
-    ``return None`` semantics as the oracle (any empty phrase kills all)."""
+    ``return None`` semantics as the oracle (any empty phrase kills all).
+
+    Doc lists intersect FIRST (positions untouched), then positions are
+    fetched only for the intersection docs — on a block-addressable
+    provider a hot term contributes only the blocks its rare co-terms
+    survive in."""
     scores: dict[int, float] = {}
     mu = cfg.lm_mu
     for phrase in phrases:
-        ps = [provider.lookup(t, need_positions=True) for t in phrase]
-        if any(p is None for p in ps):
+        metas = [provider.lookup(t, need_positions=False) for t in phrase]
+        if any(p is None for p in metas):
             return None
-        inter = ps[0].docs
-        for p in ps[1:]:
+        inter = metas[0].docs
+        for p in metas[1:]:
             inter = np.intersect1d(inter, p.docs, assume_unique=True)
         if allowed is not None:
             inter = np.intersect1d(inter, allowed, assume_unique=True)
         if inter.size == 0:
             return None
+        ps = [provider.fetch_positions(t, inter) for t in phrase]
         tf = _phrase_tf(ps, inter)
         df = len(tf)
         target = np.sort(np.asarray(fixed_docs, np.int64)) if fixed_docs is not None else inter
@@ -466,14 +490,15 @@ def boolean_docs(provider: MiniIndexProvider, q: BooleanQuery, stats: Stats,
 
 
 def _phrase_docs(provider: MiniIndexProvider, phrase: list[str]) -> np.ndarray:
-    ps = [provider.lookup(t, need_positions=True) for t in phrase]
-    if any(p is None for p in ps):
+    metas = [provider.lookup(t, need_positions=False) for t in phrase]
+    if any(p is None for p in metas):
         return np.zeros(0, np.int64)
-    inter = ps[0].docs
-    for p in ps[1:]:
+    inter = metas[0].docs
+    for p in metas[1:]:
         inter = np.intersect1d(inter, p.docs, assume_unique=True)
     if inter.size == 0:
         return inter
+    ps = [provider.fetch_positions(t, inter) for t in phrase]
     tf = _phrase_tf(ps, inter)
     return np.asarray(sorted(tf), np.int64)
 
@@ -483,10 +508,17 @@ def proximity_docs(provider: MiniIndexProvider, q: ProximityQuery) -> np.ndarray
     pass over the composite (doc, pos) key space: for each occurrence of
     term1, only its two nearest term2 neighbours (by searchsorted) can be
     the closest in-document positions."""
-    p1 = provider.lookup(q.terms[0], need_positions=True)
-    p2 = provider.lookup(q.terms[1], need_positions=True)
-    if p1 is None or p2 is None:
+    m1 = provider.lookup(q.terms[0], need_positions=False)
+    m2 = provider.lookup(q.terms[1], need_positions=False)
+    if m1 is None or m2 is None:
         return np.zeros(0, np.int64)
+    # a proximity hit needs both terms in the same doc — restrict the
+    # positional fetch to the doc intersection
+    common = np.intersect1d(m1.docs, m2.docs, assume_unique=True)
+    if common.size == 0:
+        return np.zeros(0, np.int64)
+    p1 = provider.fetch_positions(q.terms[0], common)
+    p2 = provider.fetch_positions(q.terms[1], common)
     ka = _pos_keys(p1)
     kb = _pos_keys(p2)
     if ka.size == 0 or kb.size == 0:
@@ -572,18 +604,106 @@ class _TermCursor:
         return int(self.block_last[self.blk])
 
 
+class _LazyTermCursor:
+    """Posting cursor over a block-addressable LazyPosting: blocks decode
+    on first touch; seeks that land exactly on a block's first doc (the
+    common case after a block-max skip) decode NOTHING — the skipped
+    posting mass never leaves the mmap."""
+
+    __slots__ = ("lp", "idx", "cur", "ub", "blk", "docs", "tfs",
+                 "idf", "k1p1", "norm_c", "norm_dl", "block_last", "block_ub",
+                 "nblocks", "df")
+
+    def __init__(self, lp, stats: Stats, cfg: SearchConfig):
+        self.lp = lp
+        self.df = lp.df
+        self.idf = idf_robertson(stats.n_docs, lp.df)
+        self.k1p1 = cfg.k1 + 1.0
+        self.norm_c = cfg.k1 * (1 - cfg.b)
+        self.norm_dl = cfg.k1 * cfg.b / stats.avg_dl
+        mt = lp.block_max_tf.astype(np.float64)
+        md = lp.block_min_dl.astype(np.float64)
+        self.block_ub = self.idf * (mt * self.k1p1) / (
+            mt + self.norm_c + self.norm_dl * md)
+        self.block_last = np.ascontiguousarray(lp.block_last, np.int64)
+        self.nblocks = int(self.block_last.size)
+        self.ub = float(self.block_ub.max()) if self.nblocks else 0.0
+        self.blk = 0
+        self.docs = None  # current block not decoded
+        self.tfs = None
+        self.idx = 0
+        self.cur = int(lp.block_first[0]) if self.nblocks else 1 << 62
+
+    def _load(self) -> None:
+        if self.docs is None:
+            self.docs, self.tfs = self.lp.block_docs_tfs(self.blk)
+
+    def advance(self) -> None:
+        self._load()
+        self.idx += 1
+        if self.idx < self.docs.size:
+            self.cur = int(self.docs[self.idx])
+            return
+        self.blk += 1
+        if self.blk >= self.nblocks:
+            self.cur = 1 << 62
+            return
+        self.docs = None
+        self.tfs = None
+        self.idx = 0
+        self.cur = int(self.lp.block_first[self.blk])
+
+    def seek(self, target: int) -> None:
+        if self.cur >= target:
+            return
+        b = self.blk + int(np.searchsorted(self.block_last[self.blk:], target,
+                                           side="left"))
+        if b >= self.nblocks:
+            self.cur = 1 << 62
+            return
+        if b != self.blk:
+            self.blk = b
+            self.docs = None
+            self.tfs = None
+            self.idx = 0
+            self.cur = int(self.lp.block_first[b])
+            if self.cur >= target:
+                return  # landed at (or past) the block start — no decode
+        self._load()
+        i = int(np.searchsorted(self.docs, target, side="left"))
+        self.idx = i
+        self.cur = int(self.docs[i])  # block_last[b] >= target ⇒ i in range
+
+    def score_cur(self, dl: float) -> float:
+        self._load()
+        tf = float(self.tfs[self.idx])
+        return self.idf * (tf * self.k1p1) / (tf + self.norm_c + self.norm_dl * dl)
+
+    def cur_block_ub(self) -> float:
+        return float(self.block_ub[self.blk])
+
+    def cur_block_boundary(self) -> int:
+        return int(self.block_last[self.blk])
+
+
 def wand_topk(provider: MiniIndexProvider, terms: list[str], k: int,
               stats: Stats, cfg: SearchConfig) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND: exact top-k by (score desc, doc_id asc) for standard
     BM25 over the OR of ``terms``.  Prunes only on strict upper-bound <
-    threshold, so results are identical to exhaustive TAAT."""
+    threshold, so results are identical to exhaustive TAAT.  On providers
+    with block-addressable storage (lookup_lazy), pruned blocks are never
+    even decoded."""
     cursors = []
-    postings = {}
+    lazy = getattr(provider, "lookup_lazy", None)
     for t in set(terms):
-        p = provider.lookup(t, need_positions=False)
-        if p is not None:
-            postings[t] = p
-            cursors.append(_TermCursor(p, stats, cfg))
+        if lazy is not None:
+            lp = lazy(t)
+            if lp is not None and lp.n_blocks:
+                cursors.append(_LazyTermCursor(lp, stats, cfg))
+        else:
+            p = provider.lookup(t, need_positions=False)
+            if p is not None:
+                cursors.append(_TermCursor(p, stats, cfg))
     if not cursors:
         return np.zeros(0, np.int64), np.zeros(0)
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k

@@ -35,8 +35,46 @@ from rayindex.query import parse_query
 from rayindex.scoring import MiniIndexProvider, Posting, Stats, search_parsed
 
 
+class LazyPosting:
+    """Block-addressable postings of one term: nothing is decoded up front.
+    Dict blocks store their absolute first doc + per-stream byte offsets,
+    so any single block decodes standalone — block-max WAND skips (and
+    never touches) pruned blocks, and positional fetch decodes only the
+    blocks containing candidate docs."""
+
+    __slots__ = ("df", "cf", "max_tf", "block_first", "block_last", "block_n",
+                 "block_max_tf", "block_min_dl", "_buf",
+                 "_doc_off", "_doc_len", "_tf_off", "_tf_len",
+                 "_pos_off", "_pos_len", "_boff_doc", "_boff_tf", "_boff_pos")
+
+    @property
+    def n_blocks(self) -> int:
+        return self.block_last.size
+
+    def _block_span(self, boff: np.ndarray, base: int, total: int, b: int
+                    ) -> tuple[int, int]:
+        s = base + int(boff[b])
+        e = base + (int(boff[b + 1]) if b + 1 < boff.size else total)
+        return s, e
+
+    def block_docs_tfs(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        s, e = self._block_span(self._boff_doc, self._doc_off, self._doc_len, b)
+        docs = codec.delta_decode(codec.vb_decode(self._buf[s:e]))
+        s, e = self._block_span(self._boff_tf, self._tf_off, self._tf_len, b)
+        tfs = codec.vb_decode(self._buf[s:e]).astype(np.int64)
+        return docs, tfs
+
+    def block_positions(self, b: int, tfs: np.ndarray) -> np.ndarray:
+        s, e = self._block_span(self._boff_pos, self._pos_off, self._pos_len, b)
+        return codec.decode_positions(self._buf[s:e], tfs)
+
+
 class IndexReader(MiniIndexProvider):
     """Loads one build's artifacts; serves per-term postings zero-copy."""
+
+    _BLOCK_COLS = ("block_first", "block_last", "block_n", "block_max_tf",
+                   "block_min_dl", "block_doc_boff", "block_tf_boff",
+                   "block_pos_boff")
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
@@ -48,6 +86,8 @@ class IndexReader(MiniIndexProvider):
             t = pq.read_table(dict_path)
             cols = {
                 "df": t["df"].to_numpy(),
+                "cf": t["cf"].to_numpy(),
+                "max_tf": t["max_tf"].to_numpy(),
                 "doc_off": t["doc_off"].to_numpy(),
                 "doc_len": t["doc_len"].to_numpy(),
                 "tf_off": t["tf_off"].to_numpy(),
@@ -57,7 +97,7 @@ class IndexReader(MiniIndexProvider):
             }
             # flatten the ragged block-metadata lists ONCE (offsets+values);
             # per-lookup .as_py() conversion is 100x slower for hot terms
-            for name in ("block_last", "block_max_tf", "block_min_dl"):
+            for name in self._BLOCK_COLS:
                 arr = t[name].combine_chunks()
                 cols[f"{name}_off"] = arr.offsets.to_numpy()
                 cols[f"{name}_val"] = arr.values.to_numpy()
@@ -82,7 +122,9 @@ class IndexReader(MiniIndexProvider):
             n_docs=cs["n_docs"], total_tokens=cs["total_tokens"], doc_len=doc_len
         )
         self._doc_ids_sorted = np.sort(doc_ids)
-        self._langs = dict(zip(doc_ids.tolist(), ds_t["lang"].to_pylist()))
+        # columnar lang table (arrays, not a per-doc python dict)
+        self._lang_docs = doc_ids
+        self._lang_vals = np.asarray(ds_t["lang"].to_pylist(), object)
         self._lang_cache: dict[str, np.ndarray] = {}
 
     def allowed_for_lang(self, lang: str) -> np.ndarray:
@@ -90,8 +132,7 @@ class IndexReader(MiniIndexProvider):
         /root/reference/indexing/index_builder/index_build.py:94-99)."""
         hit = self._lang_cache.get(lang)
         if hit is None:
-            hit = np.asarray(sorted(d for d, lg in self._langs.items() if lg == lang),
-                             np.int64)
+            hit = np.sort(self._lang_docs[self._lang_vals == lang]).astype(np.int64)
             self._lang_cache[lang] = hit
         return hit
 
@@ -102,6 +143,10 @@ class IndexReader(MiniIndexProvider):
     def contains(self, term: str) -> bool:
         return term in self._lookup
 
+    def _blocks(self, d: dict, name: str, row: int) -> np.ndarray:
+        off = d[f"{name}_off"]
+        return d[f"{name}_val"][off[row] : off[row + 1]]
+
     def lookup(self, term: str, need_positions: bool) -> Posting | None:
         hit = self._lookup.get(term)
         if hit is None:
@@ -111,22 +156,88 @@ class IndexReader(MiniIndexProvider):
         buf = self._files[sid]
         doc_blob = buf[d["doc_off"][row] : d["doc_off"][row] + d["doc_len"][row]]
         tf_blob = buf[d["tf_off"][row] : d["tf_off"][row] + d["tf_len"][row]]
-        docs, tfs = codec.decode_doc_tf(doc_blob, tf_blob)
+        # delta chains restart (absolute value) at every block start
+        block_n = np.asarray(self._blocks(d, "block_n", row), np.int64)
+        docs = codec.segmented_delta_decode(codec.vb_decode(doc_blob), block_n)
+        tfs = codec.vb_decode(tf_blob).astype(np.int64)
         positions = None
         if need_positions:
             pos_blob = buf[d["pos_off"][row] : d["pos_off"][row] + d["pos_len"][row]]
             positions = codec.decode_positions(pos_blob, tfs)
-        def blocks(name: str) -> np.ndarray:
-            off = d[f"{name}_off"]
-            return d[f"{name}_val"][off[row] : off[row + 1]]
-
         return Posting(
             docs=docs,
             tfs=tfs,
             positions=positions,
-            block_last=np.asarray(blocks("block_last"), np.int64),
-            block_max_tf=np.asarray(blocks("block_max_tf"), np.int64),
-            block_min_dl=np.asarray(blocks("block_min_dl"), np.int64),
+            block_last=np.asarray(self._blocks(d, "block_last", row), np.int64),
+            block_max_tf=np.asarray(self._blocks(d, "block_max_tf", row), np.int64),
+            block_min_dl=np.asarray(self._blocks(d, "block_min_dl", row), np.int64),
+        )
+
+    def lookup_lazy(self, term: str) -> LazyPosting | None:
+        """Zero-decode handle for block-at-a-time access (WAND, positional
+        subset fetch) — only dict metadata is touched here."""
+        hit = self._lookup.get(term)
+        if hit is None:
+            return None
+        sid, row = hit
+        d = self._dicts[sid]
+        lp = LazyPosting()
+        lp.df = int(d["df"][row])
+        lp.cf = int(d["cf"][row])
+        lp.max_tf = int(d["max_tf"][row])
+        lp.block_first = np.asarray(self._blocks(d, "block_first", row), np.int64)
+        lp.block_last = np.asarray(self._blocks(d, "block_last", row), np.int64)
+        lp.block_n = np.asarray(self._blocks(d, "block_n", row), np.int64)
+        lp.block_max_tf = np.asarray(self._blocks(d, "block_max_tf", row), np.int64)
+        lp.block_min_dl = np.asarray(self._blocks(d, "block_min_dl", row), np.int64)
+        lp._buf = self._files[sid]
+        lp._doc_off = int(d["doc_off"][row])
+        lp._doc_len = int(d["doc_len"][row])
+        lp._tf_off = int(d["tf_off"][row])
+        lp._tf_len = int(d["tf_len"][row])
+        lp._pos_off = int(d["pos_off"][row])
+        lp._pos_len = int(d["pos_len"][row])
+        lp._boff_doc = self._blocks(d, "block_doc_boff", row)
+        lp._boff_tf = self._blocks(d, "block_tf_boff", row)
+        lp._boff_pos = self._blocks(d, "block_pos_boff", row)
+        return lp
+
+    def fetch_positions(self, term: str, docs: np.ndarray) -> Posting | None:
+        """Postings restricted to ``docs``, with positions — decoding ONLY
+        the blocks that contain candidate docs (phrase/proximity queries
+        over rare-∩-hot term pairs skip the hot term's posting mass)."""
+        lp = self.lookup_lazy(term)
+        if lp is None:
+            return None
+        docs = np.asarray(docs, np.int64)
+        out_d: list[np.ndarray] = []
+        out_t: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        if docs.size:
+            bsel = np.unique(np.searchsorted(lp.block_last, docs, side="left"))
+            bsel = bsel[bsel < lp.n_blocks]
+            for b in bsel.tolist():
+                bdocs, btfs = lp.block_docs_tfs(b)
+                mask = np.isin(bdocs, docs, assume_unique=True)
+                if not mask.any():
+                    continue
+                pos = lp.block_positions(b, btfs)
+                starts = np.cumsum(btfs) - btfs
+                sel = np.flatnonzero(mask)
+                lens = btfs[sel]
+                base = np.cumsum(lens) - lens
+                take = (np.repeat(starts[sel], lens)
+                        + np.arange(int(lens.sum())) - np.repeat(base, lens))
+                out_d.append(bdocs[sel])
+                out_t.append(lens)
+                out_p.append(pos[take])
+        if not out_d:
+            z = np.zeros(0, np.int64)
+            return Posting(docs=z, tfs=z.copy(), positions=z.copy())
+        return Posting(
+            docs=np.concatenate(out_d),
+            tfs=np.concatenate(out_t),
+            positions=np.concatenate(out_p),
         )
 
     # -- convenience --------------------------------------------------------
