@@ -331,7 +331,8 @@ def _pair_adjacency(pa_: Posting, pb: Posting) -> tuple[np.ndarray, np.ndarray]:
     return u, counts
 
 
-def _phrase_tf(ps: list[Posting], inter: np.ndarray) -> dict[int, int]:
+def _phrase_tf(ps: list[Posting], inter: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc phrase counts — a vectorized equivalent of
     oracle.consecutive_occ, derived from its run structure:
 
@@ -345,12 +346,13 @@ def _phrase_tf(ps: list[Posting], inter: np.ndarray) -> dict[int, int]:
     a run.  Equivalence is property-tested against the loop kernel in
     tests/test_scoring_kernels.py."""
     tot = len(ps)
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
     keys = [_pos_keys(p) for p in ps]
     labels = [np.full(k.size, i, np.int64) for i, k in enumerate(keys)]
     allk = np.concatenate(keys)
     alll = np.concatenate(labels)
     if allk.size < 2:
-        return {}
+        return empty
     order = np.argsort(allk, kind="stable")
     k = allk[order]
     lab = alll[order]
@@ -365,14 +367,14 @@ def _phrase_tf(ps: list[Posting], inter: np.ndarray) -> dict[int, int]:
     hits = m_per_run[uruns] // (tot - 1)
     nz = hits > 0
     if not nz.any():
-        return {}
+        return empty
     # doc of a run = doc of its first edge's RIGHT endpoint: the left
     # endpoint of a boundary edge still belongs to the previous doc/run
     run_docs = k[first_edge[nz] + 1] >> _POS_SHIFT
     docs_u, inv = np.unique(run_docs, return_inverse=True)
     per_doc = np.bincount(inv, weights=hits[nz]).astype(np.int64)
     keep = np.isin(docs_u, inter, assume_unique=True)
-    return dict(zip(docs_u[keep].tolist(), per_doc[keep].tolist()))
+    return docs_u[keep], per_doc[keep]
 
 
 def rank_phrases(provider: MiniIndexProvider, phrases: list[list[str]], scorer: str,
@@ -387,8 +389,9 @@ def rank_phrases(provider: MiniIndexProvider, phrases: list[list[str]], scorer: 
     fetched only for the intersection docs — on a block-addressable
     provider a hot term contributes only the blocks its rare co-terms
     survive in."""
-    scores: dict[int, float] = {}
     mu = cfg.lm_mu
+    acc_docs: np.ndarray | None = None
+    acc_scores: np.ndarray | None = None
     for phrase in phrases:
         metas = [provider.lookup(t, need_positions=False) for t in phrase]
         if any(p is None for p in metas):
@@ -401,28 +404,36 @@ def rank_phrases(provider: MiniIndexProvider, phrases: list[list[str]], scorer: 
         if inter.size == 0:
             return None
         ps = [provider.fetch_positions(t, inter) for t in phrase]
-        tf = _phrase_tf(ps, inter)
-        df = len(tf)
-        target = np.sort(np.asarray(fixed_docs, np.int64)) if fixed_docs is not None else inter
-        for doc in target.tolist():
-            if doc in tf:
-                dl = float(stats.doc_len[doc])
-                if scorer == "reference":
-                    idf = idf_robertson(stats.n_docs, df)
-                    d = dl / stats.avg_dl
-                    w = idf * (tf[doc] / (cfg.ref_k * d + tf[doc] + 0.5))
-                elif scorer == "bm25":
-                    idf = idf_robertson(stats.n_docs, df)
-                    norm = cfg.k1 * (1 - cfg.b + cfg.b * dl / stats.avg_dl)
-                    w = idf * (tf[doc] * (cfg.k1 + 1)) / (tf[doc] + norm)
-                else:
-                    w = math.log((tf[doc] / mu) * (stats.total_tokens / df) + 1)
-                scores[doc] = scores.get(doc, 0.0) + w
-    if not scores and fixed_docs is None:
+        tdocs, tcounts = _phrase_tf(ps, inter)
+        df = int(tdocs.size)
+        if fixed_docs is not None:
+            target = np.sort(np.asarray(fixed_docs, np.int64))
+            keep = np.isin(tdocs, target, assume_unique=True)
+            tdocs, tcounts = tdocs[keep], tcounts[keep]
+        if tdocs.size:
+            tfv = tcounts.astype(np.float64)
+            dlv = stats.doc_len[tdocs].astype(np.float64)
+            if scorer == "reference":
+                idf = idf_robertson(stats.n_docs, df)
+                w = idf * (tfv / (cfg.ref_k * (dlv / stats.avg_dl) + tfv + 0.5))
+            elif scorer == "bm25":
+                idf = idf_robertson(stats.n_docs, df)
+                norm = cfg.k1 * (1 - cfg.b + cfg.b * dlv / stats.avg_dl)
+                w = idf * (tfv * (cfg.k1 + 1)) / (tfv + norm)
+            else:
+                w = np.log((tfv / mu) * (stats.total_tokens / df) + 1)
+            if acc_docs is None:
+                acc_docs, acc_scores = tdocs, w
+            else:
+                merged = np.union1d(acc_docs, tdocs)
+                ms = np.zeros(merged.size)
+                ms[np.searchsorted(merged, acc_docs)] += acc_scores
+                ms[np.searchsorted(merged, tdocs)] += w
+                acc_docs, acc_scores = merged, ms
+    if acc_docs is None:
         # all phrases matched docs but none consecutively: empty score dict
         return np.zeros(0, np.int64), np.zeros(0)
-    docs = np.asarray(sorted(scores), np.int64)
-    return docs, np.asarray([scores[d] for d in docs.tolist()])
+    return acc_docs, acc_scores
 
 
 def boolean_docs(provider: MiniIndexProvider, q: BooleanQuery, stats: Stats,
@@ -499,8 +510,8 @@ def _phrase_docs(provider: MiniIndexProvider, phrase: list[str]) -> np.ndarray:
     if inter.size == 0:
         return inter
     ps = [provider.fetch_positions(t, inter) for t in phrase]
-    tf = _phrase_tf(ps, inter)
-    return np.asarray(sorted(tf), np.int64)
+    tdocs, _ = _phrase_tf(ps, inter)
+    return tdocs
 
 
 def proximity_docs(provider: MiniIndexProvider, q: ProximityQuery) -> np.ndarray:
@@ -523,260 +534,143 @@ def proximity_docs(provider: MiniIndexProvider, q: ProximityQuery) -> np.ndarray
     kb = _pos_keys(p2)
     if ka.size == 0 or kb.size == 0:
         return np.zeros(0, np.int64)
-    docs_a = ka >> _POS_SHIFT
-    pos_a = ka & _POS_MASK
-    hit = np.zeros(ka.size, bool)
+    if ka.size > kb.size:
+        ka, kb = kb, ka  # probe from the smaller side — |p1-p2| is symmetric
+    # composite keys fold both checks into ONE subtraction: neighbours in
+    # a DIFFERENT doc differ by >= 2^_POS_SHIFT >> k, so (same doc AND
+    # |pos diff| <= k) ⟺ |key diff| <= k
+    kdist = np.int64(q.k)
     idx = np.searchsorted(kb, ka)
-    for cand in (idx - 1, idx):
-        valid = (cand >= 0) & (cand < kb.size)
-        c = np.clip(cand, 0, kb.size - 1)
-        same_doc = (kb[c] >> _POS_SHIFT) == docs_a
-        close = np.abs((kb[c] & _POS_MASK) - pos_a) <= q.k
-        hit |= valid & same_doc & close
-    return np.unique(docs_a[hit])
+    hit = np.zeros(ka.size, bool)
+    right = idx < kb.size
+    hit[right] = (kb[idx[right]] - ka[right]) <= kdist
+    left = idx > 0
+    hit[left] |= (ka[left] - kb[idx[left] - 1]) <= kdist
+    return np.unique(ka[hit] >> _POS_SHIFT)
 
 
 # ---------------------------------------------------------------------------
-# block-max WAND top-k (standard BM25, single-term OR queries)
+# block-max top-k (standard BM25, multi-term OR queries)
 # ---------------------------------------------------------------------------
-
-
-class _TermCursor:
-    """Posting cursor with O(1) amortized block-bound lookup and scalar BM25
-    evaluation (idf and length-norm constants precomputed — the per-doc hot
-    path is pure float arithmetic, no numpy object churn)."""
-
-    __slots__ = ("docs", "tfs", "df", "idx", "n", "ub", "block_last",
-                 "block_ub", "blk", "cur", "idf", "k1p1", "norm_c", "norm_dl")
-
-    def __init__(self, p: Posting, stats: Stats, cfg: SearchConfig):
-        self.docs = p.docs
-        self.tfs = p.tfs
-        self.df = p.df
-        self.n = int(p.docs.size)
-        self.idx = 0
-        self.cur = int(p.docs[0]) if self.n else 1 << 62
-        self.idf = idf_robertson(stats.n_docs, p.df)
-        self.k1p1 = cfg.k1 + 1.0
-        self.norm_c = cfg.k1 * (1 - cfg.b)
-        self.norm_dl = cfg.k1 * cfg.b / stats.avg_dl
-        if p.block_last is not None and len(p.block_last):
-            self.block_last = p.block_last
-            mt = np.asarray(p.block_max_tf, np.float64)
-            md = np.asarray(p.block_min_dl, np.float64)
-            self.block_ub = self.idf * (mt * self.k1p1) / (
-                mt + self.norm_c + self.norm_dl * md)
-        else:
-            self.block_last = p.docs[-1:]
-            self.block_ub = np.asarray([
-                bm25_upper_bound(int(p.tfs.max()), int(stats.doc_len[p.docs].min()),
-                                 p.df, stats, cfg)
-            ])
-        self.block_last = np.ascontiguousarray(self.block_last, np.int64)
-        self.ub = float(self.block_ub.max())
-        self.blk = 0
-
-    def advance(self) -> None:
-        self.idx += 1
-        self.cur = int(self.docs[self.idx]) if self.idx < self.n else 1 << 62
-
-    def seek(self, target: int) -> None:
-        if self.cur < target:
-            self.idx = int(np.searchsorted(self.docs, target, side="left"))
-            self.cur = int(self.docs[self.idx]) if self.idx < self.n else 1 << 62
-
-    def score_cur(self, dl: float) -> float:
-        tf = float(self.tfs[self.idx])
-        return self.idf * (tf * self.k1p1) / (tf + self.norm_c + self.norm_dl * dl)
-
-    def cur_block_ub(self) -> float:
-        # cursors only move forward → advance the block pointer monotonically
-        bl = self.block_last
-        b = self.blk
-        last = bl.size - 1
-        while b < last and bl[b] < self.cur:
-            b += 1
-        self.blk = b
-        return float(self.block_ub[b])
-
-    def cur_block_boundary(self) -> int:
-        self.cur_block_ub()
-        return int(self.block_last[self.blk])
-
-
-class _LazyTermCursor:
-    """Posting cursor over a block-addressable LazyPosting: blocks decode
-    on first touch; seeks that land exactly on a block's first doc (the
-    common case after a block-max skip) decode NOTHING — the skipped
-    posting mass never leaves the mmap."""
-
-    __slots__ = ("lp", "idx", "cur", "ub", "blk", "docs", "tfs",
-                 "idf", "k1p1", "norm_c", "norm_dl", "block_last", "block_ub",
-                 "nblocks", "df")
-
-    def __init__(self, lp, stats: Stats, cfg: SearchConfig):
-        self.lp = lp
-        self.df = lp.df
-        self.idf = idf_robertson(stats.n_docs, lp.df)
-        self.k1p1 = cfg.k1 + 1.0
-        self.norm_c = cfg.k1 * (1 - cfg.b)
-        self.norm_dl = cfg.k1 * cfg.b / stats.avg_dl
-        mt = lp.block_max_tf.astype(np.float64)
-        md = lp.block_min_dl.astype(np.float64)
-        self.block_ub = self.idf * (mt * self.k1p1) / (
-            mt + self.norm_c + self.norm_dl * md)
-        self.block_last = np.ascontiguousarray(lp.block_last, np.int64)
-        self.nblocks = int(self.block_last.size)
-        self.ub = float(self.block_ub.max()) if self.nblocks else 0.0
-        self.blk = 0
-        self.docs = None  # current block not decoded
-        self.tfs = None
-        self.idx = 0
-        self.cur = int(lp.block_first[0]) if self.nblocks else 1 << 62
-
-    def _load(self) -> None:
-        if self.docs is None:
-            self.docs, self.tfs = self.lp.block_docs_tfs(self.blk)
-
-    def advance(self) -> None:
-        self._load()
-        self.idx += 1
-        if self.idx < self.docs.size:
-            self.cur = int(self.docs[self.idx])
-            return
-        self.blk += 1
-        if self.blk >= self.nblocks:
-            self.cur = 1 << 62
-            return
-        self.docs = None
-        self.tfs = None
-        self.idx = 0
-        self.cur = int(self.lp.block_first[self.blk])
-
-    def seek(self, target: int) -> None:
-        if self.cur >= target:
-            return
-        b = self.blk + int(np.searchsorted(self.block_last[self.blk:], target,
-                                           side="left"))
-        if b >= self.nblocks:
-            self.cur = 1 << 62
-            return
-        if b != self.blk:
-            self.blk = b
-            self.docs = None
-            self.tfs = None
-            self.idx = 0
-            self.cur = int(self.lp.block_first[b])
-            if self.cur >= target:
-                return  # landed at (or past) the block start — no decode
-        self._load()
-        i = int(np.searchsorted(self.docs, target, side="left"))
-        self.idx = i
-        self.cur = int(self.docs[i])  # block_last[b] >= target ⇒ i in range
-
-    def score_cur(self, dl: float) -> float:
-        self._load()
-        tf = float(self.tfs[self.idx])
-        return self.idf * (tf * self.k1p1) / (tf + self.norm_c + self.norm_dl * dl)
-
-    def cur_block_ub(self) -> float:
-        return float(self.block_ub[self.blk])
-
-    def cur_block_boundary(self) -> int:
-        return int(self.block_last[self.blk])
 
 
 def wand_topk(provider: MiniIndexProvider, terms: list[str], k: int,
               stats: Stats, cfg: SearchConfig) -> tuple[np.ndarray, np.ndarray]:
-    """Block-max WAND: exact top-k by (score desc, doc_id asc) for standard
-    BM25 over the OR of ``terms``.  Prunes only on strict upper-bound <
-    threshold, so results are identical to exhaustive TAAT.  On providers
-    with block-addressable storage (lookup_lazy), pruned blocks are never
-    even decoded."""
-    cursors = []
+    """Exact BM25 top-k with block-level skipping — a vectorized
+    segment-sweep over the doc-range-aligned block layout (the block-max
+    idea of Ding & Suel 2011, restructured batch-wise instead of
+    doc-at-a-time WAND, whose per-posting Python loop loses to vectorized
+    TAAT by an order of magnitude).
+
+    Every term's dict blocks tile the doc axis in ascending disjoint
+    intervals; the union of all terms' block boundaries partitions the
+    axis into segments on which Σ per-term block upper bounds is a valid
+    score bound for every doc inside (a doc's postings for each term live
+    in exactly one block, so each doc is fully scored within one
+    segment).  Segments are processed in descending bound order with
+    vectorized accumulation; once the running k-th best score strictly
+    exceeds a segment's bound, all remaining segments are pruned — and
+    their blocks are NEVER DECODED (LazyPosting byte slices stay in the
+    mmap).  Prunes only on strict inequality and final-sorts by
+    (score desc, doc asc), so results are identical to exhaustive TAAT.
+    """
+    empty = (np.zeros(0, np.int64), np.zeros(0))
     lazy = getattr(provider, "lookup_lazy", None)
+    if lazy is None:
+        r = rank_singles(provider, list(terms), "bm25", stats, cfg)
+        return _top(r, k) if r is not None else empty
+    infos = []
+    k1p1 = cfg.k1 + 1.0
+    norm_c = cfg.k1 * (1 - cfg.b)
+    norm_dl = cfg.k1 * cfg.b / stats.avg_dl
     for t in set(terms):
-        if lazy is not None:
-            lp = lazy(t)
-            if lp is not None and lp.n_blocks:
-                cursors.append(_LazyTermCursor(lp, stats, cfg))
-        else:
-            p = provider.lookup(t, need_positions=False)
-            if p is not None:
-                cursors.append(_TermCursor(p, stats, cfg))
-    if not cursors:
-        return np.zeros(0, np.int64), np.zeros(0)
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-    INF = 1 << 62
+        lp = lazy(t)
+        if lp is None or lp.block_last.size == 0:
+            continue
+        idf = idf_robertson(stats.n_docs, lp.df)
+        mt = lp.block_max_tf.astype(np.float64)
+        md = lp.block_min_dl.astype(np.float64)
+        ub = idf * (mt * k1p1) / (mt + norm_c + norm_dl * md)
+        infos.append((lp, idf, ub))
+    if not infos:
+        return empty
+    bounds = np.unique(np.concatenate(
+        [lp.block_first for lp, _, _ in infos]
+        + [lp.block_last + 1 for lp, _, _ in infos]))
+    seg_start = bounds[:-1]
+    seg_end = bounds[1:]
+    nseg = seg_start.size
+    total_ub = np.zeros(nseg)
+    seg_blk: list[np.ndarray] = []
+    for lp, idf, ub in infos:
+        j = np.searchsorted(lp.block_last, seg_start, side="left")
+        jj = np.minimum(j, lp.block_last.size - 1)
+        covered = (j < lp.block_last.size) & (lp.block_first[jj] <= seg_start)
+        total_ub += np.where(covered, ub[jj], 0.0)
+        seg_blk.append(np.where(covered, jj, -1))
+    order = np.argsort(-total_ub, kind="stable")
     doc_len = stats.doc_len
-    ncur = len(cursors)
-    while True:
-        cursors.sort(key=lambda c: c.cur)
-        if cursors[0].cur >= INF:
-            break
-        # pivot: first cursor where the prefix ub sum could beat threshold
-        full = len(heap) >= k
-        theta = heap[0][0] if full else -math.inf
-        acc_ub = 0.0
-        pivot = -1
-        for i in range(ncur):
-            c = cursors[i]
-            if c.cur >= INF:
-                break
-            acc_ub += c.ub
-            # >= not >: a doc scoring exactly theta can still win its tie
-            # on smaller doc_id, so it must be evaluated, not pruned
-            if not full or acc_ub >= theta:
-                pivot = i
-                break
-        if pivot == -1:
-            break  # no combination can beat theta
-        pivot_doc = cursors[pivot].cur
-        if pivot_doc >= INF:
-            break
-        # extend over cursors parked at the SAME doc beyond the pivot: they
-        # contribute to pivot_doc's score, so the block bound must count them
-        ext = pivot
-        while ext + 1 < ncur and cursors[ext + 1].cur == pivot_doc:
-            ext += 1
+    caches: list[dict[int, tuple[np.ndarray, np.ndarray]]] = [{} for _ in infos]
+    top_docs = np.zeros(0, np.int64)
+    top_scores = np.zeros(0)
+    theta = -math.inf
+    CH = 32
+    for c0 in range(0, nseg, CH):
+        sel = order[c0:c0 + CH]
+        full = top_docs.size >= k
         if full:
-            block_ub = 0.0
-            for i in range(ext + 1):
-                block_ub += cursors[i].cur_block_ub()
-            if block_ub < theta:
-                # skip to past the earliest block boundary, but never past
-                # the next cursor's doc (where a new term becomes active and
-                # the bound no longer holds)
-                boundary = min(cursors[i].cur_block_boundary() for i in range(ext + 1))
-                if ext + 1 < ncur and cursors[ext + 1].cur < INF:
-                    boundary = min(boundary, cursors[ext + 1].cur - 1)
-                target = max(boundary + 1, pivot_doc + 1)
-                for i in range(ext + 1):
-                    cursors[i].seek(target)
+            if total_ub[sel[0]] < theta:
+                break  # order is descending — nothing left can compete
+            sel = sel[total_ub[sel] >= theta]
+            if sel.size == 0:
                 continue
-        if cursors[0].cur == pivot_doc:
-            # fully evaluate pivot_doc
-            score = 0.0
-            dl = float(doc_len[pivot_doc])
-            for c in cursors:
-                if c.cur == pivot_doc:
-                    score += c.score_cur(dl)
-                    c.advance()
-                elif c.cur > pivot_doc:
-                    break
-            item = (score, -pivot_doc)
-            if not full:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-        else:
-            for c in cursors:
-                if c.cur < pivot_doc:
-                    c.seek(pivot_doc)
-    ranked = sorted(heap, key=lambda it: (-it[0], -it[1]))
-    docs = np.asarray([-d for _, d in ranked], np.int64)
-    scores = np.asarray([s for s, _ in ranked])
-    return docs, scores
+        parts_docs: list[np.ndarray] = []
+        parts_w: list[np.ndarray] = []
+        for ti, (lp, idf, _ub) in enumerate(infos):
+            cache = caches[ti]
+            sb = seg_blk[ti][sel]
+            live = sb >= 0
+            if not live.any():
+                continue
+            missing = np.asarray(
+                [b for b in np.unique(sb[live]).tolist() if b not in cache],
+                np.int64)
+            if missing.size:
+                md, mt2, mst, mbn = lp.decode_blocks(missing)
+                for i, b in enumerate(missing.tolist()):
+                    s0, n0 = int(mst[i]), int(mbn[i])
+                    cache[b] = (md[s0:s0 + n0], mt2[s0:s0 + n0])
+            d_parts: list[np.ndarray] = []
+            t_parts: list[np.ndarray] = []
+            for s, b in zip(sel[live].tolist(), sb[live].tolist()):
+                bd, bt = cache[b]
+                lo = int(np.searchsorted(bd, seg_start[s], side="left"))
+                hi = int(np.searchsorted(bd, seg_end[s], side="left"))
+                if hi > lo:
+                    d_parts.append(bd[lo:hi])
+                    t_parts.append(bt[lo:hi])
+            if not d_parts:
+                continue
+            dd = np.concatenate(d_parts)
+            tf = np.concatenate(t_parts).astype(np.float64)
+            dl = doc_len[dd].astype(np.float64)
+            parts_docs.append(dd)
+            parts_w.append(idf * (tf * k1p1) / (tf + norm_c + norm_dl * dl))
+        if not parts_docs:
+            continue
+        all_docs = np.unique(np.concatenate(parts_docs))
+        scores = np.zeros(all_docs.size)
+        for dd, w in zip(parts_docs, parts_w):
+            scores[np.searchsorted(all_docs, dd)] += w
+        pool_d = np.concatenate([top_docs, all_docs])
+        pool_s = np.concatenate([top_scores, scores])
+        keep = np.lexsort((pool_d, -pool_s))[:k]
+        top_docs = pool_d[keep]
+        top_scores = pool_s[keep]
+        if top_docs.size >= k:
+            theta = float(top_scores.min())
+    order2 = np.lexsort((top_docs, -top_scores))
+    return top_docs[order2], top_scores[order2]
 
 
 # ---------------------------------------------------------------------------

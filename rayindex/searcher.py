@@ -68,6 +68,25 @@ class LazyPosting:
         s, e = self._block_span(self._boff_pos, self._pos_off, self._pos_len, b)
         return codec.decode_positions(self._buf[s:e], tfs)
 
+    def decode_blocks(self, bsel: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Decode several blocks in ONE vectorized pass (per-block
+        vb_decode overhead dominates when many small blocks are needed).
+        Returns (docs, tfs, starts, counts): block ``bsel[i]``'s run is
+        ``docs[starts[i] : starts[i] + counts[i]]``."""
+        ends_d = np.append(self._boff_doc[1:], self._doc_len)
+        doc_bytes = b"".join(
+            self._buf[self._doc_off + int(self._boff_doc[b]):
+                      self._doc_off + int(ends_d[b])] for b in bsel)
+        ends_t = np.append(self._boff_tf[1:], self._tf_len)
+        tf_bytes = b"".join(
+            self._buf[self._tf_off + int(self._boff_tf[b]):
+                      self._tf_off + int(ends_t[b])] for b in bsel)
+        bn = self.block_n[bsel]
+        docs = codec.segmented_delta_decode(codec.vb_decode(doc_bytes), bn)
+        tfs = codec.vb_decode(tf_bytes).astype(np.int64)
+        return docs, tfs, np.cumsum(bn) - bn, bn
+
 
 class IndexReader(MiniIndexProvider):
     """Loads one build's artifacts; serves per-term postings zero-copy."""
@@ -210,35 +229,45 @@ class IndexReader(MiniIndexProvider):
         if lp is None:
             return None
         docs = np.asarray(docs, np.int64)
-        out_d: list[np.ndarray] = []
-        out_t: list[np.ndarray] = []
-        out_p: list[np.ndarray] = []
-        if docs.size:
-            bsel = np.unique(np.searchsorted(lp.block_last, docs, side="left"))
-            bsel = bsel[bsel < lp.n_blocks]
-            for b in bsel.tolist():
-                bdocs, btfs = lp.block_docs_tfs(b)
-                mask = np.isin(bdocs, docs, assume_unique=True)
-                if not mask.any():
-                    continue
-                pos = lp.block_positions(b, btfs)
-                starts = np.cumsum(btfs) - btfs
-                sel = np.flatnonzero(mask)
-                lens = btfs[sel]
-                base = np.cumsum(lens) - lens
-                take = (np.repeat(starts[sel], lens)
-                        + np.arange(int(lens.sum())) - np.repeat(base, lens))
-                out_d.append(bdocs[sel])
-                out_t.append(lens)
-                out_p.append(pos[take])
-        if not out_d:
-            z = np.zeros(0, np.int64)
-            return Posting(docs=z, tfs=z.copy(), positions=z.copy())
-        return Posting(
-            docs=np.concatenate(out_d),
-            tfs=np.concatenate(out_t),
-            positions=np.concatenate(out_p),
-        )
+        empty = np.zeros(0, np.int64)
+        if docs.size == 0 or lp.n_blocks == 0:
+            return Posting(docs=empty, tfs=empty.copy(), positions=empty.copy())
+        bsel = np.unique(np.searchsorted(lp.block_last, docs, side="left"))
+        bsel = bsel[bsel < lp.n_blocks]
+        if bsel.size == 0:
+            return Posting(docs=empty, tfs=empty.copy(), positions=empty.copy())
+        # gather the selected blocks' byte ranges (cheap slice loop), then
+        # decode everything in ONE vectorized pass per stream
+        buf = lp._buf
+
+        def spans(boff: np.ndarray, base: int, total: int) -> list[tuple[int, int]]:
+            ends = np.append(boff[1:], total)
+            return [(base + int(boff[b]), base + int(ends[b])) for b in bsel]
+
+        doc_bytes = b"".join(buf[s:e] for s, e in
+                             spans(lp._boff_doc, lp._doc_off, lp._doc_len))
+        tf_bytes = b"".join(buf[s:e] for s, e in
+                            spans(lp._boff_tf, lp._tf_off, lp._tf_len))
+        bn = lp.block_n[bsel]
+        docs_all = codec.segmented_delta_decode(codec.vb_decode(doc_bytes), bn)
+        tfs_all = codec.vb_decode(tf_bytes).astype(np.int64)
+        mask = np.isin(docs_all, docs, assume_unique=True)
+        sel = np.flatnonzero(mask)
+        if sel.size == 0:
+            return Posting(docs=empty, tfs=empty.copy(), positions=empty.copy())
+        pos_bytes = b"".join(buf[s:e] for s, e in
+                             spans(lp._boff_pos, lp._pos_off, lp._pos_len))
+        pos_all = codec.decode_positions(pos_bytes, tfs_all)
+        if sel.size == docs_all.size:
+            # every decoded doc is a candidate (hot term, broad candidate
+            # set) — skip the O(total positions) subset gather
+            return Posting(docs=docs_all, tfs=tfs_all, positions=pos_all)
+        starts = np.cumsum(tfs_all) - tfs_all
+        lens = tfs_all[sel]
+        base = np.cumsum(lens) - lens
+        take = (np.repeat(starts[sel], lens)
+                + np.arange(int(lens.sum())) - np.repeat(base, lens))
+        return Posting(docs=docs_all[sel], tfs=lens, positions=pos_all[take])
 
     # -- convenience --------------------------------------------------------
 

@@ -6,7 +6,15 @@ shut down at teardown; individual tests must never call ray.init/shutdown.
 
 from __future__ import annotations
 
+import os
+
 import pytest
+
+# keep freed heap pages resident (this sandbox's VM reclaims free guest
+# pages and re-faulting is ~0.1 ms/page); must be set before ray.init so
+# workers inherit it — see bench._prewarm_memory for measurements
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
 
 
 @pytest.fixture(scope="session")

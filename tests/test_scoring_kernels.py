@@ -48,8 +48,8 @@ def test_phrase_tf_matches_reference_kernel(data):
         return
     ps = _make_postings(per_term)
     inter = np.asarray(docs_all, np.int64)
-    got = _phrase_tf(ps, inter)
-    assert got == expected
+    gd, gc = _phrase_tf(ps, inter)
+    assert dict(zip(gd.tolist(), gc.tolist())) == expected
 
 
 def test_phrase_tf_repeated_pair_type_quirk():
@@ -59,8 +59,8 @@ def test_phrase_tf_repeated_pair_type_quirk():
     lists = [[1, 3], [2, 4], [9]]
     assert consecutive_occ(lists) == 1
     ps = _make_postings([{1: lists[0]}, {1: lists[1]}, {1: lists[2]}])
-    got = _phrase_tf(ps, np.asarray([1], np.int64))
-    assert got == {1: 1}
+    gd, gc = _phrase_tf(ps, np.asarray([1], np.int64))
+    assert dict(zip(gd.tolist(), gc.tolist())) == {1: 1}
 
 
 def test_pos_keys_roundtrip():
