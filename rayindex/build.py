@@ -109,6 +109,123 @@ def _assign_ids_and_verify(t: pa.Table, offset: int, verify: bool) -> pa.Table:
     return t.select([c for c in cols if c in t.column_names])
 
 
+def _ingest_units(source: str) -> list[tuple[str, int]]:
+    """(file, row_group) work units — row-group granularity keeps a
+    single-giant-file corpus parallel."""
+    files = sorted(glob.glob(os.path.join(source, "*.parquet")))
+    if not files:
+        files = [source]
+    units: list[tuple[str, int]] = []
+    for f in files:
+        try:
+            n_rg = pq.ParquetFile(f).num_row_groups
+        except Exception:
+            n_rg = 1
+        units.extend((f, rg) for rg in range(max(n_rg, 1)))
+    return units
+
+
+@ray.remote
+def _unit_keys(unit_idx: int, path: str, rg: int, max_bytes: int) -> pa.Table:
+    """Pass 1: sort keys + content sha for one row group.  Content is read
+    once here (for the oversize filter + the invariant hash) and DISCARDED
+    — only (repo, path, sha, provenance) rows ever enter the sort."""
+    t = pq.ParquetFile(path).read_row_group(rg, columns=["repo", "path", "content"])
+    keep = pc.less_equal(
+        pc.binary_length(pc.cast(t["content"], pa.large_binary())), max_bytes)
+    t = t.filter(pc.fill_null(keep, False))
+    return pa.table({
+        "repo": t["repo"],
+        "path": t["path"],
+        "sha": _sha256_batch(t["content"]),
+        "unit_idx": pa.array(np.full(t.num_rows, unit_idx, np.int64)),
+        "row_idx": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+    })
+
+
+@ray.remote
+def _attach_rank(t: pa.Table, offset: int) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table({
+            "unit_idx": pa.array([], pa.int64()),
+            "row_idx": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "sha": pa.array([], pa.string()),
+        })
+    return pa.table({
+        "unit_idx": t["unit_idx"],
+        "row_idx": t["row_idx"],
+        "doc_id": pa.array(np.arange(offset + 1, offset + 1 + t.num_rows,
+                                     dtype=np.int64)),
+        "sha": t["sha"],
+    })
+
+
+def _stage_ingest_files(source: str, out: str, cfg: BuildConfig) -> dict[str, Any]:
+    """Key-only ingest for file sources: doc ids are assigned by sorting a
+    (repo, path, sha, provenance) KEY table; the content column never
+    enters a shuffle and is never pinned — each (file, row group) unit is
+    re-read locally in the write task, ids are attached by provenance, and
+    the re-read content's sha256 must equal the pass-1 hash (the ingest
+    invariant, now held ACROSS two independent reads).  Output is one
+    doc-store partition per unit (resumable layout)."""
+    units = _ingest_units(source)
+    max_bytes = cfg.max_content_bytes
+    key_refs = [_unit_keys.remote(i, f, rg, max_bytes)
+                for i, (f, rg) in enumerate(units)]
+    keys = ray.data.from_arrow_refs(key_refs)
+    # (unit, row) in the sort key makes duplicate (repo, path) rows
+    # deterministic too
+    keys = keys.sort(["repo", "path", "unit_idx", "row_idx"])
+    refs = keys.materialize().to_arrow_refs()
+    counts = ray.get([_block_len.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    ranked_refs = [_attach_rank.remote(r, int(off))
+                   for r, off, n in zip(refs, offsets, counts) if n > 0]
+    if not ranked_refs:
+        pa_empty = pa.table({f.name: pa.array([], f.type) for f in schema.DOC_STORE},
+                            schema=schema.DOC_STORE)
+        pq.write_table(pa_empty, os.path.join(out, "part-000000.parquet"))
+        return {"n_docs": 0, "n_blocks": 0}
+    ranked = ray.data.from_arrow_refs(ranked_refs)
+    verify = cfg.verify_sha256
+
+    def attach_write(group: pa.Table) -> pa.Table:
+        stats_empty = pa.table({"n": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return stats_empty
+        ui = int(group["unit_idx"][0].as_py())
+        path, rg = units[ui]
+        t = pq.ParquetFile(path).read_row_group(rg)
+        keep = pc.less_equal(
+            pc.binary_length(pc.cast(t["content"], pa.large_binary())), max_bytes)
+        t = t.filter(pc.fill_null(keep, False))
+        order = pc.sort_indices(group["row_idx"])
+        g = group.take(order)
+        if g.num_rows != t.num_rows:
+            raise ValueError(
+                f"ingest unit {ui}: {g.num_rows} key rows vs {t.num_rows} "
+                "source rows — source changed between passes")
+        sha2 = _sha256_batch(t["content"])
+        if verify and not pc.all(pc.equal(sha2, g["sha"])).as_py():
+            raise ValueError(
+                f"ingest sha256 mismatch re-reading unit {ui} (pass-1 hash "
+                "vs write-pass content)")
+        t = t.append_column("doc_id", g["doc_id"]).append_column(
+            "content_sha256", sha2)
+        cols = ["doc_id", "repo", "path", "commit", "lang", "content",
+                "content_sha256"]
+        t = t.select([c for c in cols if c in t.column_names])
+        tmp = os.path.join(out, f"part-{ui:06d}.parquet.tmp-{os.getpid()}")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(out, f"part-{ui:06d}.parquet"))
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    res = ranked.groupby("unit_idx").map_groups(attach_write, batch_format="pyarrow")
+    n_docs = int(res.to_pandas()["n"].sum())
+    return {"n_docs": n_docs, "n_blocks": len(units)}
+
+
 def _stage_ingest(ds: ray.data.Dataset, out: str, cfg: BuildConfig) -> dict[str, Any]:
     max_bytes = cfg.max_content_bytes
 
@@ -898,12 +1015,10 @@ def build_index(
 
     def ingest(d):
         if isinstance(source, str):
-            # the ingest read feeds the global sort — coalesce tiny files
-            ds = ray.data.read_parquet(
-                source, override_num_blocks=_shuffle_read_blocks(source))
-        else:
-            ds = source
-        return _stage_ingest(ds, d, cfg)
+            # file sources get the key-only ingest: doc ids from a sort of
+            # (repo, path, sha) keys; content never enters a shuffle
+            return _stage_ingest_files(source, d, cfg)
+        return _stage_ingest(source, d, cfg)
 
     stats_dir = os.path.join(out_dir, "stats")
 

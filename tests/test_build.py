@@ -103,6 +103,16 @@ def test_build_deterministic_across_partitioning(ray_session, tmp_path):
         build_index(str(s), str(out), cfg)
         outs.append(out)
 
+    # o4: Dataset source (the sort-based ingest) must yield artifacts
+    # byte-identical to the key-only file ingest
+    import ray.data
+
+    out4 = tmp_path / "o4"
+    cfg4 = BuildConfig(num_shards=4, tokenize_batch_size=16)
+    build_index(ray.data.from_arrow(tbl).repartition(3), str(out4), cfg4,
+                input_token="det-test-ds")
+    outs.append(out4)
+
     for other in outs[1:]:
         for f1 in sorted(glob.glob(str(outs[0] / "shards" / "*.bin"))):
             f2 = str(other / "shards" / os.path.basename(f1))
