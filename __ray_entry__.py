@@ -286,6 +286,91 @@ def _q_lm_topk(sf_dir: str) -> pa.Table:
     return _micro_rank(rows, 10)
 
 
+VSM_QUERIES = [(0, "dup"), (1, "dup scan"), (2, "dup merge window"),
+               (3, "dup zzznosuchterm"), (4, "scan merge")]
+
+
+def _q_vsm_scores(sf_dir: str) -> pa.Table:
+    """VSM cosine scorer parity (reference vsm_model.py semantics: union
+    candidates, log10 weights, >=0 clamp, df<N guard): every positive
+    (query, doc, score) pair, uncapped — on this corpus all positive
+    cosines tie (one rare term), so top-k rank order is vacuous but the
+    VALUES fully exercise the formula; search-level vsm ranking is gated
+    by the rank-identity pytest."""
+    from rayindex import analysis
+    from rayindex.config import SearchConfig
+    from rayindex.scoring import rank_singles
+    from rayindex.searcher import IndexReader
+
+    analyzer, _, _ = _ascii_cfgs()
+    index_dir, id_map = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    rows = {"query_id": [], "doc_id": [], "score_micro": []}
+    for qid, qtext in VSM_QUERIES:
+        toks = analysis.tokenize_text(qtext, analyzer)
+        res = rank_singles(r, toks, "vsm", r.stats, SearchConfig())
+        if res is None:
+            continue
+        docs, scores = res
+        micro = np.rint(scores * 1e6).astype(np.int64)
+        keep = micro > 0
+        rows["query_id"].extend([qid] * int(keep.sum()))
+        rows["doc_id"].extend(id_map[docs[keep]].tolist())
+        rows["score_micro"].extend(micro[keep].tolist())
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score_micro": pa.array(rows["score_micro"], pa.int64()),
+    })
+
+
+def _q_lm_pyp_topk(sf_dir: str) -> pa.Table:
+    """LM Pitman-Yor (mu=1303, g=0.2, df-as-cf quirk) top-10 for
+    single-term queries — the reference's DEFAULT language model
+    (language_model.py:18-51)."""
+    from rayindex.searcher import IndexReader
+
+    analyzer, _, _ = _ascii_cfgs()
+    index_dir, id_map = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    rows = {"query_id": [], "doc_id": [], "score_micro": []}
+    for qid, qtext in LM_QUERIES:
+        res = r.search(qtext, k=18, analyzer=analyzer, scorer="lm")
+        for doc, score in res:
+            rows["query_id"].append(qid)
+            rows["doc_id"].append(int(id_map[doc]))
+            rows["score_micro"].append(int(np.rint(score * 1e6)))
+    return _micro_rank(rows, 10)
+
+
+def _q_boolean_or_docs(sf_dir: str) -> pa.Table:
+    from rayindex.config import SearchConfig
+    from rayindex.query import parse_query
+    from rayindex.scoring import boolean_docs
+    from rayindex.searcher import IndexReader
+
+    analyzer, _, _ = _ascii_cfgs()
+    index_dir, id_map = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    q = parse_query("scan OR window", analyzer)
+    docs = boolean_docs(r, q, r.stats, SearchConfig())
+    return pa.table({"doc_id": pa.array(np.sort(id_map[docs]), pa.int64())})
+
+
+def _q_boolean_andnot_docs(sf_dir: str) -> pa.Table:
+    from rayindex.config import SearchConfig
+    from rayindex.query import parse_query
+    from rayindex.scoring import boolean_docs
+    from rayindex.searcher import IndexReader
+
+    analyzer, _, _ = _ascii_cfgs()
+    index_dir, id_map = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    q = parse_query("scan AND NOT window", analyzer)
+    docs = boolean_docs(r, q, r.stats, SearchConfig())
+    return pa.table({"doc_id": pa.array(np.sort(id_map[docs]), pa.int64())})
+
+
 def _q_embedding_neardup(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -344,7 +429,9 @@ def _q_langid(sf_dir: str):
     from rayindex.datapipe.text import langid_batch
 
     ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    return ds.map_batches(langid_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(langid_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return out.map_batches(lambda t: _micro_cols(t, ("lang_conf",)),
+                           batch_format="pyarrow")
 
 
 def _q_simhash(sf_dir: str):
@@ -494,6 +581,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_lang": _q_bm25_topk_lang,
         "boolean_and_docs": _q_boolean_and_docs,
+        "boolean_or_docs": _q_boolean_or_docs,
+        "boolean_andnot_docs": _q_boolean_andnot_docs,
+        "vsm_scores": _q_vsm_scores,
+        "lm_pyp_topk": _q_lm_pyp_topk,
         "phrase_match_docs": _q_phrase_match_docs,
         "proximity_docs": _q_proximity_docs,
         "lm_topk": _q_lm_topk,
@@ -528,6 +619,24 @@ pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
         FROM docs),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+"""
+
+# FNV-1a 64 over each token, in pure SQL: xor folds into the low 7 bits
+# (byte < 128) so it stays in BIGINT; the multiply runs in HUGEINT mod 2^64
+_FNV_CTE = """
+tokl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tl
+         FROM documents),
+th AS (SELECT doc_id, generate_subscripts(tl, 1) AS i,
+              list_reduce(
+                list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                             list_transform(string_split(unnest(tl), ''),
+                                            c -> CAST(ord(c) AS HUGEINT))),
+                (h, b) -> ((h - (h % 128)
+                            + CAST(xor(CAST(h % 128 AS BIGINT),
+                                       CAST(b AS BIGINT)) AS HUGEINT))
+                           * 1099511628211) % 18446744073709551616
+              ) AS h
+       FROM tokl)
 """
 
 
@@ -610,6 +719,132 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT doc_id FROM tf WHERE term = 'customer'
             ORDER BY doc_id LIMIT 500
+        """,
+        "boolean_or_docs": f"""
+            WITH {_TOKS_CTE}
+            SELECT doc_id FROM tf WHERE term = 'scan'
+            UNION
+            SELECT doc_id FROM tf WHERE term = 'window'
+            ORDER BY doc_id LIMIT 500
+        """,
+        "boolean_andnot_docs": f"""
+            WITH {_TOKS_CTE}
+            SELECT doc_id FROM tf WHERE term = 'scan'
+            EXCEPT
+            SELECT doc_id FROM tf WHERE term = 'window'
+            ORDER BY doc_id LIMIT 500
+        """,
+        "vsm_scores": f"""
+            WITH {_TOKS_CTE},
+            stats AS (SELECT count(*) AS n FROM dl),
+            q(query_id, term) AS (VALUES {", ".join(
+                f"({qid}, '{t}')" for qid, qtext in VSM_QUERIES
+                for t in sorted(set(qtext.split())))}),
+            qw AS (SELECT q.query_id, q.term,
+                          log10(stats.n / dfq.df::DOUBLE) AS wq, dfq.df, stats.n
+                   FROM q JOIN dfq USING (term) CROSS JOIN stats),
+            qmag AS (SELECT query_id, sqrt(sum(wq*wq)) AS qm
+                     FROM qw GROUP BY query_id),
+            dw AS (SELECT qw.query_id, tf.doc_id, qw.wq,
+                          CASE WHEN qw.df < qw.n
+                               THEN greatest((1 + log10(tf.tf))
+                                    * log10((qw.n - qw.df)::DOUBLE / qw.df), 0)
+                               ELSE 0 END AS wd
+                   FROM qw JOIN tf USING (term)),
+            scored AS (SELECT query_id, doc_id, sum(wd*wq) AS dot,
+                              sqrt(sum(wd*wd)) AS dm
+                       FROM dw GROUP BY query_id, doc_id),
+            micro AS (SELECT s.query_id, s.doc_id,
+                           CAST(round(CASE WHEN s.dm * m.qm > 0
+                                           THEN s.dot / (s.dm * m.qm)
+                                           ELSE 0 END * 1e6) AS BIGINT)
+                             AS score_micro
+                      FROM scored s JOIN qmag m USING (query_id))
+            SELECT query_id, doc_id, score_micro
+            FROM micro WHERE score_micro > 0
+        """,
+        "lm_pyp_topk": f"""
+            WITH {_TOKS_CTE},
+            stats AS (SELECT sum(dl)::DOUBLE AS tot FROM dl),
+            q(query_id, term) AS (VALUES {", ".join(
+                f"({i}, '{t}')" for i, t in LM_QUERIES)}),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                ln((greatest(tf.tf - 0.2 * power(tf.tf, 0.2), 0) * stats.tot)
+                   / (1303.0 * dfq.df) + 1)
+                + ln(1 - greatest(dl.dl - 0.2 * power(dl.dl, 0.2), 0)
+                     / (dl.dl + 1303.0)) AS s
+              FROM q JOIN tf USING (term) JOIN dfq USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+            micro AS (SELECT query_id, doc_id,
+                   CAST(round(s * 1e6) AS BIGINT) AS score_micro FROM scored)
+            SELECT query_id, doc_id, score_micro,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
+            FROM micro
+            QUALIFY rank <= 10
+        """,
+        "langid": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text), '[a-z0-9_]+') AS tl
+                          FROM documents),
+            dtd AS (SELECT DISTINCT doc_id, unnest(tl) AS t FROM toks),
+            profiles(lang, pri, words) AS (VALUES
+              ('en', 0, ['the','and','of','to','in','is','was','for','with','that']),
+              ('de', 1, ['der','die','das','und','ist','nicht','ein','mit','von','zu']),
+              ('fr', 2, ['le','la','les','et','est','un','une','des','que','pour']),
+              ('es', 3, ['el','la','los','las','es','un','una','que','por','para'])),
+            hits AS (SELECT d.doc_id, p.lang, p.pri, count(*) AS n
+                     FROM dtd d JOIN profiles p ON list_contains(p.words, d.t)
+                     GROUP BY d.doc_id, p.lang, p.pri),
+            best AS (SELECT doc_id, lang, n,
+                            row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY n DESC, pri ASC) AS rn
+                     FROM hits)
+            SELECT d.doc_id,
+                   coalesce(b.lang, 'und') AS lang_pred,
+                   CAST(coalesce(b.n, 0) * 100000 AS BIGINT) AS lang_conf_micro
+            FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1 AND n > 0) b
+              ON d.doc_id = b.doc_id
+        """,
+        "fingerprint": f"""
+            WITH {_FNV_CTE},
+            hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM th GROUP BY doc_id),
+            roll AS (
+              SELECT doc_id,
+                CASE WHEN len(hs) = 0 THEN 0
+                     WHEN len(hs) < 8 THEN
+                       list_reduce(list_prepend(CAST(0 AS HUGEINT), hs),
+                                   (a, x) -> (a * 1000003 + x)
+                                             % 18446744073709551616)
+                     ELSE
+                       list_min(list_transform(range(1, len(hs) - 6),
+                         i -> list_reduce(
+                                list_prepend(CAST(0 AS HUGEINT),
+                                             list_slice(hs, i, i + 7)),
+                                (a, x) -> (a * 1000003 + x)
+                                          % 18446744073709551616)))
+                END AS fp
+              FROM hl)
+            SELECT d.doc_id, CAST(coalesce(r.fp, 0) AS UBIGINT) AS fingerprint
+            FROM documents d LEFT JOIN roll r ON d.doc_id = r.doc_id
+        """,
+        "simhash": f"""
+            WITH {_FNV_CTE},
+            bits AS (
+              SELECT th.doc_id, b.b,
+                     sum(CASE WHEN CAST((th.h // (CAST(1 AS HUGEINT)
+                              << CAST(b.b AS INT))) % 2 AS INT) = 1
+                              THEN 1 ELSE -1 END) AS vote
+              FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b
+              GROUP BY th.doc_id, b.b),
+            sig AS (SELECT doc_id,
+                           sum(CASE WHEN vote > 0
+                                    THEN (CAST(1 AS HUGEINT) << CAST(b AS INT))
+                                    ELSE 0 END) AS s
+                    FROM bits GROUP BY doc_id)
+            SELECT d.doc_id, CAST(coalesce(sig.s, 0) AS UBIGINT) AS simhash
+            FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
         """,
         "phrase_match_docs": f"""
             WITH {_TOKS_CTE}
