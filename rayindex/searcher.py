@@ -23,6 +23,7 @@ from __future__ import annotations
 import glob
 import mmap
 import os
+from typing import Any
 
 import numpy as np
 import pandas as pd
@@ -88,21 +89,74 @@ class LazyPosting:
         return docs, tfs, np.cumsum(bn) - bn, bn
 
 
+class _RangedBlob:
+    """Byte-range access over an fsspec file: every ``buf[s:e]`` becomes a
+    ranged ``cat_file`` read — the object-store serving path (the
+    reference fetches posting byte ranges from GCS the same way,
+    /root/reference/search/retrieval/retrieval_helpers/index_loader.py:13-69).
+    No full-file fetch ever happens; ``reads`` records (start, stop) for
+    tests to assert that."""
+
+    __slots__ = ("fs", "path", "size", "reads")
+
+    def __init__(self, fs, path: str, size: int):
+        self.fs = fs
+        self.path = path
+        self.size = size
+        self.reads: list[tuple[int, int]] = []
+
+    def __len__(self) -> int:
+        return self.size
+
+    def __getitem__(self, sl: slice) -> bytes:
+        s = int(sl.start or 0)
+        e = self.size if sl.stop is None else int(sl.stop)
+        self.reads.append((s, e))
+        if e <= s:
+            return b""
+        return self.fs.cat_file(self.path, start=s, end=e)
+
+
+def _shard_id_of(path: str) -> int:
+    name = os.path.basename(path)
+    return int(name.split("_")[1].split(".")[0])
+
+
 class IndexReader(MiniIndexProvider):
-    """Loads one build's artifacts; serves per-term postings zero-copy."""
+    """Loads one build's artifacts; serves per-term postings zero-copy from
+    a local mmap, or by byte-range reads when ``index_dir`` is a URI
+    (``file://``, ``s3://``, ... — anything fsspec resolves): the index on
+    object storage is queryable without downloading the blobs.
+
+    ``shard_subset`` restricts the reader to the given shard ids (the
+    sharded-actor ownership split: each actor owns ``crc32(term) %
+    num_shards`` subsets and out-of-subset terms simply miss)."""
 
     _BLOCK_COLS = ("block_first", "block_last", "block_n", "block_max_tf",
                    "block_min_dl", "block_doc_boff", "block_tf_boff",
                    "block_pos_boff")
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, shard_subset: set[int] | None = None):
         self.index_dir = index_dir
-        shard_dir = os.path.join(index_dir, "shards")
-        self._files: list[mmap.mmap | bytes] = []
-        self._lookup: dict[str, tuple[int, int]] = {}  # term -> (shard, row)
+        self._remote = "://" in index_dir
+        if self._remote:
+            import fsspec
+
+            self._fs, root = fsspec.core.url_to_fs(index_dir)
+            shard_dir = root.rstrip("/") + "/shards"
+            dict_paths = sorted(self._fs.glob(shard_dir + "/*.dict.parquet"))
+        else:
+            self._fs = None
+            shard_dir = os.path.join(index_dir, "shards")
+            dict_paths = sorted(glob.glob(os.path.join(shard_dir, "*.dict.parquet")))
+        if shard_subset is not None:
+            dict_paths = [p for p in dict_paths if _shard_id_of(p) in shard_subset]
+        self.shard_ids = [_shard_id_of(p) for p in dict_paths]
+        self._files: list[mmap.mmap | bytes | _RangedBlob] = []
+        self._lookup: dict[str, tuple[int, int]] = {}  # term -> (slot, row)
         self._dicts: list[dict[str, np.ndarray]] = []
-        for sid, dict_path in enumerate(sorted(glob.glob(os.path.join(shard_dir, "*.dict.parquet")))):
-            t = pq.read_table(dict_path)
+        for sid, dict_path in enumerate(dict_paths):
+            t = self._read_parquet(dict_path)
             cols = {
                 "df": t["df"].to_numpy(),
                 "cf": t["cf"].to_numpy(),
@@ -124,16 +178,29 @@ class IndexReader(MiniIndexProvider):
             for row, term in enumerate(t["term"].to_pylist()):
                 self._lookup[term] = (sid, row)
             bin_path = dict_path.replace(".dict.parquet", ".bin")
-            size = os.path.getsize(bin_path)
-            if size:
-                f = open(bin_path, "rb")
-                self._files.append(mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ))
+            if self._remote:
+                size = self._fs.size(bin_path)
+                self._files.append(_RangedBlob(self._fs, bin_path, size)
+                                   if size else b"")
             else:
-                self._files.append(b"")
-        stats_dir = os.path.join(index_dir, "stats")
-        cs = pq.read_table(os.path.join(stats_dir, "collection_stats.parquet")).to_pylist()[0]
-        ds_t = pq.read_table(os.path.join(stats_dir, "doc_stats"),
-                             columns=["doc_id", "n_tokens", "lang"])
+                size = os.path.getsize(bin_path)
+                if size:
+                    f = open(bin_path, "rb")
+                    self._files.append(mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ))
+                else:
+                    self._files.append(b"")
+        if self._remote:
+            stats_dir = index_dir.rstrip("/") + "/stats"
+            cs = self._read_parquet(
+                self._strip(stats_dir) + "/collection_stats.parquet").to_pylist()[0]
+            ds_t = self._read_parquet_dir(
+                self._strip(stats_dir) + "/doc_stats",
+                columns=["doc_id", "n_tokens", "lang"])
+        else:
+            stats_dir = os.path.join(index_dir, "stats")
+            cs = pq.read_table(os.path.join(stats_dir, "collection_stats.parquet")).to_pylist()[0]
+            ds_t = pq.read_table(os.path.join(stats_dir, "doc_stats"),
+                                 columns=["doc_id", "n_tokens", "lang"])
         doc_ids = ds_t["doc_id"].to_numpy()
         doc_len = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 1, np.int64)
         doc_len[doc_ids] = ds_t["n_tokens"].to_numpy()
@@ -145,6 +212,21 @@ class IndexReader(MiniIndexProvider):
         self._lang_docs = doc_ids
         self._lang_vals = np.asarray(ds_t["lang"].to_pylist(), object)
         self._lang_cache: dict[str, np.ndarray] = {}
+
+    def _strip(self, uri: str) -> str:
+        import fsspec
+
+        return fsspec.core.url_to_fs(uri)[1].rstrip("/")
+
+    def _read_parquet(self, path: str, columns=None) -> pa.Table:
+        if self._remote:
+            with self._fs.open(path, "rb") as f:
+                return pq.read_table(f, columns=columns)
+        return pq.read_table(path, columns=columns)
+
+    def _read_parquet_dir(self, root: str, columns=None) -> pa.Table:
+        parts = sorted(self._fs.glob(root.rstrip("/") + "/*.parquet"))
+        return pa.concat_tables([self._read_parquet(p, columns) for p in parts])
 
     def allowed_for_lang(self, lang: str) -> np.ndarray:
         """Doc set for a metadata filter (the reference's date2doc analog,
@@ -356,6 +438,143 @@ def search_dataset(queries, index_dir: str,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class _ShardActor:
+    """Actor body: owns a disjoint shard subset's dictionaries + blobs."""
+
+    def __init__(self, index_dir: str, shard_ids: list[int]):
+        self.r = IndexReader(index_dir, shard_subset=set(shard_ids))
+
+    def postings(self, term: str, need_positions: bool):
+        p = self.r.lookup(term, need_positions)
+        return None if p is None else (p.docs, p.tfs, p.positions)
+
+    def positions_for(self, term: str, docs: np.ndarray):
+        p = self.r.fetch_positions(term, docs)
+        return None if p is None else (p.docs, p.tfs, p.positions)
+
+    def contains(self, term: str) -> bool:
+        return self.r.contains(term)
+
+
+class ShardedSearchPool(MiniIndexProvider):
+    """Distributed index memory: ``num_actors`` Ray actors each own a
+    disjoint subset of the shards (``crc32(term) % num_shards`` routes
+    every term to exactly one owner — the partitioning key baked into the
+    artifact layout), the driver scatters per-term posting fetches to the
+    owners and runs the scoring kernels locally.  Results are identical
+    to the single-reader path BY CONSTRUCTION for every query kind,
+    because only posting transport is distributed, never scoring
+    semantics.  This is the multi-node serving shape: no actor holds more
+    than its shards' dictionaries (the round-1 every-actor-loads-
+    everything scale ceiling), and adding actors shrinks per-actor memory
+    linearly.  On a real cluster the per-term fetch for hot terms would
+    additionally push partial TAAT scoring into the owners; the transport
+    here ships decoded numpy arrays through the object store (zero-copy
+    reads)."""
+
+    def __init__(self, index_dir: str, num_actors: int = 2,
+                 num_cpus: float = 1.0):
+        import ray
+
+        from rayindex.build import term_shard
+
+        self._term_shard = term_shard
+        if "://" in index_dir:
+            import fsspec
+
+            fs, root = fsspec.core.url_to_fs(index_dir)
+            paths = sorted(fs.glob(root.rstrip("/") + "/shards/*.dict.parquet"))
+        else:
+            paths = sorted(glob.glob(os.path.join(index_dir, "shards", "*.dict.parquet")))
+        shard_ids = [_shard_id_of(p) for p in paths]
+        self.num_shards = len(shard_ids)
+        num_actors = max(1, min(num_actors, self.num_shards))
+        parts: list[list[int]] = [[] for _ in range(num_actors)]
+        for i, sid in enumerate(shard_ids):
+            parts[i % num_actors].append(sid)
+        actor_cls = ray.remote(num_cpus=num_cpus)(_ShardActor)
+        self.actors = [actor_cls.remote(index_dir, ids) for ids in parts]
+        self._owner: dict[int, Any] = {}
+        for actor, ids in zip(self.actors, parts):
+            for sid in ids:
+                self._owner[sid] = actor
+        # collection + doc metadata stay driver-side (small tables)
+        probe = IndexReader.__new__(IndexReader)
+        probe._remote = "://" in index_dir
+        if probe._remote:
+            import fsspec
+
+            probe._fs = fsspec.core.url_to_fs(index_dir)[0]
+        else:
+            probe._fs = None
+        if probe._remote:
+            stats_root = probe._strip(index_dir) + "/stats"
+            cs = probe._read_parquet(stats_root + "/collection_stats.parquet").to_pylist()[0]
+            ds_t = probe._read_parquet_dir(stats_root + "/doc_stats",
+                                           columns=["doc_id", "n_tokens", "lang"])
+        else:
+            stats_dir = os.path.join(index_dir, "stats")
+            cs = pq.read_table(os.path.join(stats_dir, "collection_stats.parquet")).to_pylist()[0]
+            ds_t = pq.read_table(os.path.join(stats_dir, "doc_stats"),
+                                 columns=["doc_id", "n_tokens", "lang"])
+        doc_ids = ds_t["doc_id"].to_numpy()
+        doc_len = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 1, np.int64)
+        doc_len[doc_ids] = ds_t["n_tokens"].to_numpy()
+        self.stats = Stats(n_docs=cs["n_docs"], total_tokens=cs["total_tokens"],
+                           doc_len=doc_len)
+        self._lang_docs = doc_ids
+        self._lang_vals = np.asarray(ds_t["lang"].to_pylist(), object)
+        self._lang_cache: dict[str, np.ndarray] = {}
+
+    def _actor(self, term: str):
+        return self._owner[self._term_shard(term, self.num_shards)]
+
+    def lookup(self, term: str, need_positions: bool) -> Posting | None:
+        import ray
+
+        res = ray.get(self._actor(term).postings.remote(term, need_positions))
+        if res is None:
+            return None
+        return Posting(docs=res[0], tfs=res[1], positions=res[2])
+
+    def contains(self, term: str) -> bool:
+        import ray
+
+        return ray.get(self._actor(term).contains.remote(term))
+
+    def fetch_positions(self, term: str, docs: np.ndarray) -> Posting | None:
+        import ray
+
+        res = ray.get(self._actor(term).positions_for.remote(
+            term, np.asarray(docs, np.int64)))
+        if res is None:
+            return None
+        return Posting(docs=res[0], tfs=res[1], positions=res[2])
+
+    def allowed_for_lang(self, lang: str) -> np.ndarray:
+        hit = self._lang_cache.get(lang)
+        if hit is None:
+            hit = np.sort(self._lang_docs[self._lang_vals == lang]).astype(np.int64)
+            self._lang_cache[lang] = hit
+        return hit
+
+    def search(self, query: str, k: int | None = None,
+               search_cfg: SearchConfig | None = None,
+               analyzer: AnalyzerConfig | None = None,
+               scorer: str | None = None,
+               lang: str | None = None) -> list[tuple[int, float]]:
+        cfg = search_cfg or SearchConfig()
+        allowed = None
+        if lang is not None:
+            allowed = self.allowed_for_lang(lang)
+            if allowed.size == 0:
+                return []
+        q = parse_query(query, analyzer or AnalyzerConfig())
+        docs, scores = search_parsed(self, q, self.stats, cfg, k=k, scorer=scorer,
+                                     allowed=allowed)
+        return list(zip(docs.tolist(), scores.tolist()))
 
 
 def fetch_doc_metadata(index_dir: str, doc_ids: list[int]) -> pa.Table:
