@@ -87,6 +87,34 @@ def _prewarm_memory(target_gb: int | None = None) -> float:
     return _t.perf_counter() - t0
 
 
+def _ray_cpu_seconds() -> float:
+    """Aggregate utime+stime of this process plus every live local Ray
+    process (workers, raylet, shuffle aggregators).  Used to report
+    EFFECTIVE CORES (cpu_sec / wall_sec) alongside wall time: on this
+    co-tenanted host, wall-clock scaling numbers are hostage to stolen
+    cycles, while cpu-seconds counts only cycles we actually got — if
+    cpu work is conserved across parallelism levels and effective cores
+    track the level, the pipeline scales and the wall gap is the host's."""
+    import glob as _g
+
+    hz = os.sysconf("SC_CLK_TCK")
+    me = str(os.getpid())
+    total = 0.0
+    for stat in _g.glob("/proc/[0-9]*/stat"):
+        pid = stat.split("/")[2]
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read()
+            if not (pid == me or b"ray::" in cmd or b"raylet" in cmd
+                    or b"ray/" in cmd):
+                continue
+            parts = open(stat).read().rsplit(") ", 1)[1].split()
+            total += (int(parts[11]) + int(parts[12])) / hz
+        except Exception:
+            continue
+    return total
+
+
 def _ensure_corpus():
     import glob
 
@@ -155,9 +183,12 @@ def run_bench() -> dict:
     out = f"/tmp/rayindex_bench_idx_{os.getpid()}"
     shutil.rmtree(out, ignore_errors=True)
     cfg = BuildConfig(num_shards=32, tokenize_batch_size=256)
+    cpu0 = _ray_cpu_seconds()
     t0 = time.perf_counter()
     res = build_index(CORPUS_DIR, out, cfg)
     timings["build_sec"] = time.perf_counter() - t0
+    timings["build_cpu_sec"] = _ray_cpu_seconds() - cpu0
+    timings["build_effective_cores"] = timings["build_cpu_sec"] / timings["build_sec"]
     for name, st in res.stages.items():
         timings[f"build_{name}_sec"] = st.get("wall_s", 0.0)
 
@@ -268,9 +299,13 @@ def run_scaling() -> dict:
                 results[ncpu] = r
     t_lo = results[lo]["queries"]["build_sec"]
     t_hi = results[hi]["queries"]["build_sec"]
+    cpu_lo = results[lo]["queries"].get("build_cpu_sec", 0.0)
+    cpu_hi = results[hi]["queries"].get("build_cpu_sec", 0.0)
     n = results[hi]["n_files"]
     tput_lo, tput_hi = n / t_lo, n / t_hi
     factor = hi / lo
+    ec_lo = cpu_lo / t_lo if t_lo else 0.0
+    ec_hi = cpu_hi / t_hi if t_hi else 0.0
     return {
         "metric": "rayindex_build_scaling",
         "n_files": n,
@@ -280,6 +315,13 @@ def run_scaling() -> dict:
         f"files_per_sec_{lo}cpu": round(tput_lo, 1),
         f"files_per_sec_{hi}cpu": round(tput_hi, 1),
         "scaling_efficiency": round(tput_hi / (factor * tput_lo), 3),
+        # host-noise-robust evidence: cpu work conservation + core usage
+        f"cpu_sec_{lo}cpu": round(cpu_lo, 1),
+        f"cpu_sec_{hi}cpu": round(cpu_hi, 1),
+        f"effective_cores_{lo}cpu": round(ec_lo, 2),
+        f"effective_cores_{hi}cpu": round(ec_hi, 2),
+        "cpu_work_ratio": round(cpu_hi / cpu_lo, 3) if cpu_lo else None,
+        "effective_core_scaling": round(ec_hi / (factor * ec_lo), 3) if ec_lo else None,
     }
 
 

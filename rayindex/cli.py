@@ -82,6 +82,9 @@ def main_search(argv: list[str] | None = None) -> int:
     p.add_argument("--lang", default=None, help="metadata filter")
     p.add_argument("--show-docs", action="store_true",
                    help="join results to the doc store metadata")
+    p.add_argument("--spellcheck", action="store_true",
+                   help="Norvig correction over the index vocabulary before "
+                        "querying (reference spellcheck_query analog)")
     args = p.parse_args(argv)
 
     from rayindex.config import AnalyzerConfig, SearchConfig
@@ -90,10 +93,18 @@ def main_search(argv: list[str] | None = None) -> int:
     reader = IndexReader(args.index)
     cfg = SearchConfig(scorer=args.scorer if args.scorer not in ("lm", "lm-dirichlet", "vsm") else "bm25",
                        algorithm=args.algorithm)
-    res = reader.search(args.query, k=args.k, search_cfg=cfg,
+    query = args.query
+    corrected = False
+    if args.spellcheck:
+        from rayindex.spell import SpellChecker
+
+        query, corrected = SpellChecker.from_index(reader).correct_query(query)
+    res = reader.search(query, k=args.k, search_cfg=cfg,
                         analyzer=AnalyzerConfig(mode=args.analyzer),
                         scorer=args.scorer, lang=args.lang)
     out = [{"rank": i + 1, "doc_id": d, "score": s} for i, (d, s) in enumerate(res)]
+    if corrected:
+        print(json.dumps({"corrected_query": query}), file=sys.stderr)
     if args.show_docs and out:
         meta = fetch_doc_metadata(args.index, [r["doc_id"] for r in out]).to_pylist()
         by_id = {m["doc_id"]: m for m in meta}
