@@ -549,6 +549,19 @@ def _q_events_window(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based session windows (30-min inactivity splits) — the per-key
+    ordered-state window operator; groupby(key) is the one unavoidable
+    shuffle."""
+    import ray.data
+
+    from rayindex.datapipe.windows import sessionize
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    return sessionize(ds, gap_s=1800)
+
+
 def _q_media_meta(sf_dir: str):
     """Multimodal plumbing: documents.text treated as an opaque binary
     payload column; metadata extraction without decode."""
@@ -602,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "knn_ivf": _q_knn_ivf,
         "events_window": _q_events_window,
+        "sessionize": _q_sessionize,
         "media_meta": _q_media_meta,
     }
 
@@ -940,6 +954,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(min(value) * 1e6) AS BIGINT) AS min_value_micro,
                    CAST(round(max(value) * 1e6) AS BIGINT) AS max_value_micro
             FROM events GROUP BY user_id, window_start
+        """,
+        "sessionize": """
+            WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
+            o AS (SELECT user_id, t,
+                         lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt
+                  FROM e),
+            m AS (SELECT user_id, t,
+                         CASE WHEN pt IS NULL OR t - pt > 1800 THEN 1 ELSE 0 END AS nw
+                  FROM o),
+            s AS (SELECT user_id, t,
+                         sum(nw) OVER (PARTITION BY user_id ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m)
+            SELECT user_id, min(t)::BIGINT AS session_start,
+                   max(t)::BIGINT AS session_end, count(*)::BIGINT AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "media_meta": """
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

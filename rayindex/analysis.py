@@ -41,11 +41,10 @@ _ASCII_RE = re.compile(r"[a-z0-9_]+")
 _CAMEL_RE = re.compile(r"[a-z0-9]+|[A-Z][a-z0-9]*|[A-Z]+(?![a-z])")
 
 # Standard English stopword list (Snowball project stop list, public domain —
-# http://snowball.tartarus.org/algorithms/english/stop.txt).  The reference
-# ships a 571-word Glasgow list (indexing/data/helper_data/englishST.txt);
-# parity in this repo is defined against rayindex.oracle which shares this
-# exact list, so any fixed list is equivalent for the rank-identity gate.
-STOPWORDS = frozenset("""
+# http://snowball.tartarus.org/algorithms/english/stop.txt).  Selectable via
+# AnalyzerConfig.stopwords="snowball"; the default is the Glasgow IR list
+# below, which is what the reference actually loads.
+SNOWBALL_STOPWORDS = frozenset("""
 i me my myself we our ours ourselves you your yours yourself yourselves he him
 his himself she her hers herself it its itself they them their theirs
 themselves what which who whom this that these those am is are was were be
@@ -60,6 +59,32 @@ before after above below to from up down in out on off over under again
 further then once here there when where why how all any both each few more
 most other some such no nor not only own same so than too very
 """.split())
+
+
+@lru_cache(maxsize=1)
+def glasgow_stopwords() -> frozenset[str]:
+    """The 570-word Glasgow IR stopword list (public resource,
+    ir.dcs.gla.ac.uk; the reference loads the same list from its
+    englishST.txt at indexing/index_builder/helpers.py:15-18) — the
+    DEFAULT for reference-mode analysis so a user replaying reference
+    queries gets the reference's exact post-stopword token stream.
+    Stored as a restructured word-set data file under rayindex/data/."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "stopwords_glasgow.txt")
+    return frozenset(open(path).read().split())
+
+
+def stopword_set(cfg: AnalyzerConfig) -> frozenset[str]:
+    return (SNOWBALL_STOPWORDS if cfg.stopwords == "snowball"
+            else glasgow_stopwords())
+
+
+# backwards-compatible alias (oracle/tests refer to the active default
+# through stopword_set; STOPWORDS keeps the historical name pointing at
+# the snowball list)
+STOPWORDS = SNOWBALL_STOPWORDS
 
 _STEM_CACHE: dict[str, str] = {}
 _STEM_CACHE_MAX = 1 << 20
@@ -79,8 +104,9 @@ def tokenize_text(text: str, cfg: AnalyzerConfig) -> list[str]:
     sides share this function, which the reference only achieves by keeping
     two hand-synced copies — helpers.py:49-58 vs preprocessing.py:115-124)."""
     if cfg.mode == "reference":
+        stop = stopword_set(cfg)
         toks = [t.lower() for t in _REFERENCE_RE.findall(text)]
-        toks = [t for t in toks if t not in STOPWORDS]
+        toks = [t for t in toks if t not in stop]
         toks = [stem_cached(t) for t in toks]
     elif cfg.mode == "ascii":
         toks = _ASCII_RE.findall(text.lower())

@@ -32,6 +32,9 @@ class AnalyzerConfig:
     mode: str = "reference"
     min_token_len: int = 1
     max_token_len: int = 64
+    # "glasgow": the 570-word Glasgow IR list the reference actually loads
+    # (englishST.txt); "snowball": the Snowball project list
+    stopwords: str = "glasgow"
 
     def fingerprint(self) -> str:
         return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]

@@ -56,7 +56,10 @@ def sessionize(ds, gap_s: int = 1800, key_col: str = "user_id", ts_col: str = "t
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col)
-        ts = pd.to_datetime(g[ts_col]).astype("int64").to_numpy() // 10**9  # → s
+        # normalize to ns first: parquet-sourced timestamps arrive as
+        # datetime64[us] in pandas 2.x and astype(int64) would yield µs
+        ts = (pd.to_datetime(g[ts_col]).astype("datetime64[ns]")
+              .astype("int64").to_numpy() // 10**9)  # → s
         new = np.concatenate([[True], np.diff(ts) > gap_s])
         sid = np.cumsum(new)
         out = []

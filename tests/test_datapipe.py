@@ -160,6 +160,63 @@ def test_cosine_neardup_lsh_recall(vec_ds):
     assert len(got) >= 0.8 * len(want), (len(got), len(want))
 
 
+def test_media_real_decoders(ray_session):
+    """Pure-numpy PPM/WAV codecs: round-trips, block-mean resize, frame
+    RMS, and the real-backend actor pipeline end to end."""
+    import ray.data
+
+    from rayindex.datapipe.media import (MediaDecoder, decode_features,
+                                         decode_ppm, decode_wav, encode_ppm,
+                                         encode_wav, frame_rms,
+                                         resize_block_mean, resize_ppm_batch)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header comments tolerated
+    with_comment = b"P6\n# thumb\n64 48\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), img)
+    # constant image resizes to the same constant
+    flat = np.full((40, 40, 3), 77, np.uint8)
+    assert (resize_block_mean(flat, 4, 4) == 77).all()
+
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64) / rate
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    wav = encode_wav(rate, sine.reshape(-1, 1))
+    r2, s2 = decode_wav(wav)
+    assert r2 == rate and np.array_equal(s2.ravel(), sine)
+    rms = frame_rms(s2, 8)
+    assert np.allclose(rms, 0.5 / np.sqrt(2), atol=0.01)  # sine RMS = A/√2
+
+    # real-backend actor pipeline over mixed image/audio payloads
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([encode_ppm(img), wav], pa.large_binary()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = decode_features(ds, backend="real", feature_dim=16,
+                          concurrency=2, batch_size=1).to_pandas()
+    feats = {r.doc_id: np.asarray(r.feature) for r in out.itertuples()}
+    assert feats[1].shape == (16,) and 0.0 <= feats[1].max() <= 1.0
+    assert np.allclose(feats[2], 0.5 / np.sqrt(2), atol=0.01)
+
+    # thumbnail stage emits valid PPM at the target grid (image rows only)
+    import pyarrow.compute as pc
+
+    img_only = ray.data.from_arrow(tbl.filter(pc.equal(tbl["doc_id"], 1)))
+    tdf = img_only.map_batches(resize_ppm_batch,
+                               fn_kwargs={"out_h": 8, "out_w": 8},
+                               batch_format="pyarrow").to_pandas()
+    assert tdf.height.iloc[0] == 8 and tdf.width.iloc[0] == 8
+    assert decode_ppm(tdf.payload.iloc[0]).shape == (8, 8, 3)
+
+    # unsupported container → clear error
+    dec = MediaDecoder(backend="real")
+    with pytest.raises(ValueError, match="unsupported media container"):
+        dec._decode_real(b"\x89PNG....")
+
+
 def test_langid(docs_ds):
     from rayindex.datapipe.text import langid_batch
 
@@ -296,7 +353,7 @@ def test_sessionize(ray_session):
     assert len(out[out.user_id == 2]) == 1
 
 
-def test_media_decode_stub(ray_session):
+def test_media_decode_fake_backend(ray_session):
     import ray.data
 
     from rayindex.datapipe.media import MediaDecoder, attach_media_meta, decode_features
@@ -313,7 +370,7 @@ def test_media_decode_stub(ray_session):
     # deterministic across calls
     feats2 = decode_features(ds, backend="fake", feature_dim=8, concurrency=1).to_pandas()
     assert [list(f) for f in feats.feature] == [list(f) for f in feats2.feature]
-    # real backend is a clearly-marked stub
+    # real backend rejects unknown containers with a clear error
     dec = MediaDecoder(backend="real")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="unsupported media container"):
         dec(t)

@@ -160,11 +160,17 @@ def test_hello_corpus_hand_checked(ray_session, tmp_path):
     build_index(str(src), out, BuildConfig(num_shards=2, tokenize_batch_size=2))
     r = IndexReader(out)
     o = OracleEngine(tbl)
-    # hand-checked postings: docs sorted by path a..e; 'hello' in docs 1,2,3,5
-    p = r.lookup("hello", need_positions=True)
-    assert p.docs.tolist() == [1, 2, 3, 5]
-    assert p.tfs.tolist() == [1, 1, 2, 3]
-    assert p.positions.tolist() == [1, 1, 1, 5, 1, 2, 3]
+    # hand-checked postings: docs sorted by path a..e.  'hello' is a
+    # Glasgow stopword (the list the reference actually loads), so it is
+    # dropped everywhere — doc 5 ("hello Hello HELLO") has ZERO tokens.
+    assert r.lookup("hello", need_positions=False) is None
+    # 'world' survives: doc1 pos 1 ("[hello] world"), doc3 pos 2
+    # ("[hello] france [the] world [says hello]"), doc4 pos 3
+    # ("goodbye cruel world")
+    p = r.lookup("world", need_positions=True)
+    assert p.docs.tolist() == [1, 3, 4]
+    assert p.tfs.tolist() == [1, 1, 1]
+    assert p.positions.tolist() == [1, 2, 3]
     for q in ["hello", "hello world", '"hello world"', "hello AND world",
               "NOT hello", "#2(hello,world)", "germany OR france"]:
         _assert_identical(o.search(q, k=10), r.search(q, k=10), q)
