@@ -97,9 +97,17 @@ def _ray_cpu_seconds() -> float:
     track the level, the pipeline scales and the wall gap is the host's."""
     import glob as _g
 
+    return sum(_ray_cpu_split())
+
+
+def _ray_cpu_split() -> tuple[float, float]:
+    """(utime, stime) — stime isolates the kernel page-fault tax (fresh
+    worker heaps fault at ~0.1 ms/page on this host)."""
+    import glob as _g
+
     hz = os.sysconf("SC_CLK_TCK")
     me = str(os.getpid())
-    total = 0.0
+    utime = stime = 0.0
     for stat in _g.glob("/proc/[0-9]*/stat"):
         pid = stat.split("/")[2]
         try:
@@ -109,10 +117,11 @@ def _ray_cpu_seconds() -> float:
                     or b"ray/" in cmd):
                 continue
             parts = open(stat).read().rsplit(") ", 1)[1].split()
-            total += (int(parts[11]) + int(parts[12])) / hz
+            utime += int(parts[11]) / hz
+            stime += int(parts[12]) / hz
         except Exception:
             continue
-    return total
+    return utime, stime
 
 
 def _ensure_corpus():
@@ -183,11 +192,13 @@ def run_bench() -> dict:
     out = f"/tmp/rayindex_bench_idx_{os.getpid()}"
     shutil.rmtree(out, ignore_errors=True)
     cfg = BuildConfig(num_shards=32, tokenize_batch_size=256)
-    cpu0 = _ray_cpu_seconds()
+    u0, s0 = _ray_cpu_split()
     t0 = time.perf_counter()
     res = build_index(CORPUS_DIR, out, cfg)
     timings["build_sec"] = time.perf_counter() - t0
-    timings["build_cpu_sec"] = _ray_cpu_seconds() - cpu0
+    u1, s1 = _ray_cpu_split()
+    timings["build_cpu_sec"] = (u1 - u0) + (s1 - s0)
+    timings["build_stime_sec"] = s1 - s0
     timings["build_effective_cores"] = timings["build_cpu_sec"] / timings["build_sec"]
     for name, st in res.stages.items():
         timings[f"build_{name}_sec"] = st.get("wall_s", 0.0)

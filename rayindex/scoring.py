@@ -614,9 +614,15 @@ def wand_topk(provider: MiniIndexProvider, terms: list[str], k: int,
     top_docs = np.zeros(0, np.int64)
     top_scores = np.zeros(0)
     theta = -math.inf
-    CH = 32
-    for c0 in range(0, nseg, CH):
-        sel = order[c0:c0 + CH]
+    # galloping chunks: tiny first chunks establish the threshold from the
+    # highest-bound segments before any wide fan-out, then grow to
+    # amortize per-chunk overhead once pruning has (or hasn't) engaged
+    c0 = 0
+    ch = 4
+    while c0 < nseg:
+        sel = order[c0:c0 + ch]
+        c0 += ch
+        ch = min(ch * 2, 128)
         full = top_docs.size >= k
         if full:
             if total_ub[sel[0]] < theta:

@@ -142,6 +142,62 @@ def test_vsm_union_semantics_large_intersection(ray_session, tmp_path):
     _assert_identical(want, got, f"vsm-union/{q!r}")
 
 
+def test_bmw_skips_blocks_on_clustered_corpus(ray_session, tmp_path):
+    """Block-max pruning engages when posting lists are CLUSTERED in doc
+    space (real corpora: repo/time-ordered ingest puts related docs in
+    adjacent doc-id ranges).  Rare terms living in a narrow doc range must
+    make bmw decode only the hot terms' blocks overlapping that range —
+    and stay rank-identical to exhaustive TAAT.  (On a uniformly-scattered
+    corpus nothing is prunable under any block scheme: a rare term's
+    blocks then span the whole doc axis; see BENCH/BASELINE.md.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayindex.build import build_index
+    from rayindex.config import BuildConfig
+    from rayindex.searcher import IndexReader, LazyPosting
+
+    n = 8000
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for i in range(n):
+        body = f"alpha beta gamma delta epsilon fill{i % 13} pad{i % 7}"
+        if i < 160:  # rare term clustered in the first 2% of doc space
+            body += " nugget"
+        rows["repo"].append("r")
+        rows["path"].append(f"f{i:05d}.py")
+        rows["commit"].append("c")
+        rows["lang"].append("py")
+        rows["content"].append(body)
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.table(rows), str(src / "docs.parquet"))
+    out = str(tmp_path / "idx")
+    build_index(str(src), out, BuildConfig(num_shards=4, tokenize_batch_size=256))
+    r = IndexReader(out)
+
+    decoded = {"n": 0}
+    orig = LazyPosting.decode_blocks
+
+    def counted(self, bsel):
+        decoded["n"] += len(bsel)
+        return orig(self, bsel)
+
+    LazyPosting.decode_blocks = counted
+    try:
+        wcfg = SearchConfig(scorer="bm25", algorithm="bmw")
+        tcfg = SearchConfig(scorer="bm25", algorithm="taat")
+        q = "nugget alpha beta gamma"
+        a = r.search(q, k=10, search_cfg=wcfg)
+        b = r.search(q, k=10, search_cfg=tcfg)
+        _assert_identical(b, a, "bmw-clustered")
+        total_blocks = sum(r.lookup_lazy(t).n_blocks for t in q.split())
+        assert decoded["n"] < 0.35 * total_blocks, (
+            f"bmw decoded {decoded['n']}/{total_blocks} blocks — "
+            "block skipping did not engage on a clustered corpus")
+    finally:
+        LazyPosting.decode_blocks = orig
+
+
 def test_hello_corpus_hand_checked(ray_session, tmp_path):
     """Micro-fixture parity incl. hand-verified postings (mirrors the
     reference 5-article smoke TSV)."""
