@@ -371,6 +371,33 @@ def _q_boolean_andnot_docs(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(id_map[docs]), pa.int64())})
 
 
+def _q_rerank_boost(sf_dir: str) -> pa.Table:
+    """Deterministic rerank (reference F9/K6 title-boost semantics): base
+    score = tf('scan') per doc (integer → exact float), multiplied 1.1×
+    per title-field word present in the query terms (title field = the
+    source column), re-sorted.  The recency leg needs a date column the
+    corpus lacks; it is unit-gated with an injected 'today'."""
+    from rayindex.rerank import rerank_results
+    from rayindex.searcher import IndexReader
+
+    _, _, _ = _ascii_cfgs()
+    index_dir, id_map = _ensure_index(sf_dir)
+    r = IndexReader(index_dir)
+    p = r.lookup("scan", need_positions=False)
+    store = pq.read_table(os.path.join(index_dir, "doc_store"),
+                          columns=["doc_id", "repo"])
+    meta = {int(d): {"repo": s} for d, s in
+            zip(store["doc_id"].to_pylist(), store["repo"].to_pylist())}
+    results = [(int(d), float(tf)) for d, tf in zip(p.docs, p.tfs)]
+    out = rerank_results(results, meta, query_terms={"scan", "src3"},
+                         title_field="repo")
+    return pa.table({
+        "doc_id": pa.array([int(id_map[d]) for d, _ in out], pa.int64()),
+        "score_micro": pa.array([int(np.rint(s * 1e6)) for _, s in out],
+                                pa.int64()),
+    })
+
+
 def _q_embedding_neardup(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -598,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_andnot_docs": _q_boolean_andnot_docs,
         "vsm_scores": _q_vsm_scores,
         "lm_pyp_topk": _q_lm_pyp_topk,
+        "rerank_boost": _q_rerank_boost,
         "phrase_match_docs": _q_phrase_match_docs,
         "proximity_docs": _q_proximity_docs,
         "lm_topk": _q_lm_topk,
@@ -797,6 +825,16 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
             FROM micro
             QUALIFY rank <= 10
+        """,
+        "rerank_boost": f"""
+            WITH {_TOKS_CTE}
+            SELECT d.doc_id,
+                   CAST(round(CASE WHEN d.source = 'src3'
+                                   THEN tf.tf * 1.1
+                                   ELSE tf.tf * 1.0 END * 1e6) AS BIGINT)
+                     AS score_micro
+            FROM tf JOIN documents d USING (doc_id)
+            WHERE tf.term = 'scan'
         """,
         "langid": """
             WITH toks AS (SELECT doc_id,
