@@ -1023,6 +1023,16 @@ def build_index(
     stats_dir = os.path.join(out_dir, "stats")
 
     r1 = ckpt.run_stage("doc_store", ingest)
+    if cfg.num_shards == 0:
+        # auto shard count: ~100k docs per shard keeps every reducer's
+        # group (and each searcher actor's dictionary share) bounded as
+        # the corpus grows — deterministic for a given input, so resume
+        # re-resolves the same value
+        import dataclasses
+
+        n_docs = r1.metrics.get("n_docs", 0)
+        cfg = dataclasses.replace(
+            cfg, num_shards=int(min(1 << 14, max(8, -(-n_docs // 100_000)))))
     r2 = ckpt.run_stage("chunks", lambda d: _stage_chunks(doc_store, d, cfg))
     r3 = ckpt.run_stage("stats", lambda d: _stage_stats(chunks, d))
     multi_range = r1.metrics.get("n_docs", 0) > cfg.doc_range_size

@@ -55,7 +55,7 @@ class BuildConfig:
     """
 
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
-    num_shards: int = 16
+    num_shards: int = 16  # 0 = auto (~100k docs/shard, resolved at build)
     doc_range_size: int = 1 << 17  # 131072 docs per posting range
     block_size: int = 128          # target postings per coalesced block
     fine_block_docs: int = 128     # doc-range granularity of fine blocks:

@@ -21,9 +21,12 @@ from rayindex.oracle import OracleEngine  # noqa: F401
 from rayindex.searcher import (  # noqa: F401
     IndexReader,
     Searcher,
+    ShardedSearchPool,
     fetch_doc_metadata,
     search_dataset,
 )
+from rayindex.spell import SpellChecker  # noqa: F401
+from rayindex.upload import upload_index, verify_upload  # noqa: F401
 
 
 def adapt_documents(ds, *, repo_col: str | None = None, path_col: str | None = None,

@@ -160,3 +160,27 @@ def test_doc_stats_table(tiny_build, tiny_oracle):
     t = pq.read_table(os.path.join(tiny_build["out"], "stats", "doc_stats"))
     got = dict(zip(t["doc_id"].to_pylist(), t["n_tokens"].to_pylist()))
     assert got == tiny_oracle.doc_sizes
+
+
+def test_auto_num_shards(ray_session, tmp_path):
+    """num_shards=0 resolves deterministically from the corpus size and
+    the build remains searchable + resumable with the resolved value."""
+    import pyarrow.parquet as pq
+
+    from rayindex import corpus
+    from rayindex.build import build_index
+    from rayindex.config import BuildConfig
+    from rayindex.searcher import IndexReader
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(corpus.tiny_corpus(), str(src / "docs.parquet"))
+    out = str(tmp_path / "idx")
+    cfg = BuildConfig(num_shards=0, tokenize_batch_size=8)
+    res = build_index(str(src), out, cfg)
+    assert res.stages["shards"]["shards"] == 8  # floor for a tiny corpus
+    r = IndexReader(out)
+    assert r.search("def", k=5)
+    # resume resolves the same value and skips everything
+    res2 = build_index(str(src), out, cfg)
+    assert all(st["skipped"] for st in res2.stages.values())
