@@ -126,21 +126,27 @@ def _ingest_units(source: str) -> list[tuple[str, int]]:
 
 
 @ray.remote
-def _unit_keys(unit_idx: int, path: str, rg: int, max_bytes: int) -> pa.Table:
-    """Pass 1: sort keys + content sha for one row group.  Content is read
+def _unit_keys(first_unit: int, units: list[tuple[str, int]],
+               max_bytes: int) -> pa.Table:
+    """Pass 1: sort keys + content sha for a RUN of units.  Content is read
     once here (for the oversize filter + the invariant hash) and DISCARDED
-    — only (repo, path, sha, provenance) rows ever enter the sort."""
-    t = pq.ParquetFile(path).read_row_group(rg, columns=["repo", "path", "content"])
-    keep = pc.less_equal(
-        pc.binary_length(pc.cast(t["content"], pa.large_binary())), max_bytes)
-    t = t.filter(pc.fill_null(keep, False))
-    return pa.table({
-        "repo": t["repo"],
-        "path": t["path"],
-        "sha": _sha256_batch(t["content"]),
-        "unit_idx": pa.array(np.full(t.num_rows, unit_idx, np.int64)),
-        "row_idx": pa.array(np.arange(t.num_rows, dtype=np.int64)),
-    })
+    — only (repo, path, sha, provenance) rows ever enter the sort.
+    Batching several units per task keeps the block count feeding the key
+    sort small (Ray sorts degrade with hundreds of tiny input blocks)."""
+    parts = []
+    for off, (path, rg) in enumerate(units):
+        t = pq.ParquetFile(path).read_row_group(rg, columns=["repo", "path", "content"])
+        keep = pc.less_equal(
+            pc.binary_length(pc.cast(t["content"], pa.large_binary())), max_bytes)
+        t = t.filter(pc.fill_null(keep, False))
+        parts.append(pa.table({
+            "repo": t["repo"],
+            "path": t["path"],
+            "sha": _sha256_batch(t["content"]),
+            "unit_idx": pa.array(np.full(t.num_rows, first_unit + off, np.int64)),
+            "row_idx": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+        }))
+    return pa.concat_tables(parts)
 
 
 @ray.remote
@@ -161,18 +167,32 @@ def _attach_rank(t: pa.Table, offset: int) -> pa.Table:
     })
 
 
+# docs per doc-store output partition: large enough that downstream
+# tokenize batches see contiguous doc runs (compact fine blocks), small
+# enough that a failed ingest resumes at fine granularity
+_DOC_STORE_PART_DOCS = 4096
+
+
 def _stage_ingest_files(source: str, out: str, cfg: BuildConfig) -> dict[str, Any]:
-    """Key-only ingest for file sources: doc ids are assigned by sorting a
-    (repo, path, sha, provenance) KEY table; the content column never
-    enters a shuffle and is never pinned — each (file, row group) unit is
-    re-read locally in the write task, ids are attached by provenance, and
-    the re-read content's sha256 must equal the pass-1 hash (the ingest
-    invariant, now held ACROSS two independent reads).  Output is one
-    doc-store partition per unit (resumable layout)."""
+    """Key-only ingest for file sources.
+
+    Doc ids are assigned by sorting a (repo, path, sha, provenance) KEY
+    table — the content column never enters the SORT and is never pinned.
+    Content then moves through exactly ONE range-partition exchange
+    (``groupby(doc_id // part_docs)`` — hash partitioning on an int key,
+    no comparison sort, streaming/spillable) so the doc store lands
+    GLOBALLY DOC-ORDERED in fixed-range partitions: downstream tokenize
+    batches see contiguous doc runs, which is what keeps fine-block rows
+    compact (a source-unit-partitioned store scatters doc ids across every
+    batch and degenerates the posting combiner — measured 8× build cost).
+    The re-read content's sha256 must equal the pass-1 hash (the ingest
+    invariant, held ACROSS two independent reads)."""
     units = _ingest_units(source)
     max_bytes = cfg.max_content_bytes
-    key_refs = [_unit_keys.remote(i, f, rg, max_bytes)
-                for i, (f, rg) in enumerate(units)]
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    per_task = max(1, -(-len(units) // (ncpu * 4)))
+    key_refs = [_unit_keys.remote(i, units[i:i + per_task], max_bytes)
+                for i in range(0, len(units), per_task)]
     keys = ray.data.from_arrow_refs(key_refs)
     # (unit, row) in the sort key makes duplicate (repo, path) rows
     # deterministic too
@@ -190,10 +210,13 @@ def _stage_ingest_files(source: str, out: str, cfg: BuildConfig) -> dict[str, An
     ranked = ray.data.from_arrow_refs(ranked_refs)
     verify = cfg.verify_sha256
 
-    def attach_write(group: pa.Table) -> pa.Table:
-        stats_empty = pa.table({"n": pa.array([], pa.int64())})
+    def attach(group: pa.Table) -> pa.Table:
+        """Map-side (content stays local): join ids onto the source unit's
+        rows by provenance, verify the invariant, emit full rows."""
         if group.num_rows == 0:
-            return stats_empty
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in schema.DOC_STORE},
+                schema=schema.DOC_STORE)
         ui = int(group["unit_idx"][0].as_py())
         path, rg = units[ui]
         t = pq.ParquetFile(path).read_row_group(rg)
@@ -215,14 +238,30 @@ def _stage_ingest_files(source: str, out: str, cfg: BuildConfig) -> dict[str, An
             "content_sha256", sha2)
         cols = ["doc_id", "repo", "path", "commit", "lang", "content",
                 "content_sha256"]
-        t = t.select([c for c in cols if c in t.column_names])
-        tmp = os.path.join(out, f"part-{ui:06d}.parquet.tmp-{os.getpid()}")
-        pq.write_table(t, tmp)
-        os.replace(tmp, os.path.join(out, f"part-{ui:06d}.parquet"))
-        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+        return t.select([c for c in cols if c in t.column_names])
 
-    res = ranked.groupby("unit_idx").map_groups(attach_write, batch_format="pyarrow")
-    n_docs = int(res.to_pandas()["n"].sum())
+    def add_range(t: pa.Table) -> pa.Table:
+        rng = pc.divide(t["doc_id"], pa.scalar(_DOC_STORE_PART_DOCS, pa.int64()))
+        return t.append_column("out_part", pc.cast(rng, pa.int64()))
+
+    def write_range(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        part = int(group["out_part"][0].as_py())
+        g = group.take(pc.sort_indices(group["doc_id"]))
+        g = g.drop_columns(["out_part"])
+        tmp = os.path.join(out, f"part-{part:06d}.parquet.tmp-{os.getpid()}")
+        pq.write_table(g, tmp)
+        os.replace(tmp, os.path.join(out, f"part-{part:06d}.parquet"))
+        return pa.table({"n": pa.array([g.num_rows], pa.int64())})
+
+    rows = (ranked.groupby("unit_idx")
+                  .map_groups(attach, batch_format="pyarrow")
+                  .map_batches(add_range, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby("out_part")
+                  .map_groups(write_range, batch_format="pyarrow"))
+    n_docs = int(rows.to_pandas()["n"].sum())
     return {"n_docs": n_docs, "n_blocks": len(units)}
 
 
@@ -502,6 +541,10 @@ def _repair_interleaved(g: pa.Table, codes: np.ndarray,
     bad_fb = np.unique(fb_id[overlap])
     sel = np.isin(fb_id, bad_fb)
     good = g.filter(pa.array(~sel))
+    # fb_id is non-decreasing (rows sorted by term, block) → per-block row
+    # spans come from two searchsorted calls, not a per-block scan
+    fb_starts = np.searchsorted(fb_id, bad_fb, side="left")
+    fb_ends = np.searchsorted(fb_id, bad_fb, side="right")
 
     doc_mv, doc_offs = _binary_column_view(g, "doc_blob")
     tf_mv, tf_offs = _binary_column_view(g, "tf_blob")
@@ -511,9 +554,7 @@ def _repair_interleaved(g: pa.Table, codes: np.ndarray,
     rows: dict[str, list] = {k: [] for k in (
         "term", "range_id", "shard", "block_id", "first_doc", "last_doc",
         "n_docs", "cf", "max_tf", "min_dl", "doc_blob", "tf_blob", "pos_blob")}
-    for f in bad_fb.tolist():
-        idxs = np.flatnonzero(fb_id == f)
-        s, e = int(idxs[0]), int(idxs[-1]) + 1
+    for s, e in zip(fb_starts.tolist(), fb_ends.tolist()):
         nd = nd_all[s:e].astype(np.int64)
         doc_ids = codec.segmented_delta_decode(
             codec.vb_decode(doc_mv[doc_offs[s]:doc_offs[e]]), nd)

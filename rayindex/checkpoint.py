@@ -94,15 +94,27 @@ class BuildCheckpoint:
         os.replace(tmp, self._marker(stage))
 
     def run_stage(self, stage: str, fn, clear: bool = True) -> StageResult:
-        """Run ``fn(stage_dir) -> metrics_dict`` unless already complete."""
+        """Run ``fn(stage_dir) -> metrics_dict`` unless already complete.
+
+        With ``RAYINDEX_STAGE_CPU=1``, per-stage aggregate Ray-process
+        (utime, stime) deltas are recorded — the diagnostic for telling
+        co-tenant degradation (wall stretches, cpu flat) from real extra
+        work or page-fault tax (stime grows) on this shared host."""
         if self.is_done(stage):
             return StageResult(stage, skipped=True, wall_s=0.0,
                                metrics=self.stage_metrics(stage).get("metrics", {}))
         d = self.begin(stage, clear=clear)
+        track_cpu = os.environ.get("RAYINDEX_STAGE_CPU") == "1"
+        if track_cpu:
+            u0, s0 = _ray_cpu_split()
         t0 = time.perf_counter()
         metrics = fn(d) or {}
         wall = time.perf_counter() - t0
         metrics["wall_s"] = round(wall, 3)
+        if track_cpu:
+            u1, s1 = _ray_cpu_split()
+            metrics["utime_s"] = round(u1 - u0, 2)
+            metrics["stime_s"] = round(s1 - s0, 2)
         self.mark_done(stage, metrics)
         return StageResult(stage, skipped=False, wall_s=wall, metrics=metrics)
 
@@ -145,3 +157,27 @@ def atomic_write_bytes(path: str, data: bytes) -> None:
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
+
+
+def _ray_cpu_split() -> tuple[float, float]:
+    """(utime, stime) summed over this process and live local Ray
+    processes — see bench._ray_cpu_split for the methodology notes."""
+    import glob as _g
+
+    hz = os.sysconf("SC_CLK_TCK")
+    me = str(os.getpid())
+    utime = stime = 0.0
+    for stat in _g.glob("/proc/[0-9]*/stat"):
+        pid = stat.split("/")[2]
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read()
+            if not (pid == me or b"ray::" in cmd or b"raylet" in cmd
+                    or b"ray/" in cmd):
+                continue
+            parts = open(stat).read().rsplit(") ", 1)[1].split()
+            utime += int(parts[11]) / hz
+            stime += int(parts[12]) / hz
+        except Exception:
+            continue
+    return utime, stime
