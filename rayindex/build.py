@@ -972,8 +972,9 @@ def _stage_stats(chunks_path: str, out: str) -> dict[str, Any]:
     doc_stats_dir = os.path.join(out, "doc_stats")
     os.makedirs(doc_stats_dir, exist_ok=True)
     ds.write_parquet(doc_stats_dir)
-    # pre-aggregate per batch, then sum the tiny partials on the driver
-    agg = ds.map_batches(
+    # aggregate from the doc_stats just written (tiny, 2 columns) — NOT a
+    # second pass over the chunks table
+    agg = ray.data.read_parquet(doc_stats_dir, columns=["n_tokens"]).map_batches(
         lambda t: pa.table({
             "n": pa.array([t.num_rows], pa.int64()),
             "tok": pa.array([pc.sum(t["n_tokens"]).as_py() or 0], pa.int64()),
