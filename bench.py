@@ -119,6 +119,12 @@ def _ray_cpu_split() -> tuple[float, float]:
             parts = open(stat).read().rsplit(") ", 1)[1].split()
             utime += int(parts[11]) / hz
             stime += int(parts[12]) / hz
+            if b"raylet" in cmd:
+                # reaped worker jiffies migrate to the raylet's cutime/
+                # cstime — without these, dying idle workers make deltas
+                # NEGATIVE (their own counters vanish from /proc)
+                utime += int(parts[13]) / hz
+                stime += int(parts[14]) / hz
         except Exception:
             continue
     return utime, stime
