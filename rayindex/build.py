@@ -32,6 +32,7 @@ import glob
 import hashlib
 import json
 import os
+import shutil
 import zlib
 from dataclasses import dataclass, field
 from typing import Any
@@ -46,7 +47,8 @@ import ray
 import ray.data
 
 from rayindex import analysis, codec, schema
-from rayindex.checkpoint import BuildCheckpoint, atomic_write_bytes, fingerprint_of
+from rayindex.checkpoint import (BuildCheckpoint, StageResult,
+                                 atomic_write_bytes, fingerprint_of)
 from rayindex.config import BuildConfig
 
 
@@ -173,20 +175,24 @@ def _attach_rank(t: pa.Table, offset: int) -> pa.Table:
 _DOC_STORE_PART_DOCS = 4096
 
 
-def _stage_ingest_files(source: str, out: str, cfg: BuildConfig) -> dict[str, Any]:
-    """Key-only ingest for file sources.
+def _resolve_auto_shards(cfg: BuildConfig, n_docs: int) -> BuildConfig:
+    """num_shards=0 → ~100k docs per shard: keeps every reducer's group
+    (and each searcher actor's dictionary share) bounded as the corpus
+    grows — deterministic for a given input, so resume re-resolves the
+    same value."""
+    if cfg.num_shards != 0:
+        return cfg
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, num_shards=int(min(1 << 14, max(8, -(-n_docs // 100_000)))))
+
+
+def _ingest_ranked(source: str, cfg: BuildConfig):
+    """Pass 1 of the key-only ingest: (units, ranked_refs, n_docs).
 
     Doc ids are assigned by sorting a (repo, path, sha, provenance) KEY
-    table — the content column never enters the SORT and is never pinned.
-    Content then moves through exactly ONE range-partition exchange
-    (``groupby(doc_id // part_docs)`` — hash partitioning on an int key,
-    no comparison sort, streaming/spillable) so the doc store lands
-    GLOBALLY DOC-ORDERED in fixed-range partitions: downstream tokenize
-    batches see contiguous doc runs, which is what keeps fine-block rows
-    compact (a source-unit-partitioned store scatters doc ids across every
-    batch and degenerates the posting combiner — measured 8× build cost).
-    The re-read content's sha256 must equal the pass-1 hash (the ingest
-    invariant, held ACROSS two independent reads)."""
+    table — the content column never enters the SORT and is never pinned."""
     units = _ingest_units(source)
     max_bytes = cfg.max_content_bytes
     ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -202,13 +208,35 @@ def _stage_ingest_files(source: str, out: str, cfg: BuildConfig) -> dict[str, An
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     ranked_refs = [_attach_rank.remote(r, int(off))
                    for r, off, n in zip(refs, offsets, counts) if n > 0]
-    if not ranked_refs:
-        pa_empty = pa.table({f.name: pa.array([], f.type) for f in schema.DOC_STORE},
-                            schema=schema.DOC_STORE)
-        pq.write_table(pa_empty, os.path.join(out, "part-000000.parquet"))
-        return {"n_docs": 0, "n_blocks": 0}
+    return units, ranked_refs, int(sum(counts))
+
+
+def _write_empty_doc_store(out: str) -> None:
+    pa_empty = pa.table({f.name: pa.array([], f.type) for f in schema.DOC_STORE},
+                        schema=schema.DOC_STORE)
+    pq.write_table(pa_empty, os.path.join(out, "part-000000.parquet"))
+
+
+def _doc_exchange(units, ranked_refs, out: str, cfg: BuildConfig,
+                  emit: bool) -> ray.data.Dataset:
+    """Pass 2 of the key-only ingest: content moves through exactly ONE
+    range-partition exchange (``groupby(doc_id // part_docs)`` — hash
+    partitioning on an int key, no comparison sort, streaming/spillable)
+    so the doc store lands GLOBALLY DOC-ORDERED in fixed-range partitions:
+    downstream tokenize batches see contiguous doc runs, which is what
+    keeps fine-block rows compact (a source-unit-partitioned store
+    scatters doc ids across every batch and degenerates the posting
+    combiner — measured 8× build cost).  The re-read content's sha256 must
+    equal the pass-1 hash (the ingest invariant, held ACROSS two
+    independent reads).
+
+    ``emit=True`` makes each range writer ALSO return its doc-ordered rows
+    (doc_id, content, lang, repo) so tokenization can consume them straight
+    from the object store — fusing the two stages removes the doc-store
+    write → read-back round trip from the build's critical path."""
     ranked = ray.data.from_arrow_refs(ranked_refs)
     verify = cfg.verify_sha256
+    max_bytes = cfg.max_content_bytes
 
     def attach(group: pa.Table) -> pa.Table:
         """Map-side (content stays local): join ids onto the source unit's
@@ -244,8 +272,13 @@ def _stage_ingest_files(source: str, out: str, cfg: BuildConfig) -> dict[str, An
         rng = pc.divide(t["doc_id"], pa.scalar(_DOC_STORE_PART_DOCS, pa.int64()))
         return t.append_column("out_part", pc.cast(rng, pa.int64()))
 
+    emit_cols = ["doc_id", "content", "lang", "repo"]
+
     def write_range(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
+            if emit:
+                return pa.table({c: pa.array([], schema.DOC_STORE.field(c).type)
+                                 for c in emit_cols})
             return pa.table({"n": pa.array([], pa.int64())})
         part = int(group["out_part"][0].as_py())
         g = group.take(pc.sort_indices(group["doc_id"]))
@@ -253,16 +286,60 @@ def _stage_ingest_files(source: str, out: str, cfg: BuildConfig) -> dict[str, An
         tmp = os.path.join(out, f"part-{part:06d}.parquet.tmp-{os.getpid()}")
         pq.write_table(g, tmp)
         os.replace(tmp, os.path.join(out, f"part-{part:06d}.parquet"))
+        if emit:
+            return g.select([c for c in emit_cols if c in g.column_names])
         return pa.table({"n": pa.array([g.num_rows], pa.int64())})
 
-    rows = (ranked.groupby("unit_idx")
+    return (ranked.groupby("unit_idx")
                   .map_groups(attach, batch_format="pyarrow")
                   .map_batches(add_range, batch_format="pyarrow",
                                zero_copy_batch=True)
                   .groupby("out_part")
                   .map_groups(write_range, batch_format="pyarrow"))
+
+
+def _stage_ingest_files(source: str, out: str, cfg: BuildConfig) -> dict[str, Any]:
+    """Key-only ingest for file sources (unfused resume path)."""
+    units, ranked_refs, n_docs = _ingest_ranked(source, cfg)
+    if not ranked_refs:
+        _write_empty_doc_store(out)
+        return {"n_docs": 0, "n_blocks": 0}
+    rows = _doc_exchange(units, ranked_refs, out, cfg, emit=False)
     n_docs = int(rows.to_pandas()["n"].sum())
     return {"n_docs": n_docs, "n_blocks": len(units)}
+
+
+def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
+                           doc_stats_dir: str, cfg: BuildConfig):
+    """Fused file-source ingest + tokenize: ONE streaming pipeline from the
+    ranked keys through the content exchange into posting chunks.  The
+    doc-store part files are written by the same range writers whose output
+    feeds tokenization, so the doc_store write overlaps tokenize compute
+    and the content is never read back from disk.  Returns
+    (metrics, resolved_cfg) — num_shards auto-resolution happens here
+    because n_docs is known right after the key sort, before any shard
+    assignment."""
+    shutil.rmtree(doc_store_out, ignore_errors=True)
+    os.makedirs(doc_store_out, exist_ok=True)
+    shutil.rmtree(doc_stats_dir, ignore_errors=True)
+    os.makedirs(doc_stats_dir, exist_ok=True)
+    units, ranked_refs, n_docs = _ingest_ranked(source, cfg)
+    cfg = _resolve_auto_shards(cfg, n_docs)
+    metrics = {"n_docs": n_docs, "n_blocks": len(units)}
+    if not ranked_refs:
+        _write_empty_doc_store(doc_store_out)
+        pq.write_table(_empty_chunks_table(),
+                       os.path.join(chunks_out, "part-empty.parquet"))
+        return metrics, cfg
+    ds = _doc_exchange(units, ranked_refs, doc_store_out, cfg, emit=True)
+    ds = ds.map_batches(
+        TokenizeToChunks(cfg, doc_stats_dir),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.tokenize_batch_size,
+    )
+    ds.write_parquet(chunks_out)
+    return metrics, cfg
 
 
 def _stage_ingest(ds: ray.data.Dataset, out: str, cfg: BuildConfig) -> dict[str, Any]:
@@ -296,21 +373,24 @@ def _stage_ingest(ds: ray.data.Dataset, out: str, cfg: BuildConfig) -> dict[str,
 
 
 # ---------------------------------------------------------------------------
-# stage 2: tokenize → posting chunks (+ doc-stat rows)
+# stage 2: tokenize → posting chunks (+ doc-stat side table)
 # ---------------------------------------------------------------------------
-
-_CHUNK_NULLS = {
-    "first_doc": 0, "last_doc": 0, "n_docs": 0, "cf": 0, "max_tf": 0,
-}
 
 
 class TokenizeToChunks:
     """Stateful map_batches callable: analyzer config + stem cache live for
     the actor's lifetime (the reference rebuilt its whole Preprocessing
-    object per document, /root/reference/indexing/index_builder/index_build.py:178)."""
+    object per document, /root/reference/indexing/index_builder/index_build.py:178).
 
-    def __init__(self, cfg: BuildConfig):
+    When ``doc_stats_dir`` is set, each batch side-writes its per-doc stats
+    (doc_id, n_tokens, lang, repo) as an idempotently-named parquet part —
+    the doc-stats table falls out of the tokenize pass for free instead of
+    a separate scan of the chunks table (reference doc_sizes.json,
+    /root/reference/indexing/index_builder/index_build.py:181-183)."""
+
+    def __init__(self, cfg: BuildConfig, doc_stats_dir: str | None = None):
         self.cfg = cfg
+        self.doc_stats_dir = doc_stats_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -406,44 +486,53 @@ class TokenizeToChunks:
                 "n_docs", "cf", "max_tf", "min_dl", "doc_blob", "tf_blob",
                 "pos_blob")}
 
+        if self.doc_stats_dir is not None and n_docs_batch:
+            # idempotent name: doc ranges are disjoint across batches, and a
+            # retried/speculative task re-emits byte-identical content under
+            # the same name (atomic replace)
+            stats_tbl = pa.table({
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(counts, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "repo": pa.array(repos, pa.string()),
+            })
+            name = f"ds-{int(doc_ids[0]):012d}-{int(doc_ids[-1]):012d}.parquet"
+            tmp = os.path.join(self.doc_stats_dir, f".{name}.tmp-{os.getpid()}")
+            pq.write_table(stats_tbl, tmp)
+            os.replace(tmp, os.path.join(self.doc_stats_dir, name))
+
         cols = {
-            "term": pa.array(
-                list(chunk_tbl["term"]) + [None] * n_docs_batch, pa.string()),
+            "term": pa.array(list(chunk_tbl["term"]), pa.string()),
             "range_id": pa.array(
-                np.concatenate([np.asarray(chunk_tbl["range_id"], np.int64),
-                                np.zeros(n_docs_batch, np.int64)])),
-            "shard": pa.array(
-                np.concatenate([np.asarray(chunk_tbl["shard"], np.int32),
-                                np.full(n_docs_batch, -1, np.int32)])),
+                np.asarray(chunk_tbl["range_id"], np.int64)),
+            "shard": pa.array(np.asarray(chunk_tbl["shard"], np.int32)),
             "doc_blob": pa.array(
-                list(chunk_tbl["doc_blob"]) + [b""] * n_docs_batch, pa.large_binary()),
+                list(chunk_tbl["doc_blob"]), pa.large_binary()),
             "tf_blob": pa.array(
-                list(chunk_tbl["tf_blob"]) + [b""] * n_docs_batch, pa.large_binary()),
+                list(chunk_tbl["tf_blob"]), pa.large_binary()),
             "pos_blob": pa.array(
-                list(chunk_tbl["pos_blob"]) + [b""] * n_docs_batch, pa.large_binary()),
-            "doc_id": pa.array(
-                [None] * n_t + doc_ids.tolist(), pa.int64()),
-            "n_tokens": pa.array(
-                [None] * n_t + counts.tolist(), pa.int64()),
-            "lang": pa.array([None] * n_t + langs, pa.string()),
-            "repo": pa.array([None] * n_t + repos, pa.string()),
+                list(chunk_tbl["pos_blob"]), pa.large_binary()),
         }
         for name, dtype in (("block_id", pa.int64()),
                             ("first_doc", pa.int64()), ("last_doc", pa.int64()),
                             ("n_docs", pa.int64()), ("cf", pa.int64()),
                             ("max_tf", pa.int32()), ("min_dl", pa.int32())):
             cols[name] = pa.array(
-                np.concatenate([np.asarray(chunk_tbl[name],
-                                           dtype.to_pandas_dtype()),
-                                np.zeros(n_docs_batch, dtype.to_pandas_dtype())]))
+                np.asarray(chunk_tbl[name], dtype.to_pandas_dtype()))
         return pa.table(cols, schema=schema.POSTING_CHUNKS)
 
 
-def _stage_chunks(doc_store: str, out: str, cfg: BuildConfig) -> dict[str, Any]:
+def _stage_chunks(doc_store: str, out: str, cfg: BuildConfig,
+                  doc_stats_dir: str | None = None) -> dict[str, Any]:
+    if doc_stats_dir is not None:
+        # doc_stats is a product of this stage: wipe any stale parts (the
+        # stats stage itself runs with clear=False and only aggregates)
+        shutil.rmtree(doc_stats_dir, ignore_errors=True)
+        os.makedirs(doc_stats_dir, exist_ok=True)
     cols = ["doc_id", "content", "lang", "repo"]
     ds = ray.data.read_parquet(doc_store, columns=cols)
     ds = ds.map_batches(
-        TokenizeToChunks(cfg),
+        TokenizeToChunks(cfg, doc_stats_dir),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.tokenize_batch_size,
@@ -589,7 +678,6 @@ def _repair_interleaved(g: pa.Table, codes: np.ndarray,
         rows["doc_blob"].append(codec.vb_encode(codec.delta_encode(d_sorted)))
         rows["tf_blob"].append(codec.vb_encode(tf_sorted.astype(np.uint64)))
         rows["pos_blob"].append(pos_blob)
-    n_rep = len(rows["term"])
     rep = pa.table(
         {
             "term": pa.array(rows["term"], pa.string()),
@@ -605,10 +693,6 @@ def _repair_interleaved(g: pa.Table, codes: np.ndarray,
             "doc_blob": pa.array(rows["doc_blob"], pa.large_binary()),
             "tf_blob": pa.array(rows["tf_blob"], pa.large_binary()),
             "pos_blob": pa.array(rows["pos_blob"], pa.large_binary()),
-            "doc_id": pa.nulls(n_rep, pa.int64()),
-            "n_tokens": pa.nulls(n_rep, pa.int64()),
-            "lang": pa.nulls(n_rep, pa.string()),
-            "repo": pa.nulls(n_rep, pa.string()),
         },
         schema=schema.POSTING_CHUNKS,
     )
@@ -793,10 +877,6 @@ def _merge_shard_range(group: pa.Table) -> pa.Table:
             "doc_blob": doc_arr,
             "tf_blob": tf_arr,
             "pos_blob": pos_arr,
-            "doc_id": pa.nulls(ngrp, pa.int64()),
-            "n_tokens": pa.nulls(ngrp, pa.int64()),
-            "lang": pa.nulls(ngrp, pa.string()),
-            "repo": pa.nulls(ngrp, pa.string()),
         },
         schema=schema.POSTING_CHUNKS,
     )
@@ -916,7 +996,7 @@ class WriteShard:
 
 def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
                   fingerprint: str, multi_range: bool) -> dict[str, Any]:
-    ds = ray.data.read_parquet(chunks_path, filter=pc.is_valid(pc.field("term")),
+    ds = ray.data.read_parquet(chunks_path,
                                override_num_blocks=_shuffle_read_blocks(chunks_path))
     # phase 1 (salted two-phase merge): (shard, range_id) groups keep hot
     # terms spread across reducers, bounded per doc range.  With a single
@@ -959,22 +1039,19 @@ def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
 # ---------------------------------------------------------------------------
 
 
-def _stage_stats(chunks_path: str, out: str) -> dict[str, Any]:
-    ds = ray.data.read_parquet(
-        chunks_path,
-        columns=["term", "doc_id", "n_tokens", "lang", "repo"],
-        filter=pc.is_null(pc.field("term")),
-    )
-    ds = ds.map_batches(
-        lambda t: t.select(["doc_id", "n_tokens", "lang", "repo"]),
-        batch_format="pyarrow",
-    )
+def _stage_stats(out: str) -> dict[str, Any]:
+    """Aggregate N / l_tot from the doc_stats parts the tokenize stage
+    side-wrote (reference computes them at app startup,
+    /root/reference/search/retrieval/retrieval_helpers/helpers.py:229-230).
+    No scan of the chunks table — doc stats fell out of tokenize."""
     doc_stats_dir = os.path.join(out, "doc_stats")
     os.makedirs(doc_stats_dir, exist_ok=True)
-    ds.write_parquet(doc_stats_dir)
-    # aggregate from the doc_stats just written (tiny, 2 columns) — NOT a
-    # second pass over the chunks table
-    agg = ray.data.read_parquet(doc_stats_dir, columns=["n_tokens"]).map_batches(
+    files = [os.path.join(doc_stats_dir, f)
+             for f in sorted(os.listdir(doc_stats_dir))
+             if f.endswith(".parquet")]
+    if not files:
+        return {"n_docs": 0, "total_tokens": 0}
+    agg = ray.data.read_parquet(files, columns=["n_tokens"]).map_batches(
         lambda t: pa.table({
             "n": pa.array([t.num_rows], pa.int64()),
             "tok": pa.array([pc.sum(t["n_tokens"]).as_py() or 0], pa.int64()),
@@ -1064,19 +1141,37 @@ def build_index(
 
     stats_dir = os.path.join(out_dir, "stats")
 
-    r1 = ckpt.run_stage("doc_store", ingest)
-    if cfg.num_shards == 0:
-        # auto shard count: ~100k docs per shard keeps every reducer's
-        # group (and each searcher actor's dictionary share) bounded as
-        # the corpus grows — deterministic for a given input, so resume
-        # re-resolves the same value
-        import dataclasses
+    doc_stats_dir = os.path.join(stats_dir, "doc_stats")
+    if (isinstance(source, str) and not ckpt.is_done("doc_store")
+            and not ckpt.is_done("chunks")):
+        # fused fresh build: ingest exchange streams straight into tokenize
+        # (no doc_store read-back).  The doc_store marker is written first,
+        # so a crash between the two leaves a resumable doc_store and the
+        # unfused chunks path below picks it up.
+        resolved = {}
 
-        n_docs = r1.metrics.get("n_docs", 0)
-        cfg = dataclasses.replace(
-            cfg, num_shards=int(min(1 << 14, max(8, -(-n_docs // 100_000)))))
-    r2 = ckpt.run_stage("chunks", lambda d: _stage_chunks(doc_store, d, cfg))
-    r3 = ckpt.run_stage("stats", lambda d: _stage_stats(chunks, d))
+        def fused(d):
+            m, rcfg = _stage_ingest_tokenize(source, doc_store, d,
+                                             doc_stats_dir, cfg)
+            resolved["cfg"] = rcfg
+            ckpt.mark_done("doc_store", m)
+            return m
+
+        r2 = ckpt.run_stage("chunks", fused)
+        cfg = resolved.get("cfg") or _resolve_auto_shards(
+            cfg, r2.metrics.get("n_docs", 0))
+        r1 = StageResult("doc_store", skipped=r2.skipped, wall_s=0.0,
+                         metrics=dict(r2.metrics))
+    else:
+        r1 = ckpt.run_stage("doc_store", ingest)
+        cfg = _resolve_auto_shards(cfg, r1.metrics.get("n_docs", 0))
+        r2 = ckpt.run_stage(
+            "chunks",
+            lambda d: _stage_chunks(doc_store, d, cfg, doc_stats_dir))
+    # clear=False: the doc_stats parts under stats/ were side-written by the
+    # tokenize stage (which wipes them itself on re-run); this stage only
+    # aggregates N / l_tot from them
+    r3 = ckpt.run_stage("stats", lambda d: _stage_stats(d), clear=False)
     multi_range = r1.metrics.get("n_docs", 0) > cfg.doc_range_size
     # clear=False: completed shards are skipped via their own manifests
     r4 = ckpt.run_stage(

@@ -49,7 +49,7 @@ DOC_STORE = pa.schema(
 # segment spill (/root/reference/indexing/index_builder/index_build.py:124,188-197).
 POSTING_CHUNKS = pa.schema(
     [
-        ("term", pa.string()),        # NULL => doc-stat row
+        ("term", pa.string()),
         ("range_id", pa.int64()),     # doc_id // doc_range_size (salt key)
         ("shard", pa.int32()),        # crc32(term) % num_shards
         ("block_id", pa.int64()),     # doc_id // fine_block_docs
@@ -62,11 +62,6 @@ POSTING_CHUNKS = pa.schema(
         ("doc_blob", pa.large_binary()),
         ("tf_blob", pa.large_binary()),
         ("pos_blob", pa.large_binary()),
-        # doc-stat payload (only on term==NULL rows)
-        ("doc_id", pa.int64()),
-        ("n_tokens", pa.int64()),
-        ("lang", pa.string()),
-        ("repo", pa.string()),
     ]
 )
 
