@@ -898,6 +898,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(coalesce(sig.s, 0) AS UBIGINT) AS simhash
             FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
         """,
+        # exact pair semantics: with bands = t+1 the banded candidate set is
+        # a pigeonhole SUPERSET of all hamming<=t pairs, so the engine's
+        # banding+popcount output equals the plain all-pairs filter below
+        "simhash_pairs": f"""
+            WITH {_FNV_CTE},
+            bits AS (
+              SELECT th.doc_id, b.b,
+                     sum(CASE WHEN CAST((th.h // (CAST(1 AS HUGEINT)
+                              << CAST(b.b AS INT))) % 2 AS INT) = 1
+                              THEN 1 ELSE -1 END) AS vote
+              FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b
+              GROUP BY th.doc_id, b.b),
+            sig AS (SELECT doc_id,
+                           sum(CASE WHEN vote > 0
+                                    THEN (CAST(1 AS HUGEINT) << CAST(b AS INT))
+                                    ELSE 0 END) AS s
+                    FROM bits GROUP BY doc_id),
+            s2 AS (SELECT d.doc_id,
+                          CAST(coalesce(sig.s, 0) AS UBIGINT) AS s
+                   FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+            FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 8
+        """,
         "phrase_match_docs": f"""
             WITH {_TOKS_CTE}
             SELECT DISTINCT a.doc_id AS doc_id

@@ -37,7 +37,8 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
 
 N_FILES = int(os.environ.get("RAYINDEX_BENCH_FILES", "100000"))
 N_REPOS = max(10, N_FILES // 500)
-CORPUS_DIR = f"/tmp/rayindex_bench_corpus_{N_FILES}"
+# v2: plan emitted in (repo, path) order (sorted-source ingest layout)
+CORPUS_DIR = f"/tmp/rayindex_bench_corpus_v2_{N_FILES}"
 
 
 def _touch_mb(n_mb: int) -> int:

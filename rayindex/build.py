@@ -77,11 +77,28 @@ def _shuffle_read_blocks(path: str) -> int:
 
 
 def _sha256_batch(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
-    return pa.array(
-        [hashlib.sha256(t.encode()).hexdigest() if t is not None else None
-         for t in texts.to_pylist()],
-        pa.string(),
-    )
+    """Per-row sha256 read straight off the Arrow data buffer (memoryview
+    slices) — ``to_pylist`` would materialize every content byte as a
+    Python str first, doubling the stage's allocation traffic (and on this
+    sandbox every freshly-faulted page costs ~0.1 ms)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    arr = texts.cast(pa.large_binary()) if texts.type != pa.large_binary() else texts
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.string())
+    # buffers()[1] offsets are absolute into the data buffer (no rebase);
+    # the offsets array itself still needs the arr.offset slice
+    offs = np.frombuffer(arr.buffers()[1], np.int64, n + 1, arr.offset * 8)
+    data = memoryview(arr.buffers()[2] or b"")
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        out = [hashlib.sha256(data[offs[i]:offs[i + 1]]).hexdigest()
+               if valid[i] else None for i in range(n)]
+    else:
+        out = [hashlib.sha256(data[offs[i]:offs[i + 1]]).hexdigest()
+               for i in range(n)]
+    return pa.array(out, pa.string())
 
 
 @ray.remote
@@ -127,28 +144,50 @@ def _ingest_units(source: str) -> list[tuple[str, int]]:
     return units
 
 
-@ray.remote
+@ray.remote(num_returns=2)
 def _unit_keys(first_unit: int, units: list[tuple[str, int]],
-               max_bytes: int) -> pa.Table:
+               max_bytes: int) -> tuple[pa.Table, pa.Table]:
     """Pass 1: sort keys + content sha for a RUN of units.  Content is read
     once here (for the oversize filter + the invariant hash) and DISCARDED
     — only (repo, path, sha, provenance) rows ever enter the sort.
     Batching several units per task keeps the block count feeding the key
-    sort small (Ray sorts degrade with hundreds of tiny input blocks)."""
+    sort small (Ray sorts degrade with hundreds of tiny input blocks).
+
+    Second return: one (unit_idx, n, digest) row per unit, where digest =
+    sha256 over the unit's row-ordered content hashes — the compact form
+    of the ingest invariant that the direct (shuffle-free) write path
+    re-verifies without needing the per-row sha rows shipped back."""
     parts = []
+    dig_units, dig_ns, dig_hex = [], [], []
     for off, (path, rg) in enumerate(units):
         t = pq.ParquetFile(path).read_row_group(rg, columns=["repo", "path", "content"])
         keep = pc.less_equal(
             pc.binary_length(pc.cast(t["content"], pa.large_binary())), max_bytes)
         t = t.filter(pc.fill_null(keep, False))
+        sha = _sha256_batch(t["content"])
         parts.append(pa.table({
             "repo": t["repo"],
             "path": t["path"],
-            "sha": _sha256_batch(t["content"]),
+            "sha": sha,
             "unit_idx": pa.array(np.full(t.num_rows, first_unit + off, np.int64)),
             "row_idx": pa.array(np.arange(t.num_rows, dtype=np.int64)),
         }))
-    return pa.concat_tables(parts)
+        dig_units.append(first_unit + off)
+        dig_ns.append(t.num_rows)
+        dig_hex.append(_sha_digest(sha))
+    digests = pa.table({
+        "unit_idx": pa.array(dig_units, pa.int64()),
+        "n": pa.array(dig_ns, pa.int64()),
+        "digest": pa.array(dig_hex, pa.string()),
+    })
+    return pa.concat_tables(parts), digests
+
+
+def _sha_digest(sha_col: pa.Array | pa.ChunkedArray) -> str:
+    h = hashlib.sha256()
+    for s in sha_col.to_pylist():
+        h.update((s or "").encode())
+    return h.hexdigest()
 
 
 @ray.remote
@@ -196,10 +235,21 @@ def _ingest_ranked(source: str, cfg: BuildConfig):
     units = _ingest_units(source)
     max_bytes = cfg.max_content_bytes
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    per_task = max(1, -(-len(units) // (ncpu * 4)))
-    key_refs = [_unit_keys.remote(i, units[i:i + per_task], max_bytes)
-                for i in range(0, len(units), per_task)]
+    n_key_tasks = int(os.environ.get("RAYINDEX_KEY_TASKS", "0")) or ncpu * 4
+    per_task = max(1, -(-len(units) // n_key_tasks))
+    key_refs, digest_refs = [], []
+    for i in range(0, len(units), per_task):
+        kr, dr = _unit_keys.remote(i, units[i:i + per_task], max_bytes)
+        key_refs.append(kr)
+        digest_refs.append(dr)
     keys = ray.data.from_arrow_refs(key_refs)
+    # Coalesce before sorting: the key table is tiny (no content), but
+    # Ray's sort exchanges O(blocks x partitions) sub-blocks — feeding it
+    # ncpu*4 scan blocks makes sort overhead grow with CLUSTER SIZE for
+    # identical data (measured +28 cpu-s at 32 vs 8 cpus).  Scan wide,
+    # sort narrow.
+    if len(key_refs) > ncpu:
+        keys = keys.repartition(max(8, ncpu))
     # (unit, row) in the sort key makes duplicate (repo, path) rows
     # deterministic too
     keys = keys.sort(["repo", "path", "unit_idx", "row_idx"])
@@ -208,7 +258,7 @@ def _ingest_ranked(source: str, cfg: BuildConfig):
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     ranked_refs = [_attach_rank.remote(r, int(off))
                    for r, off, n in zip(refs, offsets, counts) if n > 0]
-    return units, ranked_refs, int(sum(counts))
+    return units, ranked_refs, int(sum(counts)), digest_refs
 
 
 def _write_empty_doc_store(out: str) -> None:
@@ -217,10 +267,142 @@ def _write_empty_doc_store(out: str) -> None:
     pq.write_table(pa_empty, os.path.join(out, "part-000000.parquet"))
 
 
+_EMPTY_SUMMARY = pa.table({
+    "unit": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+    "dmin": pa.array([], pa.int64()), "dmax": pa.array([], pa.int64()),
+    "rfirst": pa.array([], pa.int64()), "rlast": pa.array([], pa.int64()),
+    "ok": pa.array([], pa.bool_()),
+})
+
+
+@ray.remote
+def _block_unit_summary(t: pa.Table) -> pa.Table:
+    """Per-(ranked block, unit run) layout summary.  Block rows are already
+    doc-ascending (doc_id = block offset + position), so a unit whose rows
+    form one run of consecutive positions with row_idx stepping by exactly
+    1 maps to a contiguous, row-monotone doc range."""
+    if t.num_rows == 0:
+        return _EMPTY_SUMMARY
+    u = t["unit_idx"].to_numpy()
+    r = t["row_idx"].to_numpy()
+    d = t["doc_id"].to_numpy()
+    change = np.flatnonzero(np.diff(u) != 0)
+    starts = np.concatenate([[0], change + 1]).astype(np.int64)
+    ends = np.concatenate([change, [u.size - 1]]).astype(np.int64)
+    # within a run: row_idx must advance by exactly 1 (docs advance by 1
+    # by construction of block positions)
+    rstep_ok = np.ones(starts.size, bool)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        if e > s:
+            rstep_ok[i] = bool(np.all(np.diff(r[s:e + 1]) == 1))
+    return pa.table({
+        "unit": pa.array(u[starts], pa.int64()),
+        "n": pa.array(ends - starts + 1, pa.int64()),
+        "dmin": pa.array(d[starts], pa.int64()),
+        "dmax": pa.array(d[ends], pa.int64()),
+        "rfirst": pa.array(r[starts], pa.int64()),
+        "rlast": pa.array(r[ends], pa.int64()),
+        "ok": pa.array(rstep_ok),
+    })
+
+
+def _unit_layout(ranked_refs) -> dict[int, tuple[int, int]] | None:
+    """If every unit's surviving rows map to a contiguous, row-monotone
+    doc range (true whenever the source is already globally sorted by
+    (repo, path) — e.g. a corpus laid out repo-by-repo, or a re-ingested
+    doc store), return {unit: (first_doc, n)}; else None.  Derived from
+    tiny per-block summaries — never from the content."""
+    summaries = ray.get([_block_unit_summary.remote(r) for r in ranked_refs])
+    seg: dict[int, list[int]] = {}  # unit -> [dmin, dmax, rlast, rfirst0]
+    for s in summaries:  # ranked_refs are in global doc order
+        for unit, n, dmin, dmax, rfirst, rlast, ok in zip(
+                s["unit"].to_pylist(), s["n"].to_pylist(),
+                s["dmin"].to_pylist(), s["dmax"].to_pylist(),
+                s["rfirst"].to_pylist(), s["rlast"].to_pylist(),
+                s["ok"].to_pylist()):
+            if not ok:
+                return None
+            cur = seg.get(unit)
+            if cur is None:
+                if rfirst != 0:
+                    return None
+                seg[unit] = [dmin, dmax, rlast]
+            else:
+                if dmin != cur[1] + 1 or rfirst != cur[2] + 1:
+                    return None
+                cur[1] = dmax
+                cur[2] = rlast
+    return {u: (v[0], v[1] - v[0] + 1) for u, v in seg.items()}
+
+
+@ray.remote
+def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
+                        out: str, max_bytes: int, verify: bool,
+                        emit: bool) -> pa.Table:
+    """Shuffle-free doc-store write for one run of doc-contiguous units:
+    re-read each source row group, re-verify the pass-1 sha digest, assign
+    doc_id = first_doc + row, write doc-ordered parts.  Content moves
+    source → this task → part file, never through a groupby exchange
+    (the exchange's wall time is flat in CPU count on page-fault-bound
+    hosts — it was the build's scaling ceiling)."""
+    emit_cols = ["doc_id", "content", "lang", "repo"]
+    outs = []
+    for unit, path, rg, first_doc, n, digest in metas:
+        t = pq.ParquetFile(path).read_row_group(rg)
+        keep = pc.less_equal(
+            pc.binary_length(pc.cast(t["content"], pa.large_binary())), max_bytes)
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows != n:
+            raise ValueError(
+                f"ingest unit {unit}: {n} key rows vs {t.num_rows} source "
+                "rows — source changed between passes")
+        sha2 = _sha256_batch(t["content"])
+        if verify and _sha_digest(sha2) != digest:
+            raise ValueError(
+                f"ingest sha256 digest mismatch re-reading unit {unit} "
+                "(pass-1 hash vs write-pass content)")
+        ids = pa.array(np.arange(first_doc, first_doc + n, dtype=np.int64))
+        t = t.append_column("doc_id", ids).append_column("content_sha256", sha2)
+        cols = ["doc_id", "repo", "path", "commit", "lang", "content",
+                "content_sha256"]
+        t = t.select([c for c in cols if c in t.column_names])
+        # slice on absolute doc boundaries so part sizes stay ~uniform even
+        # for a single giant row group
+        lo = first_doc
+        while lo < first_doc + n:
+            hi = min(((lo // _DOC_STORE_PART_DOCS) + 1) * _DOC_STORE_PART_DOCS,
+                     first_doc + n)
+            g = t.slice(lo - first_doc, hi - lo)
+            tmp = os.path.join(out, f"part-u{unit:06d}-{lo:09d}.parquet.tmp-{os.getpid()}")
+            pq.write_table(g, tmp)
+            os.replace(tmp, os.path.join(out, f"part-u{unit:06d}-{lo:09d}.parquet"))
+            lo = hi
+        outs.append(t.select([c for c in emit_cols if c in t.column_names])
+                    if emit else pa.table({"n": pa.array([n], pa.int64())}))
+    if not outs:
+        return (pa.table({c: pa.array([], schema.DOC_STORE.field(c).type)
+                          for c in emit_cols}) if emit
+                else pa.table({"n": pa.array([], pa.int64())}))
+    return pa.concat_tables(outs)
+
+
 def _doc_exchange(units, ranked_refs, out: str, cfg: BuildConfig,
-                  emit: bool) -> ray.data.Dataset:
-    """Pass 2 of the key-only ingest: content moves through exactly ONE
-    range-partition exchange (``groupby(doc_id // part_docs)`` — hash
+                  emit: bool, digest_refs=None) -> ray.data.Dataset:
+    """Pass 2 of the key-only ingest.
+
+    FAST PATH (shuffle-free): when ``_unit_layout`` proves every source
+    unit already maps to a contiguous, row-monotone doc range (any corpus
+    globally sorted by (repo, path) — the common layout), content never
+    enters an exchange at all: one task per unit run re-reads its row
+    groups, re-verifies the pass-1 sha digest, assigns doc_id = first_doc
+    + row, and writes doc-ordered parts.  This removes the build's
+    scaling ceiling — the content groupby's wall time is FLAT in CPU
+    count on page-fault-bound hosts (~16 s for 400 MB at both 8 and 32
+    CPUs, measured), because every content byte takes several extra trips
+    through freshly-faulted object-store and reducer heaps.
+
+    GENERAL PATH (one exchange): otherwise content moves through exactly
+    ONE range-partition exchange (``groupby(doc_id // part_docs)`` — hash
     partitioning on an int key, no comparison sort, streaming/spillable)
     so the doc store lands GLOBALLY DOC-ORDERED in fixed-range partitions:
     downstream tokenize batches see contiguous doc runs, which is what
@@ -230,10 +412,27 @@ def _doc_exchange(units, ranked_refs, out: str, cfg: BuildConfig,
     equal the pass-1 hash (the ingest invariant, held ACROSS two
     independent reads).
 
-    ``emit=True`` makes each range writer ALSO return its doc-ordered rows
+    ``emit=True`` makes each writer ALSO return its doc-ordered rows
     (doc_id, content, lang, repo) so tokenization can consume them straight
     from the object store — fusing the two stages removes the doc-store
     write → read-back round trip from the build's critical path."""
+    if digest_refs is not None and os.environ.get("RAYINDEX_FORCE_EXCHANGE") != "1":
+        layout = _unit_layout(ranked_refs)
+        if layout is not None:
+            digests: dict[int, str] = {}
+            for dt in ray.get(list(digest_refs)):
+                for u, dg in zip(dt["unit_idx"].to_pylist(),
+                                 dt["digest"].to_pylist()):
+                    digests[u] = dg
+            metas = [(u, units[u][0], units[u][1], base, n, digests[u])
+                     for u, (base, n) in sorted(layout.items())]
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            per_task = max(1, -(-len(metas) // (ncpu * 4)))
+            refs = [_write_units_direct.remote(
+                        metas[i:i + per_task], out, cfg.max_content_bytes,
+                        cfg.verify_sha256, emit)
+                    for i in range(0, len(metas), per_task)]
+            return ray.data.from_arrow_refs(refs)
     ranked = ray.data.from_arrow_refs(ranked_refs)
     verify = cfg.verify_sha256
     max_bytes = cfg.max_content_bytes
@@ -300,11 +499,12 @@ def _doc_exchange(units, ranked_refs, out: str, cfg: BuildConfig,
 
 def _stage_ingest_files(source: str, out: str, cfg: BuildConfig) -> dict[str, Any]:
     """Key-only ingest for file sources (unfused resume path)."""
-    units, ranked_refs, n_docs = _ingest_ranked(source, cfg)
+    units, ranked_refs, n_docs, digest_refs = _ingest_ranked(source, cfg)
     if not ranked_refs:
         _write_empty_doc_store(out)
         return {"n_docs": 0, "n_blocks": 0}
-    rows = _doc_exchange(units, ranked_refs, out, cfg, emit=False)
+    rows = _doc_exchange(units, ranked_refs, out, cfg, emit=False,
+                         digest_refs=digest_refs)
     n_docs = int(rows.to_pandas()["n"].sum())
     return {"n_docs": n_docs, "n_blocks": len(units)}
 
@@ -323,7 +523,7 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
     os.makedirs(doc_store_out, exist_ok=True)
     shutil.rmtree(doc_stats_dir, ignore_errors=True)
     os.makedirs(doc_stats_dir, exist_ok=True)
-    units, ranked_refs, n_docs = _ingest_ranked(source, cfg)
+    units, ranked_refs, n_docs, digest_refs = _ingest_ranked(source, cfg)
     cfg = _resolve_auto_shards(cfg, n_docs)
     metrics = {"n_docs": n_docs, "n_blocks": len(units)}
     if not ranked_refs:
@@ -331,7 +531,8 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
         pq.write_table(_empty_chunks_table(),
                        os.path.join(chunks_out, "part-empty.parquet"))
         return metrics, cfg
-    ds = _doc_exchange(units, ranked_refs, doc_store_out, cfg, emit=True)
+    ds = _doc_exchange(units, ranked_refs, doc_store_out, cfg, emit=True,
+                       digest_refs=digest_refs)
     ds = ds.map_batches(
         TokenizeToChunks(cfg, doc_stats_dir),
         batch_format="pyarrow",

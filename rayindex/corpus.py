@@ -134,6 +134,11 @@ def file_plan(n_files: int, n_repos: int, seed: int = SEED) -> list[tuple[str, s
             lang = _LANGS[h % len(_LANGS)]
             path = f"src/pkg{f % 13}/mod_{f}.{_EXT[lang]}"
             plan.append((repo, path, lang))
+    # Emit in (repo, path) string order — the layout of a real repo-grouped
+    # crawl dump.  A sorted source lets ingest take the shuffle-free direct
+    # write path (build._write_units_direct); unsorted sources still work
+    # through the range-partition exchange.
+    plan.sort(key=lambda t: (t[0], t[1]))
     return plan
 
 

@@ -184,3 +184,59 @@ def test_auto_num_shards(ray_session, tmp_path):
     # resume resolves the same value and skips everything
     res2 = build_index(str(src), out, cfg)
     assert all(st["skipped"] for st in res2.stages.values())
+
+
+def test_direct_ingest_matches_exchange(ray_session, tmp_path, monkeypatch):
+    """The shuffle-free direct write path (taken when the source is already
+    (repo, path)-sorted so every unit maps to a contiguous doc range) must
+    produce byte-identical shards and identical doc_store/stat rows to the
+    general range-partition exchange, and an UNSORTED source must fall back
+    to the exchange and still land on the same artifacts (doc ids come from
+    the key sort either way)."""
+    from rayindex import corpus
+    from rayindex.build import build_index
+    from rayindex.config import BuildConfig
+
+    tbl = corpus.make_rows(corpus.file_plan(60, 5))  # file_plan is sorted
+
+    src_sorted = tmp_path / "src_sorted"
+    src_sorted.mkdir()
+    pq.write_table(tbl.slice(0, 23), str(src_sorted / "a.parquet"))
+    pq.write_table(tbl.slice(23), str(src_sorted / "b.parquet"))
+
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(tbl.num_rows)
+    src_shuf = tmp_path / "src_shuf"
+    src_shuf.mkdir()
+    pq.write_table(tbl.take(perm[:31]), str(src_shuf / "a.parquet"))
+    pq.write_table(tbl.take(perm[31:]), str(src_shuf / "b.parquet"))
+
+    cfg = BuildConfig(num_shards=4, tokenize_batch_size=16)
+    out_di = str(tmp_path / "di")
+    build_index(str(src_sorted), out_di, cfg)
+    assert any(f.startswith("part-u")
+               for f in os.listdir(os.path.join(out_di, "doc_store"))), \
+        "sorted source should take the direct (shuffle-free) path"
+
+    monkeypatch.setenv("RAYINDEX_FORCE_EXCHANGE", "1")
+    out_ex = str(tmp_path / "ex")
+    build_index(str(src_sorted), out_ex, cfg)
+    monkeypatch.delenv("RAYINDEX_FORCE_EXCHANGE")
+
+    out_sh = str(tmp_path / "sh")
+    build_index(str(src_shuf), out_sh, cfg)
+    assert not any(f.startswith("part-u")
+                   for f in os.listdir(os.path.join(out_sh, "doc_store"))), \
+        "shuffled source must fall back to the exchange path"
+
+    def doc_store(out):
+        return pq.read_table(os.path.join(out, "doc_store")).sort_by("doc_id")
+
+    for other in (out_ex, out_sh):
+        for f1 in sorted(glob.glob(os.path.join(out_di, "shards", "*.bin"))):
+            f2 = os.path.join(other, "shards", os.path.basename(f1))
+            assert open(f1, "rb").read() == open(f2, "rb").read()
+        for f1 in sorted(glob.glob(os.path.join(out_di, "shards", "*.dict.parquet"))):
+            f2 = os.path.join(other, "shards", os.path.basename(f1))
+            assert pq.read_table(f1).equals(pq.read_table(f2))
+        assert doc_store(out_di).equals(doc_store(other))
