@@ -178,7 +178,10 @@ def minhash_candidates(ds, num_perm: int = 128, bands: int = 32,
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k,
                                "text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=4, num_cpus=1,
+        # autoscaling (min=1): a fixed pool of 4 claims every CPU of a
+        # 4-CPU session and starves the upstream read tasks (deadlock);
+        # min=1 always leaves CPUs for the task pools
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
     )
 
     def explode_bands(t: pa.Table) -> pa.Table:

@@ -218,6 +218,6 @@ def decode_features(ds, backend: str = "fake", feature_dim: int = 16,
                                "payload_col": payload_col, "id_col": id_col},
         batch_format="pyarrow",
         batch_size=batch_size,   # binary payloads: keep batches small
-        concurrency=concurrency,
+        concurrency=(1, concurrency),  # min=1: never starve upstream tasks
         num_cpus=1,
     )

@@ -122,6 +122,63 @@ def _shard_id_of(path: str) -> int:
     return int(name.split("_")[1].split(".")[0])
 
 
+def _find_row(cols: dict[str, Any], needle: bytes) -> int | None:
+    """Binary search over a shard dict's sorted utf-8 term bytes (Arrow
+    large_binary offsets + data shared zero-copy through plasma — no
+    per-actor Python vocab dict).  Sortedness holds because the shard
+    writer factorizes terms with sort=True, and numpy's str order =
+    code-point order = utf-8 byte order."""
+    offs = cols["term_offs"]
+    data = cols["term_data"]
+    lo, hi = 0, offs.size - 1
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if data[offs[mid]:offs[mid + 1]].tobytes() < needle:
+            lo = mid + 1
+        else:
+            hi = mid
+    if lo < offs.size - 1 and data[offs[lo]:offs[lo + 1]].tobytes() == needle:
+        return lo
+    return None
+
+
+def _fs_of(index_dir: str):
+    if "://" in index_dir:
+        import fsspec
+
+        return fsspec.core.url_to_fs(index_dir)[0]
+    return None
+
+
+def _read_parquet(fs, path: str, columns=None) -> pa.Table:
+    if fs is not None:
+        with fs.open(path, "rb") as f:
+            return pq.read_table(f, columns=columns)
+    return pq.read_table(path, columns=columns)
+
+
+def _strip(uri: str) -> str:
+    import fsspec
+
+    return fsspec.core.url_to_fs(uri)[1].rstrip("/")
+
+
+def _load_docmeta(fs, index_dir: str) -> tuple[dict, pa.Table]:
+    """(collection_stats row, doc_stats table) for one build."""
+    if fs is not None:
+        stats_root = _strip(index_dir) + "/stats"
+        cs = _read_parquet(fs, stats_root + "/collection_stats.parquet").to_pylist()[0]
+        parts = sorted(fs.glob(stats_root + "/doc_stats/*.parquet"))
+        ds_t = pa.concat_tables(
+            [_read_parquet(fs, p, ["doc_id", "n_tokens", "lang"]) for p in parts])
+    else:
+        stats_dir = os.path.join(index_dir, "stats")
+        cs = pq.read_table(os.path.join(stats_dir, "collection_stats.parquet")).to_pylist()[0]
+        ds_t = pq.read_table(os.path.join(stats_dir, "doc_stats"),
+                             columns=["doc_id", "n_tokens", "lang"])
+    return cs, ds_t
+
+
 class IndexReader(MiniIndexProvider):
     """Loads one build's artifacts; serves per-term postings zero-copy from
     a local mmap, or by byte-range reads when ``index_dir`` is a URI
@@ -130,34 +187,46 @@ class IndexReader(MiniIndexProvider):
 
     ``shard_subset`` restricts the reader to the given shard ids (the
     sharded-actor ownership split: each actor owns ``crc32(term) %
-    num_shards`` subsets and out-of-subset terms simply miss)."""
+    num_shards`` subsets and out-of-subset terms simply miss).
+
+    ``shared_state`` (from :func:`build_shared_state`) attaches
+    pre-loaded dictionaries instead of re-reading parquet — the state is
+    all numpy arrays, so actors on one node read it ZERO-COPY from the
+    object store (`ray.put` once, N searcher actors attach in ~ms with no
+    per-actor vocab copy)."""
 
     _BLOCK_COLS = ("block_first", "block_last", "block_n", "block_max_tf",
                    "block_min_dl", "block_doc_boff", "block_tf_boff",
                    "block_pos_boff")
 
-    def __init__(self, index_dir: str, shard_subset: set[int] | None = None):
+    def __init__(self, index_dir: str, shard_subset: set[int] | None = None,
+                 shared_state: dict | None = None):
         self.index_dir = index_dir
         self._remote = "://" in index_dir
-        if self._remote:
-            import fsspec
+        self._fs = _fs_of(index_dir)
+        state = (shared_state if shared_state is not None
+                 else self.load_state(index_dir, shard_subset))
+        self._attach(state)
 
-            self._fs, root = fsspec.core.url_to_fs(index_dir)
-            shard_dir = root.rstrip("/") + "/shards"
-            dict_paths = sorted(self._fs.glob(shard_dir + "/*.dict.parquet"))
+    @staticmethod
+    def load_state(index_dir: str, shard_subset: set[int] | None = None) -> dict:
+        """Everything a reader needs except blob handles, as numpy arrays
+        and small scalars (plasma-shareable; see ``build_shared_state``)."""
+        fs = _fs_of(index_dir)
+        if fs is not None:
+            shard_dir = _strip(index_dir) + "/shards"
+            all_paths = sorted(fs.glob(shard_dir + "/*.dict.parquet"))
         else:
-            self._fs = None
             shard_dir = os.path.join(index_dir, "shards")
-            dict_paths = sorted(glob.glob(os.path.join(shard_dir, "*.dict.parquet")))
-        if shard_subset is not None:
-            dict_paths = [p for p in dict_paths if _shard_id_of(p) in shard_subset]
-        self.shard_ids = [_shard_id_of(p) for p in dict_paths]
-        self._files: list[mmap.mmap | bytes | _RangedBlob] = []
-        self._lookup: dict[str, tuple[int, int]] = {}  # term -> (slot, row)
-        self._dicts: list[dict[str, np.ndarray]] = []
-        for sid, dict_path in enumerate(dict_paths):
-            t = self._read_parquet(dict_path)
-            cols = {
+            all_paths = sorted(glob.glob(os.path.join(shard_dir, "*.dict.parquet")))
+        num_shards_total = len(all_paths)
+        dict_paths = (all_paths if shard_subset is None else
+                      [p for p in all_paths if _shard_id_of(p) in shard_subset])
+        dicts: list[dict[str, Any]] = []
+        bin_sizes: list[int] = []
+        for dict_path in dict_paths:
+            t = _read_parquet(fs, dict_path)
+            cols: dict[str, Any] = {
                 "df": t["df"].to_numpy(),
                 "cf": t["cf"].to_numpy(),
                 "max_tf": t["max_tf"].to_numpy(),
@@ -168,88 +237,116 @@ class IndexReader(MiniIndexProvider):
                 "pos_off": t["pos_off"].to_numpy(),
                 "pos_len": t["pos_len"].to_numpy(),
             }
+            # sorted utf-8 term bytes for binary search (no python dict)
+            term = t["term"].combine_chunks().cast(pa.large_binary())
+            n = len(term)
+            cols["term_offs"] = (np.frombuffer(term.buffers()[1], np.int64,
+                                               n + 1, term.offset * 8)
+                                 if n else np.zeros(1, np.int64))
+            cols["term_data"] = np.frombuffer(term.buffers()[2] or b"", np.uint8)
             # flatten the ragged block-metadata lists ONCE (offsets+values);
             # per-lookup .as_py() conversion is 100x slower for hot terms
-            for name in self._BLOCK_COLS:
+            for name in IndexReader._BLOCK_COLS:
                 arr = t[name].combine_chunks()
                 cols[f"{name}_off"] = arr.offsets.to_numpy()
                 cols[f"{name}_val"] = arr.values.to_numpy()
-            self._dicts.append(cols)
-            for row, term in enumerate(t["term"].to_pylist()):
-                self._lookup[term] = (sid, row)
+            dicts.append(cols)
             bin_path = dict_path.replace(".dict.parquet", ".bin")
-            if self._remote:
-                size = self._fs.size(bin_path)
-                self._files.append(_RangedBlob(self._fs, bin_path, size)
-                                   if size else b"")
-            else:
-                size = os.path.getsize(bin_path)
-                if size:
-                    f = open(bin_path, "rb")
-                    self._files.append(mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ))
-                else:
-                    self._files.append(b"")
-        if self._remote:
-            stats_dir = index_dir.rstrip("/") + "/stats"
-            cs = self._read_parquet(
-                self._strip(stats_dir) + "/collection_stats.parquet").to_pylist()[0]
-            ds_t = self._read_parquet_dir(
-                self._strip(stats_dir) + "/doc_stats",
-                columns=["doc_id", "n_tokens", "lang"])
-        else:
-            stats_dir = os.path.join(index_dir, "stats")
-            cs = pq.read_table(os.path.join(stats_dir, "collection_stats.parquet")).to_pylist()[0]
-            ds_t = pq.read_table(os.path.join(stats_dir, "doc_stats"),
-                                 columns=["doc_id", "n_tokens", "lang"])
+            bin_sizes.append(fs.size(bin_path) if fs is not None
+                             else os.path.getsize(bin_path))
+        cs, ds_t = _load_docmeta(fs, index_dir)
         doc_ids = ds_t["doc_id"].to_numpy()
         doc_len = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 1, np.int64)
         doc_len[doc_ids] = ds_t["n_tokens"].to_numpy()
-        self.stats = Stats(
-            n_docs=cs["n_docs"], total_tokens=cs["total_tokens"], doc_len=doc_len
-        )
-        self._doc_ids_sorted = np.sort(doc_ids)
-        # columnar lang table (arrays, not a per-doc python dict)
-        self._lang_docs = doc_ids
-        self._lang_vals = np.asarray(ds_t["lang"].to_pylist(), object)
+        enc = ds_t["lang"].combine_chunks().dictionary_encode()
+        lang_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+        lang_uniq = enc.dictionary.to_pylist()
+        return {
+            "num_shards_total": num_shards_total,
+            "shard_ids": [_shard_id_of(p) for p in dict_paths],
+            "bin_names": [os.path.basename(p).replace(".dict.parquet", ".bin")
+                          for p in dict_paths],
+            "bin_sizes": bin_sizes,
+            "dicts": dicts,
+            "n_docs": cs["n_docs"],
+            "total_tokens": cs["total_tokens"],
+            "doc_len": doc_len,
+            "doc_ids": doc_ids,
+            "doc_ids_sorted": np.sort(doc_ids),
+            "lang_codes": lang_codes,
+            "lang_uniq": lang_uniq,
+        }
+
+    def _attach(self, state: dict) -> None:
+        self.shard_ids = list(state["shard_ids"])
+        self._num_shards_total = state["num_shards_total"]
+        self._slot_of = {sid: slot for slot, sid in enumerate(self.shard_ids)}
+        self._dicts = state["dicts"]
+        self._files: list[mmap.mmap | bytes | _RangedBlob] = []
+        for name, size in zip(state["bin_names"], state["bin_sizes"]):
+            if self._remote:
+                bin_path = _strip(self.index_dir) + "/shards/" + name
+                self._files.append(_RangedBlob(self._fs, bin_path, size)
+                                   if size else b"")
+            else:
+                bin_path = os.path.join(self.index_dir, "shards", name)
+                if size:
+                    f = open(bin_path, "rb")
+                    self._files.append(mmap.mmap(f.fileno(), 0,
+                                                 access=mmap.ACCESS_READ))
+                else:
+                    self._files.append(b"")
+        self.stats = Stats(n_docs=state["n_docs"],
+                           total_tokens=state["total_tokens"],
+                           doc_len=state["doc_len"])
+        self._doc_ids_sorted = state["doc_ids_sorted"]
+        self._lang_docs = state["doc_ids"]
+        self._lang_codes = state["lang_codes"]
+        self._lang_uniq = {v: i for i, v in enumerate(state["lang_uniq"])}
         self._lang_cache: dict[str, np.ndarray] = {}
-
-    def _strip(self, uri: str) -> str:
-        import fsspec
-
-        return fsspec.core.url_to_fs(uri)[1].rstrip("/")
-
-    def _read_parquet(self, path: str, columns=None) -> pa.Table:
-        if self._remote:
-            with self._fs.open(path, "rb") as f:
-                return pq.read_table(f, columns=columns)
-        return pq.read_table(path, columns=columns)
-
-    def _read_parquet_dir(self, root: str, columns=None) -> pa.Table:
-        parts = sorted(self._fs.glob(root.rstrip("/") + "/*.parquet"))
-        return pa.concat_tables([self._read_parquet(p, columns) for p in parts])
 
     def allowed_for_lang(self, lang: str) -> np.ndarray:
         """Doc set for a metadata filter (the reference's date2doc analog,
         /root/reference/indexing/index_builder/index_build.py:94-99)."""
         hit = self._lang_cache.get(lang)
         if hit is None:
-            hit = np.sort(self._lang_docs[self._lang_vals == lang]).astype(np.int64)
+            code = self._lang_uniq.get(lang, -1)
+            hit = np.sort(self._lang_docs[self._lang_codes == code]).astype(np.int64)
             self._lang_cache[lang] = hit
         return hit
 
     @property
     def n_terms(self) -> int:
-        return len(self._lookup)
+        return sum(int(d["term_offs"].size - 1) for d in self._dicts)
+
+    def _find(self, term: str) -> tuple[int, int] | None:
+        from rayindex.build import term_shard
+
+        if not self._num_shards_total:
+            return None
+        slot = self._slot_of.get(term_shard(term, self._num_shards_total))
+        if slot is None:
+            return None
+        row = _find_row(self._dicts[slot], term.encode())
+        return None if row is None else (slot, row)
 
     def contains(self, term: str) -> bool:
-        return term in self._lookup
+        return self._find(term) is not None
+
+    def iter_terms(self):
+        """Yield (term, cf) over the whole vocabulary (spellcheck dict)."""
+        for d in self._dicts:
+            offs, data, cf = d["term_offs"], d["term_data"], d["cf"]
+            for row in range(offs.size - 1):
+                yield (data[offs[row]:offs[row + 1]].tobytes().decode(),
+                       int(cf[row]))
 
     def _blocks(self, d: dict, name: str, row: int) -> np.ndarray:
         off = d[f"{name}_off"]
         return d[f"{name}_val"][off[row] : off[row + 1]]
 
     def lookup(self, term: str, need_positions: bool) -> Posting | None:
-        hit = self._lookup.get(term)
+        hit = self._find(term)
         if hit is None:
             return None
         sid, row = hit
@@ -277,7 +374,7 @@ class IndexReader(MiniIndexProvider):
     def lookup_lazy(self, term: str) -> LazyPosting | None:
         """Zero-decode handle for block-at-a-time access (WAND, positional
         subset fetch) — only dict metadata is touched here."""
-        hit = self._lookup.get(term)
+        hit = self._find(term)
         if hit is None:
             return None
         sid, row = hit
@@ -370,19 +467,36 @@ class IndexReader(MiniIndexProvider):
         return list(zip(docs.tolist(), scores.tolist()))
 
 
+def build_shared_state(index_dir: str):
+    """Load the index's dictionaries/stats ONCE and ``ray.put`` them:
+    searcher actors attach zero-copy (the state is all numpy arrays) —
+    N actors on a node share ONE plasma copy of the vocab + doc tables
+    instead of each parsing every dict parquet in ``__init__``."""
+    import ray
+
+    return ray.put(IndexReader.load_state(index_dir))
+
+
 class Searcher:
     """Actor-pool callable for batch query evaluation:
     ``queries_ds.map_batches(Searcher, fn_constructor_kwargs=..., concurrency=N)``.
 
-    State (term dicts, mmaps, stats) loads once per actor in ``__init__``;
-    each ``__call__`` scores a batch of query rows and emits result rows
-    (query_id, rank, doc_id, score).
+    State (term dicts, mmaps, stats) loads once per actor in ``__init__``
+    — or attaches zero-copy when ``shared_state`` (a ``build_shared_state``
+    ObjectRef) is passed; each ``__call__`` scores a batch of query rows
+    and emits result rows (query_id, rank, doc_id, score).
     """
 
     def __init__(self, index_dir: str,
                  search_cfg: SearchConfig | None = None,
-                 analyzer: AnalyzerConfig | None = None):
-        self.reader = IndexReader(index_dir)
+                 analyzer: AnalyzerConfig | None = None,
+                 shared_state=None):
+        if shared_state is not None:
+            import ray
+
+            if isinstance(shared_state, ray.ObjectRef):
+                shared_state = ray.get(shared_state)
+        self.reader = IndexReader(index_dir, shared_state=shared_state)
         self.cfg = search_cfg or SearchConfig()
         self.analyzer = analyzer or AnalyzerConfig()
 
@@ -417,12 +531,20 @@ class Searcher:
 def search_dataset(queries, index_dir: str,
                    search_cfg: SearchConfig | None = None,
                    analyzer: AnalyzerConfig | None = None,
-                   concurrency: int = 4, batch_size: int = 64):
-    """Evaluate a query Dataset against the index with a searcher actor pool."""
+                   concurrency: int = 4, batch_size: int = 64,
+                   shared_state=None):
+    """Evaluate a query Dataset against the index with a searcher actor pool.
+
+    The index dictionaries are loaded ONCE on the driver and broadcast
+    through the object store (``build_shared_state``) — each actor attaches
+    zero-copy instead of parsing every dict parquet itself.  Pass an
+    existing ``shared_state`` ref to reuse across calls."""
     import ray.data
 
     if isinstance(queries, pa.Table):
         queries = ray.data.from_arrow(queries)
+    if shared_state is None:
+        shared_state = build_shared_state(index_dir)
     # a single-block query table would feed only ONE actor — split it so
     # the whole pool draws work
     queries = queries.repartition(concurrency * 4)
@@ -432,10 +554,13 @@ def search_dataset(queries, index_dir: str,
             "index_dir": index_dir,
             "search_cfg": search_cfg,
             "analyzer": analyzer,
+            "shared_state": shared_state,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # autoscaling (min=1): a fixed pool can claim every CPU of a small
+        # session and starve upstream task pools
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
 
@@ -501,24 +626,7 @@ class ShardedSearchPool(MiniIndexProvider):
             for sid in ids:
                 self._owner[sid] = actor
         # collection + doc metadata stay driver-side (small tables)
-        probe = IndexReader.__new__(IndexReader)
-        probe._remote = "://" in index_dir
-        if probe._remote:
-            import fsspec
-
-            probe._fs = fsspec.core.url_to_fs(index_dir)[0]
-        else:
-            probe._fs = None
-        if probe._remote:
-            stats_root = probe._strip(index_dir) + "/stats"
-            cs = probe._read_parquet(stats_root + "/collection_stats.parquet").to_pylist()[0]
-            ds_t = probe._read_parquet_dir(stats_root + "/doc_stats",
-                                           columns=["doc_id", "n_tokens", "lang"])
-        else:
-            stats_dir = os.path.join(index_dir, "stats")
-            cs = pq.read_table(os.path.join(stats_dir, "collection_stats.parquet")).to_pylist()[0]
-            ds_t = pq.read_table(os.path.join(stats_dir, "doc_stats"),
-                                 columns=["doc_id", "n_tokens", "lang"])
+        cs, ds_t = _load_docmeta(_fs_of(index_dir), index_dir)
         doc_ids = ds_t["doc_id"].to_numpy()
         doc_len = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 1, np.int64)
         doc_len[doc_ids] = ds_t["n_tokens"].to_numpy()

@@ -58,9 +58,7 @@ class SpellChecker:
                    protected: set[str] | None = None) -> "SpellChecker":
         """Frequency dictionary = the index's own vocabulary weighted by
         collection frequency (cf)."""
-        freq: dict[str, int] = {}
-        for term, (sid, row) in reader._lookup.items():
-            freq[term] = int(reader._dicts[sid]["cf"][row])
+        freq = {term: cf for term, cf in reader.iter_terms()}
         return cls(freq, aliases=aliases, protected=protected)
 
     def _known(self, words) -> list[str]:

@@ -6,6 +6,7 @@ result-identical to the local single-reader path."""
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -98,3 +99,39 @@ def test_sharded_pool_all_scorers(ray_session, tiny_build, tiny_reader):
             want = tiny_reader.search(qtext, k=k, scorer=scorer)
             got = pool.search(qtext, k=k, scorer=scorer)
             _assert_identical(want, got, f"sharded/{scorer}/{qtext!r}")
+
+
+def test_shared_state_searcher_identical(ray_session, tiny_build, tiny_reader):
+    """Searcher actors attaching a broadcast (ray.put) shared state must
+    return results identical to a reader that parses the artifacts itself
+    — across every query kind and a lang filter — and the actor pool path
+    (search_dataset) must carry the same broadcast."""
+    import ray
+
+    from rayindex.searcher import Searcher, build_shared_state, search_dataset
+
+    out = tiny_build["out"]
+    ref = build_shared_state(out)
+    s = Searcher(out, shared_state=ref)  # driver-side attach from plasma
+    for qtext, kind, k in QUERIES[:30]:
+        want = tiny_reader.search(qtext, k=k)
+        got = s.reader.search(qtext, k=k)
+        _assert_identical(want, got, f"shared/{qtext!r}")
+    assert s.reader.n_terms == tiny_reader.n_terms
+    # lang filter goes through the shared columnar codes
+    langs = sorted({v for v in tiny_reader._lang_uniq})
+    if langs:
+        lang = langs[0]
+        want = tiny_reader.search("def main", k=10, lang=lang)
+        got = s.reader.search("def main", k=10, lang=lang)
+        _assert_identical(want, got, f"shared-lang/{lang}")
+    # full actor-pool path with the broadcast ref
+    qt = corpus.fixed_queries().slice(0, 12)
+    res = search_dataset(qt, out, concurrency=2, shared_state=ref).to_pandas()
+    for qid, qtext, k in zip(res["query_id"].unique()[:5],
+                             qt["query"].to_pylist(), qt["k"].to_pylist()):
+        want = tiny_reader.search(qt["query"][int(qid)].as_py(),
+                                  k=int(qt["k"][int(qid)].as_py()))
+        sub = res[res["query_id"] == qid].sort_values("rank")
+        got = list(zip(sub["doc_id"].tolist(), sub["score"].tolist()))
+        _assert_identical(want, got, f"pool/{qid}")
