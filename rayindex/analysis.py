@@ -86,16 +86,17 @@ def stopword_set(cfg: AnalyzerConfig) -> frozenset[str]:
 # the snowball list)
 STOPWORDS = SNOWBALL_STOPWORDS
 
-_STEM_CACHE: dict[str, str] = {}
+_STEM_CACHE: dict[tuple[str, str], str] = {}
 _STEM_CACHE_MAX = 1 << 20
 
 
-def stem_cached(token: str) -> str:
-    s = _STEM_CACHE.get(token)
+def stem_cached(token: str, mode: str = "nltk") -> str:
+    key = (mode, token)
+    s = _STEM_CACHE.get(key)
     if s is None:
-        s = porter.stem(token)
+        s = porter.stem(token, mode)
         if len(_STEM_CACHE) < _STEM_CACHE_MAX:
-            _STEM_CACHE[token] = s
+            _STEM_CACHE[key] = s
     return s
 
 
@@ -107,7 +108,7 @@ def tokenize_text(text: str, cfg: AnalyzerConfig) -> list[str]:
         stop = stopword_set(cfg)
         toks = [t.lower() for t in _REFERENCE_RE.findall(text)]
         toks = [t for t in toks if t not in stop]
-        toks = [stem_cached(t) for t in toks]
+        toks = [stem_cached(t, cfg.stemmer) for t in toks]
     elif cfg.mode == "ascii":
         toks = _ASCII_RE.findall(text.lower())
     elif cfg.mode == "code":

@@ -35,6 +35,10 @@ class AnalyzerConfig:
     # "glasgow": the 570-word Glasgow IR list the reference actually loads
     # (englishST.txt); "snowball": the Snowball project list
     stopwords: str = "glasgow"
+    # "nltk": Porter + the NLTK_EXTENSIONS departures — what the reference's
+    # nltk PorterStemmer actually runs (helpers.py:46); "original": the
+    # unmodified 1980 cascade
+    stemmer: str = "nltk"
 
     def fingerprint(self) -> str:
         return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]

@@ -1,17 +1,46 @@
-"""Porter stemmer — independent implementation of the public algorithm.
+"""Porter stemmer — independent implementation of the public algorithm,
+in two modes.
 
-M.F. Porter, "An algorithm for suffix stripping", Program 14(3), 1980 —
-the classic 5-step rule cascade.  The reference engine stems with
-``nltk.stem.porter.PorterStemmer``
-(/root/reference/indexing/index_builder/helpers.py:2,7,46); nltk is not
-available here, and parity is defined against this repo's own oracle
-(rayindex/oracle.py), which uses this same implementation, so the original
-1980 rules (without NLTK's extensions) are used.
+- ``nltk`` (default): M.F. Porter's 1980 rules PLUS the publicly documented
+  departures that NLTK's ``PorterStemmer`` applies in its default
+  ``NLTK_EXTENSIONS`` mode.  The reference engine stems with exactly that
+  class (/root/reference/indexing/index_builder/helpers.py:2,7,46), so this
+  mode is the reference-parity default.  nltk itself is not installed in
+  this environment; the extensions are re-implemented here from their
+  published description (each is spelled out in the NLTK source's
+  docstrings): an irregular-forms pool (sky, dying→die, news, proceed, …),
+  words of length ≤ 2 pass through, ``dies→die``/``died→die`` ies/ied
+  handling, step 1c's *(c and not first-letter)* y→i condition
+  (``happy→happi`` but ``enjoy→enjoy``), step 2's ``bli→ble`` (for
+  ``abli→able``), apply-``alli``-first-then-rerun, ``fulli→ful`` and
+  ``logi→log`` (measured on the stem keeping the ``l``), and the two-letter
+  ``vc`` form counting as ending-cvc in step 1b/5a (``axe`` keeps its e).
+
+- ``original``: the unmodified 1980 cascade (Program 14(3) pp. 130-137),
+  except that length ≤ 2 words still pass through (shared guard; the
+  published paper is silent on them).
+
+Both modes pass the Porter-1980 example vocabulary identically; they
+diverge exactly on the extension cases above (pinned in
+tests/test_analysis.py).
 """
 
 from __future__ import annotations
 
 _VOWELS = frozenset("aeiou")
+
+# NLTK_EXTENSIONS irregular-forms pool: surface form -> stem, checked
+# before any rule runs.
+_POOL = {
+    "skies": "sky", "sky": "sky",
+    "dying": "die", "lying": "lie", "tying": "tie",
+    "news": "news",
+    "innings": "inning", "inning": "inning",
+    "outings": "outing", "outing": "outing",
+    "cannings": "canning", "canning": "canning",
+    "howe": "howe",
+    "proceed": "proceed", "exceed": "exceed", "succeed": "succeed",
+}
 
 
 def _is_consonant(word: str, i: int) -> bool:
@@ -47,36 +76,79 @@ def _ends_double_consonant(word: str) -> bool:
     )
 
 
-def _ends_cvc(word: str) -> bool:
-    """*o: stem ends cvc where the final c is not w, x or y."""
-    if len(word) < 3:
-        return False
-    if not (
-        _is_consonant(word, len(word) - 3)
+def _ends_cvc(word: str, nltk: bool) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y.  NLTK also
+    counts a bare two-letter vc form (so 'axe' keeps its final e)."""
+    if (
+        len(word) >= 3
+        and _is_consonant(word, len(word) - 3)
         and not _is_consonant(word, len(word) - 2)
         and _is_consonant(word, len(word) - 1)
+        and word[-1] not in "wxy"
     ):
-        return False
-    return word[-1] not in "wxy"
+        return True
+    return (
+        nltk
+        and len(word) == 2
+        and not _is_consonant(word, 0)
+        and _is_consonant(word, 1)
+    )
 
 
 def _replace(word: str, suffix: str, repl: str, min_m: int) -> str | None:
-    """If word ends with suffix and measure(stem) > min_m, swap the suffix."""
+    """If word ends with suffix and measure(stem) > min_m, swap the suffix.
+    A matching suffix whose condition fails returns the word unchanged
+    (per-step scanning stops at the first matching suffix)."""
     if not word.endswith(suffix):
         return None
     stem = word[: len(word) - len(suffix)]
     if _measure(stem) > min_m:
         return stem + repl
-    return word  # matched but condition failed: stop scanning further rules
+    return word
 
 
-def stem(word: str) -> str:
+def _step2(w: str, nltk: bool) -> str:
+    # NLTK applies ALLI -> AL before the ordered scan and, when it fires,
+    # re-runs step 2 on the result (so e.g. y->i'd '-alli' adverbs reduce
+    # through their '-al' adjective).
+    if nltk and w.endswith("alli") and _measure(w[:-4]) > 0:
+        return _step2(w[:-4] + "al", nltk)
+    rules = [
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"),
+        # 1980 text's DEPARTURES note: abli -> able is better served by
+        # bli -> ble; NLTK adopts it, the original list does not
+        ("bli", "ble") if nltk else ("abli", "able"),
+        ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+        ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+        ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+        ("biliti", "ble"),
+    ]
+    if nltk:
+        rules.append(("fulli", "ful"))
+    for suf, rep in rules:
+        res = _replace(w, suf, rep, 0)
+        if res is not None:
+            return res
+    # NLTK's extra LOGI -> LOG measures the stem WITH the 'l' kept, so
+    # geo-/theo- work like archaeo-/philo-
+    if nltk and w.endswith("logi") and _measure(w[:-3]) > 0:
+        return w[:-4] + "log"
+    return w
+
+
+def _stem_impl(word: str, nltk: bool) -> str:
+    if nltk and word in _POOL:
+        return _POOL[word]
     if len(word) <= 2:
         return word
     w = word
 
     # --- step 1a
-    if w.endswith("sses"):
+    if nltk and w.endswith("ies") and len(w) == 4:
+        w = w[:-3] + "ie"  # dies -> die (but flies -> fli below)
+    elif w.endswith("sses"):
         w = w[:-2]
     elif w.endswith("ies"):
         w = w[:-2]
@@ -87,7 +159,9 @@ def stem(word: str) -> str:
 
     # --- step 1b
     flag_1b = False
-    if w.endswith("eed"):
+    if nltk and w.endswith("ied"):
+        w = w[:-3] + ("ie" if len(w) == 4 else "i")  # died -> die, spied -> spi
+    elif w.endswith("eed"):
         if _measure(w[:-3]) > 0:
             w = w[:-1]
     elif w.endswith("ed"):
@@ -101,28 +175,25 @@ def stem(word: str) -> str:
     if flag_1b:
         if w.endswith(("at", "bl", "iz")):
             w = w + "e"
-        elif _ends_double_consonant(w) and w[-1] not in "lsz":
-            w = w[:-1]
-        elif _measure(w) == 1 and _ends_cvc(w):
+        elif _ends_double_consonant(w):
+            if w[-1] not in "lsz":
+                w = w[:-1]
+        elif _measure(w) == 1 and _ends_cvc(w, nltk):
             w = w + "e"
 
     # --- step 1c
-    if w.endswith("y") and _contains_vowel(w[:-1]):
-        w = w[:-1] + "i"
+    if w.endswith("y"):
+        stem_ = w[:-1]
+        if nltk:
+            # y -> i only after a non-initial consonant: happy -> happi,
+            # enjoy -> enjoy, by -> by
+            if len(stem_) > 1 and _is_consonant(stem_, len(stem_) - 1):
+                w = stem_ + "i"
+        elif _contains_vowel(stem_):
+            w = stem_ + "i"
 
-    # --- step 2 (m > 0), keyed on penultimate letter per the paper
-    step2 = [
-        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
-        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
-        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
-        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
-        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
-    ]
-    for suf, rep in step2:
-        res = _replace(w, suf, rep, 0)
-        if res is not None:
-            w = res
-            break
+    # --- step 2 (m > 0)
+    w = _step2(w, nltk)
 
     # --- step 3 (m > 0)
     step3 = [
@@ -154,11 +225,26 @@ def stem(word: str) -> str:
     if w.endswith("e"):
         stem_ = w[:-1]
         m = _measure(stem_)
-        if m > 1 or (m == 1 and not _ends_cvc(stem_)):
+        if m > 1 or (m == 1 and not _ends_cvc(stem_, nltk)):
             w = stem_
 
     # --- step 5b
-    if _measure(w) > 1 and _ends_double_consonant(w) and w.endswith("l"):
+    if w.endswith("ll") and _measure(w[:-1]) > 1:
         w = w[:-1]
 
     return w
+
+
+def stem(word: str, mode: str = "nltk") -> str:
+    """Stem one lowercase token.  ``mode="nltk"`` (default) reproduces the
+    reference's nltk ``PorterStemmer`` behavior; ``mode="original"`` runs
+    the unmodified 1980 cascade."""
+    return _stem_impl(word, mode == "nltk")
+
+
+def stem_original(word: str) -> str:
+    return _stem_impl(word, False)
+
+
+def stem_nltk(word: str) -> str:
+    return _stem_impl(word, True)

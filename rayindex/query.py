@@ -74,7 +74,7 @@ def clean_term(term: str, cfg: AnalyzerConfig) -> str:
     preprocessing.py:127-130; nltk's stemmer lowercases implicitly)."""
     t = _NON_ALPHA.sub("", term).lower()
     if cfg.mode == "reference":
-        t = analysis.stem_cached(t)
+        t = analysis.stem_cached(t, cfg.stemmer)
     return t
 
 
@@ -83,7 +83,7 @@ def stem_only(term: str, cfg: AnalyzerConfig) -> str:
     (reference preprocessing.py:57-63)."""
     t = term.lower()
     if cfg.mode == "reference":
-        t = analysis.stem_cached(t)
+        t = analysis.stem_cached(t, cfg.stemmer)
     return t
 
 

@@ -97,6 +97,9 @@ def test_stem_cache_consistency():
     a = analysis.stem_cached("relational")
     b = analysis.stem_cached("relational")
     assert a == b == porter.stem("relational")
+    # the cache keys on mode: both modes retrievable without cross-talk
+    assert analysis.stem_cached("enjoy", "nltk") == "enjoy"
+    assert analysis.stem_cached("enjoy", "original") == "enjoi"
 
 
 @pytest.mark.parametrize(
@@ -151,3 +154,46 @@ def test_stem_cache_consistency():
 def test_porter_vectors(word, expected):
     # vectors from the published algorithm description (Porter 1980 examples)
     assert porter.stem(word) == expected
+
+
+@pytest.mark.parametrize(
+    "word,nltk_out,orig_out",
+    [
+        # irregular-forms pool
+        ("sky", "sky", "sky"),
+        ("skies", "sky", "ski"),
+        ("dying", "die", "dy"),
+        ("lying", "lie", "ly"),
+        ("tying", "tie", "ty"),
+        ("news", "news", "new"),
+        ("innings", "inning", "in"),
+        ("proceed", "proceed", "proce"),
+        ("exceed", "exceed", "exce"),
+        ("succeed", "succeed", "succe"),
+        # dies/died handling: len-4 ies/ied -> ie; longer -> i
+        ("dies", "die", "di"),
+        ("ties", "tie", "ti"),
+        ("flies", "fli", "fli"),
+        ("died", "die", "di"),
+        ("spied", "spi", "spi"),
+        # step 1c: y->i only after a NON-INITIAL consonant
+        ("happy", "happi", "happi"),
+        ("enjoy", "enjoy", "enjoi"),
+        ("say", "say", "sai"),
+        ("spy", "spi", "spy"),
+        ("fly", "fli", "fly"),
+        ("try", "tri", "try"),
+        ("by", "by", "by"),
+        # step 2 extensions: fulli -> ful (after 1c), logi -> log
+        ("carefully", "care", "carefulli"),
+        ("geology", "geolog", "geologi"),
+        ("archaeology", "archaeolog", "archaeologi"),
+        # bli -> ble (vs original abli -> able): same end result on -ably words
+        ("conformably", "conform", "conform"),
+    ],
+)
+def test_porter_nltk_extension_vectors(word, nltk_out, orig_out):
+    """The documented NLTK_EXTENSIONS departures (the reference stems with
+    nltk's default-mode PorterStemmer, helpers.py:46) vs the 1980 rules."""
+    assert porter.stem(word, "nltk") == nltk_out
+    assert porter.stem(word, "original") == orig_out
