@@ -613,6 +613,49 @@ def _q_media_meta(sf_dir: str):
     )
 
 
+def _q_media_features(sf_dir: str):
+    """Real multimodal decode path: a deterministic P6 PPM raster is built
+    from each document's bytes, then decoded/resized/featurized by the
+    actor-pool MediaDecoder (backend="real" — pure-numpy PPM parser +
+    block-mean resize, rayindex/datapipe/media.py).  Rows-only check:
+    the float feature grid has no SQL expression."""
+    import ray.data
+
+    from rayindex.datapipe.media import decode_features
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def to_ppm(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        outs = []
+        for s in t["text"].to_pylist():
+            raw = np.frombuffer((s or " ").encode(), np.uint8)
+            raster = np.resize(raw, 16 * 16 * 3)  # tile bytes to a 16x16 RGB
+            outs.append(b"P6\n16 16\n255\n" + raster.tobytes())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(outs, pa.large_binary()),
+        })
+
+    feats = decode_features(
+        ds.map_batches(to_ppm, batch_format="pyarrow", zero_copy_batch=True),
+        backend="real", feature_dim=16)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        arr = t["feature"].combine_chunks()
+        mat = arr.values.to_numpy(zero_copy_only=False).reshape(len(arr), -1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "feature": arr,
+            "feat_mean": pa.array(mat.mean(axis=1).astype(np.float64)),
+        })
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_stats": _q_term_stats,
@@ -645,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "media_meta": _q_media_meta,
+        "media_features": _q_media_features,
     }
 
 

@@ -258,7 +258,7 @@ _VERIFIED_EMPTY = pa.table({"doc_a": pa.array([], pa.int64()),
 
 def verify_candidates(ds, pairs_ds, shingle_k: int = 5, text_col: str = "text",
                       id_col: str = "doc_id", min_jaccard: float = 0.0,
-                      num_partitions: int = 8):
+                      num_partitions: int | None = None):
     """Exact n-gram Jaccard verification of LSH candidate pairs —
     distributed end to end.
 
@@ -293,6 +293,11 @@ def verify_candidates(ds, pairs_ds, shingle_k: int = 5, text_col: str = "text",
         needed.update(b["i"].to_pylist())
     if not needed:
         return ray.data.from_arrow(_VERIFIED_EMPTY)
+    if num_partitions is None:
+        # the candidate id-set is already driver-side: size the join shuffle
+        # to it (8 aggregator actors per join are pure overhead for a few
+        # hundred candidates; large candidate sets still fan out)
+        num_partitions = max(2, min(64, len(needed) // 2000 + 1))
     needed_ref = ray.put(pa.array(sorted(needed), pa.int64()))
 
     def shingle_rows(t: pa.Table) -> pa.Table:
