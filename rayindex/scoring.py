@@ -130,36 +130,59 @@ def bm25_upper_bound(max_tf: int, min_dl: int, df: int, stats: Stats,
 # ---------------------------------------------------------------------------
 
 
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """``intersect1d(assume_unique=True)`` for ASCENDING unique arrays —
+    binary-probes the smaller side into the larger instead of re-sorting
+    the concatenation (posting doc lists are already sorted)."""
+    if a.size > b.size:
+        a, b = b, a
+    if a.size == 0 or b.size == 0:
+        return a[:0]
+    idx = np.searchsorted(b, a)
+    np.minimum(idx, b.size - 1, out=idx)
+    return a[b[idx] == a]
+
+
+def _union_sorted(arrays: list[np.ndarray]) -> np.ndarray:
+    """``union1d`` over ascending unique int arrays: one radix (stable)
+    sort of the concatenation + boundary dedup — no pairwise re-sorts."""
+    cat = np.concatenate(arrays)
+    if cat.size == 0:
+        return cat
+    cat.sort(kind="stable")
+    keep = np.empty(cat.size, bool)
+    keep[0] = True
+    np.not_equal(cat[1:], cat[:-1], out=keep[1:])
+    return cat[keep]
+
+
 def candidates_reference(postings: dict[str, Posting], relax: int,
                          allowed: np.ndarray | None = None) -> np.ndarray | None:
     if not postings:
         return None
 
     def filt(a: np.ndarray) -> np.ndarray:
-        return np.intersect1d(a, allowed, assume_unique=True) if allowed is not None else a
+        return _intersect_sorted(a, allowed) if allowed is not None else a
 
     values = [p.docs for _, p in sorted(postings.items())]
     if len(values) > 1:
         i0 = values[0]
         for v in values[1:]:
-            i0 = np.intersect1d(i0, v, assume_unique=True)
+            i0 = _intersect_sorted(i0, v)
         i0 = filt(i0)
         if i0.size >= relax:
             return i0
         half = len(values) // 2
         i1 = values[0]
         for v in values[1:half]:
-            i1 = np.intersect1d(i1, v, assume_unique=True)
+            i1 = _intersect_sorted(i1, v)
         i2 = values[half]
         for v in values[half + 1 :]:
-            i2 = np.intersect1d(i2, v, assume_unique=True)
+            i2 = _intersect_sorted(i2, v)
         i1, i2 = filt(i1), filt(i2)
-        if np.union1d(i1, i2).size >= relax:
-            return np.union1d(i0, np.union1d(i1, i2))
-        out = values[0]
-        for v in values[1:]:
-            out = np.union1d(out, v)
-        return filt(out)
+        if _union_sorted([i1, i2]).size >= relax:
+            return _union_sorted([i0, i1, i2])
+        return filt(_union_sorted(values))
     return filt(values[0])
 
 
@@ -167,11 +190,9 @@ def union_docs(postings: dict[str, Posting],
                allowed: np.ndarray | None = None) -> np.ndarray | None:
     if not postings:
         return None
-    out = None
-    for _, p in sorted(postings.items()):
-        out = p.docs if out is None else np.union1d(out, p.docs)
-    if allowed is not None and out is not None:
-        out = np.intersect1d(out, allowed, assume_unique=True)
+    out = _union_sorted([p.docs for _, p in sorted(postings.items())])
+    if allowed is not None:
+        out = _intersect_sorted(out, allowed)
     return out
 
 
@@ -755,6 +776,15 @@ def _top(r: tuple[np.ndarray, np.ndarray], k: int) -> tuple[np.ndarray, np.ndarr
     docs, scores = r
     if docs.size == 0:
         return docs, scores
-    # (score desc, doc_id asc): docs ascending + stable mergesort on -score
-    order = np.argsort(-scores, kind="stable")[:k]
+    # (score desc, doc_id asc): docs ascending + stable sort on -score
+    if docs.size > max(4 * k, 256):
+        # exact top-k without a full argsort: partition on score, keep
+        # EVERY kth-score tie (so tie-break by doc stays exact), then
+        # stable-sort only the survivors
+        part = np.argpartition(-scores, k - 1)
+        kth = scores[part[k - 1]]
+        sel = np.flatnonzero(scores >= kth)
+        order = sel[np.argsort(-scores[sel], kind="stable")][:k]
+    else:
+        order = np.argsort(-scores, kind="stable")[:k]
     return docs[order], scores[order]

@@ -328,6 +328,12 @@ class IndexReader(MiniIndexProvider):
         self._lang_codes = state["lang_codes"]
         self._lang_uniq = {v: i for i, v in enumerate(state["lang_uniq"])}
         self._lang_cache: dict[str, np.ndarray] = {}
+        from collections import OrderedDict
+
+        self._post_cache: "OrderedDict[str, Posting]" = OrderedDict()
+        self._post_cache_bytes = 0
+        self._post_cache_budget = (
+            int(os.environ.get("RAYINDEX_POSTING_CACHE_MB", "128")) << 20)
 
     def allowed_for_lang(self, lang: str) -> np.ndarray:
         """Doc set for a metadata filter (the reference's date2doc analog,
@@ -370,6 +376,17 @@ class IndexReader(MiniIndexProvider):
         return d[f"{name}_val"][off[row] : off[row + 1]]
 
     def lookup(self, term: str, need_positions: bool) -> Posting | None:
+        """Full posting decode.  Positionless results are served from a
+        bounded per-reader LRU (``$RAYINDEX_POSTING_CACHE_MB``, default
+        128): real query streams repeat hot terms constantly, and a hot
+        term's (docs, tfs) decode is the whole cost of a TAAT term query.
+        Cached Postings are shared — callers treat them as immutable
+        (every scoring path already does)."""
+        if not need_positions:
+            cached = self._post_cache.get(term)
+            if cached is not None:
+                self._post_cache.move_to_end(term)
+                return cached
         hit = self._find(term)
         if hit is None:
             return None
@@ -386,7 +403,7 @@ class IndexReader(MiniIndexProvider):
         if need_positions:
             pos_blob = buf[d["pos_off"][row] : d["pos_off"][row] + d["pos_len"][row]]
             positions = codec.decode_positions(pos_blob, tfs)
-        return Posting(
+        p = Posting(
             docs=docs,
             tfs=tfs,
             positions=positions,
@@ -394,6 +411,14 @@ class IndexReader(MiniIndexProvider):
             block_max_tf=np.asarray(self._blocks(d, "block_max_tf", row), np.int64),
             block_min_dl=np.asarray(self._blocks(d, "block_min_dl", row), np.int64),
         )
+        if not need_positions and self._post_cache_budget > 0:
+            nbytes = docs.nbytes + tfs.nbytes
+            self._post_cache[term] = p
+            self._post_cache_bytes += nbytes
+            while self._post_cache_bytes > self._post_cache_budget and self._post_cache:
+                _, old = self._post_cache.popitem(last=False)
+                self._post_cache_bytes -= old.docs.nbytes + old.tfs.nbytes
+        return p
 
     def lookup_lazy(self, term: str) -> LazyPosting | None:
         """Zero-decode handle for block-at-a-time access (WAND, positional
