@@ -201,6 +201,16 @@ def run_bench() -> dict:
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
         _warm, batch_size=1).count()
     ray.data.read_parquet(CORPUS_DIR).count()
+    if os.environ.get("RAYINDEX_BENCH_WARMBUILD", "1") == "1":
+        # untimed 2k-file mini build: exercises the SAME shuffle operators
+        # so their aggregator actors land on already-warmed idle worker
+        # processes instead of faulting fresh heaps inside the timed build
+        wout = f"/tmp/rayindex_bench_warmidx_{os.getpid()}"
+        shutil.rmtree(wout, ignore_errors=True)
+        wds = corpus.corpus_dataset(2000, 10, parallelism=num_cpus)
+        build_index(wds, wout, BuildConfig(num_shards=8),
+                    input_token="bench-warmbuild-2000")
+        shutil.rmtree(wout, ignore_errors=True)
 
     # -- headline: index build over the code corpus (fresh dir, no resume) --
     out = f"/tmp/rayindex_bench_idx_{os.getpid()}"

@@ -69,3 +69,38 @@ def test_pos_keys_roundtrip():
     keys = _pos_keys(p)
     assert (keys >> _POS_SHIFT).tolist() == [3, 3, 7]
     assert (keys & ((1 << _POS_SHIFT) - 1)).tolist() == [1, 5, 2]
+
+
+def test_top_partition_matches_full_sort_with_ties():
+    """_top's argpartition fast path must match the full stable sort
+    exactly, including kth-boundary score ties broken by ascending doc."""
+    import numpy as np
+
+    from rayindex.scoring import _top
+
+    rng = np.random.default_rng(11)
+    for n, k in [(1000, 10), (5000, 100), (300, 10)]:
+        docs = np.arange(n, dtype=np.int64)
+        # heavy ties: scores drawn from a tiny value set
+        scores = rng.integers(0, 7, n).astype(np.float64) / 3.0
+        got_d, got_s = _top((docs, scores), k)
+        order = np.argsort(-scores, kind="stable")[:k]
+        assert np.array_equal(got_d, docs[order])
+        assert np.array_equal(got_s, scores[order])
+
+
+def test_sorted_set_ops_match_numpy():
+    import numpy as np
+
+    from rayindex.scoring import _intersect_sorted, _union_sorted
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        a = np.unique(rng.integers(0, 300, rng.integers(0, 120)))
+        b = np.unique(rng.integers(0, 300, rng.integers(0, 120)))
+        assert np.array_equal(_intersect_sorted(a, b),
+                              np.intersect1d(a, b, assume_unique=True))
+        assert np.array_equal(_union_sorted([a, b]), np.union1d(a, b))
+    empty = np.zeros(0, np.int64)
+    assert _intersect_sorted(empty, empty).size == 0
+    assert _union_sorted([empty, empty]).size == 0
