@@ -1262,6 +1262,50 @@ def _stage_stats(out: str) -> dict[str, Any]:
     return {"n_docs": int(agg["n"].sum()), "total_tokens": int(agg["tok"].sum())}
 
 
+def _write_doc_meta_bins(stats_dir: str) -> dict[str, Any]:
+    """Dense doc-indexed binary side tables: ``doc_len.bin`` (int64) and
+    ``lang_codes.bin`` (int32, code+1 so a hole is 0 and the file stays
+    SPARSE — no full-width fill pass) plus ``lang_vocab.json``.
+
+    Readers mmap these instead of materializing an O(n_docs) doc-length
+    array per process: the OS page cache keeps ONE copy per node and only
+    the touched ranges ever load — at 10^12 docs a dense in-heap table is
+    impossible, an mmap of the same table is just an address range.
+    Written fragment-by-fragment (doc_stats partitions are doc-ordered),
+    so builder memory stays bounded by one partition."""
+    import glob as _g
+    import json
+
+    parts = sorted(_g.glob(os.path.join(stats_dir, "doc_stats", "*.parquet")))
+    max_doc = -1
+    for p in parts:
+        t = pq.read_table(p, columns=["doc_id"])
+        if t.num_rows:
+            max_doc = max(max_doc, int(t["doc_id"][t.num_rows - 1].as_py()))
+    size = max_doc + 1 if max_doc >= 0 else 1
+    dl = np.memmap(os.path.join(stats_dir, "doc_len.bin"), np.int64,
+                   mode="w+", shape=(size,))
+    lc = np.memmap(os.path.join(stats_dir, "lang_codes.bin"), np.int32,
+                   mode="w+", shape=(size,))
+    vocab: dict[str, int] = {}
+    for p in parts:
+        t = pq.read_table(p, columns=["doc_id", "n_tokens", "lang"])
+        if t.num_rows == 0:
+            continue
+        ids = t["doc_id"].to_numpy()
+        dl[ids] = t["n_tokens"].to_numpy()
+        enc = t["lang"].combine_chunks().dictionary_encode()
+        local = np.asarray(
+            [vocab.setdefault(v, len(vocab)) for v in enc.dictionary.to_pylist()],
+            np.int32)
+        lc[ids] = local[enc.indices.to_numpy(zero_copy_only=False)] + 1
+    dl.flush()
+    lc.flush()
+    with open(os.path.join(stats_dir, "lang_vocab.json"), "w") as f:
+        json.dump(sorted(vocab, key=vocab.get), f)
+    return {"doc_meta_rows": size}
+
+
 def _stage_finalize(stats_dir: str, out: str, n_docs: int, total_tokens: int,
                     n_terms: int) -> dict[str, Any]:
     cs = pa.table(
@@ -1274,7 +1318,8 @@ def _stage_finalize(stats_dir: str, out: str, n_docs: int, total_tokens: int,
         schema=schema.COLLECTION_STATS,
     )
     pq.write_table(cs, os.path.join(stats_dir, "collection_stats.parquet"))
-    return {"n_terms": n_terms}
+    meta = _write_doc_meta_bins(stats_dir)
+    return {"n_terms": n_terms, **meta}
 
 
 # ---------------------------------------------------------------------------

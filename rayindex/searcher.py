@@ -278,28 +278,52 @@ class IndexReader(MiniIndexProvider):
             bin_path = dict_path.replace(".dict.parquet", ".bin")
             bin_sizes.append(fs.size(bin_path) if fs is not None
                              else os.path.getsize(bin_path))
-        cs, ds_t = _load_docmeta(fs, index_dir)
-        doc_ids = ds_t["doc_id"].to_numpy()
-        doc_len = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 1, np.int64)
-        doc_len[doc_ids] = ds_t["n_tokens"].to_numpy()
-        enc = ds_t["lang"].combine_chunks().dictionary_encode()
-        lang_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
-        lang_uniq = enc.dictionary.to_pylist()
-        return {
+        state: dict[str, Any] = {
             "num_shards_total": num_shards_total,
             "shard_ids": [_shard_id_of(p) for p in dict_paths],
             "bin_names": [os.path.basename(p).replace(".dict.parquet", ".bin")
                           for p in dict_paths],
             "bin_sizes": bin_sizes,
             "dicts": dicts,
+        }
+        dl_bin = (None if fs is not None
+                  else os.path.join(index_dir, "stats", "doc_len.bin"))
+        if dl_bin is not None and os.path.exists(dl_bin):
+            # doc-meta bins exist (local index): carry only PATHS — each
+            # attaching process mmaps them, the OS page cache shares one
+            # copy per node, and only touched doc ranges ever load.  A
+            # dense in-heap doc_len is O(n_docs) PER PROCESS — impossible
+            # at corpus scale.
+            import json
+
+            with open(os.path.join(index_dir, "stats", "lang_vocab.json")) as f:
+                lang_uniq = json.load(f)
+            cs = (pq.read_table(os.path.join(index_dir, "stats",
+                                             "collection_stats.parquet"))
+                  .to_pylist()[0])
+            state.update({
+                "n_docs": cs["n_docs"],
+                "total_tokens": cs["total_tokens"],
+                "doc_meta_dir": os.path.join(index_dir, "stats"),
+                "lang_uniq": lang_uniq,
+            })
+            return state
+        # fallback (remote URI or pre-bin index): materialize from parquet
+        cs, ds_t = _load_docmeta(fs, index_dir)
+        doc_ids = ds_t["doc_id"].to_numpy()
+        doc_len = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 1, np.int64)
+        doc_len[doc_ids] = ds_t["n_tokens"].to_numpy()
+        enc = ds_t["lang"].combine_chunks().dictionary_encode()
+        lang_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+        state.update({
             "n_docs": cs["n_docs"],
             "total_tokens": cs["total_tokens"],
             "doc_len": doc_len,
             "doc_ids": doc_ids,
-            "doc_ids_sorted": np.sort(doc_ids),
             "lang_codes": lang_codes,
-            "lang_uniq": lang_uniq,
-        }
+            "lang_uniq": enc.dictionary.to_pylist(),
+        })
+        return state
 
     def _attach(self, state: dict) -> None:
         self.shard_ids = list(state["shard_ids"])
@@ -320,12 +344,23 @@ class IndexReader(MiniIndexProvider):
                                                  access=mmap.ACCESS_READ))
                 else:
                     self._files.append(b"")
+        meta_dir = state.get("doc_meta_dir")
+        if meta_dir is not None:
+            # doc-indexed bins: mmap (shared page cache, lazy load)
+            doc_len = np.memmap(os.path.join(meta_dir, "doc_len.bin"),
+                                np.int64, mode="r")
+            self._lang_codes = np.memmap(
+                os.path.join(meta_dir, "lang_codes.bin"), np.int32, mode="r")
+            self._lang_docs = None  # dense: allowed = flatnonzero(code match)
+            self._lang_plus1 = True
+        else:
+            doc_len = state["doc_len"]
+            self._lang_docs = state["doc_ids"]
+            self._lang_codes = state["lang_codes"]
+            self._lang_plus1 = False
         self.stats = Stats(n_docs=state["n_docs"],
                            total_tokens=state["total_tokens"],
-                           doc_len=state["doc_len"])
-        self._doc_ids_sorted = state["doc_ids_sorted"]
-        self._lang_docs = state["doc_ids"]
-        self._lang_codes = state["lang_codes"]
+                           doc_len=doc_len)
         self._lang_uniq = {v: i for i, v in enumerate(state["lang_uniq"])}
         self._lang_cache: dict[str, np.ndarray] = {}
         from collections import OrderedDict
@@ -341,7 +376,17 @@ class IndexReader(MiniIndexProvider):
         hit = self._lang_cache.get(lang)
         if hit is None:
             code = self._lang_uniq.get(lang, -1)
-            hit = np.sort(self._lang_docs[self._lang_codes == code]).astype(np.int64)
+            if self._lang_docs is None:
+                # dense doc-indexed codes (stored +1, 0 = absent doc);
+                # an unknown lang (code -1) must NOT match the holes
+                if code < 0:
+                    hit = np.zeros(0, np.int64)
+                else:
+                    hit = np.flatnonzero(
+                        np.asarray(self._lang_codes) == code + 1).astype(np.int64)
+            else:
+                hit = np.sort(
+                    self._lang_docs[self._lang_codes == code]).astype(np.int64)
             self._lang_cache[lang] = hit
         return hit
 

@@ -240,3 +240,31 @@ def test_direct_ingest_matches_exchange(ray_session, tmp_path, monkeypatch):
             f2 = os.path.join(other, "shards", os.path.basename(f1))
             assert pq.read_table(f1).equals(pq.read_table(f2))
         assert doc_store(out_di).equals(doc_store(other))
+
+
+def test_doc_meta_bins_match_parquet(tiny_build, tiny_reader):
+    """Finalize writes dense doc-indexed bins (doc_len.bin, lang_codes.bin)
+    and the reader mmaps them instead of materializing an O(n_docs) heap
+    array per process; values and lang filters must match the doc_stats
+    parquet exactly."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    stats_dir = os.path.join(tiny_build["out"], "stats")
+    for name in ("doc_len.bin", "lang_codes.bin", "lang_vocab.json"):
+        assert os.path.exists(os.path.join(stats_dir, name)), name
+    assert isinstance(tiny_reader.stats.doc_len, np.memmap)
+    t = pq.read_table(os.path.join(stats_dir, "doc_stats"),
+                      columns=["doc_id", "n_tokens", "lang"])
+    ids = t["doc_id"].to_numpy()
+    assert np.array_equal(np.asarray(tiny_reader.stats.doc_len)[ids],
+                          t["n_tokens"].to_numpy())
+    lang_col = np.asarray(t["lang"].to_pylist(), object)
+    for lang in sorted(set(lang_col.tolist()))[:3]:
+        want = np.sort(ids[lang_col == lang]).astype(np.int64)
+        got = tiny_reader.allowed_for_lang(lang)
+        assert np.array_equal(got, want), lang
+    assert tiny_reader.allowed_for_lang("zz-no-such-lang").size == 0
