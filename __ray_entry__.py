@@ -656,6 +656,40 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def _spell_corruptions(t: str) -> list[str]:
+    """Four deterministic 1-edit corruptions of a term — the same string
+    surgery the SQL oracle performs with substr(), so probe sets match."""
+    return [
+        t[:2] + t[3:],                 # drop 3rd char
+        t[:2] + t[3] + t[2] + t[4:],   # swap chars 3 and 4
+        t[:2] + "q" + t[3:],           # replace 3rd char with q
+        t[:3] + "x" + t[3:],           # insert x after 3rd char
+    ]
+
+
+def _q_spellcheck(sf_dir: str) -> pa.Table:
+    """Norvig spell correction (M15) over the index's own vocabulary:
+    probes are deterministic 1-edit corruptions of the 8 highest-cf
+    terms (len >= 6), so each has a distance-1 correction by
+    construction, plus one garbage probe with no candidate.  The SQL
+    oracle recomputes the same vocabulary, the same probes, and the same
+    (damerau_levenshtein = 1, cf desc, term asc) selection."""
+    from rayindex.searcher import IndexReader
+    from rayindex.spell import SpellChecker
+
+    index_dir, _ = _ensure_index(sf_dir)
+    reader = IndexReader(index_dir)
+    sp = SpellChecker.from_index(reader)
+    terms = [(t, cf) for t, cf in reader.iter_terms() if len(t) >= 6]
+    terms.sort(key=lambda x: (-x[1], x[0]))
+    probes = [p for t, _ in terms[:8] for p in _spell_corruptions(t)]
+    probes.append("zzqqzzqq")
+    return pa.table({
+        "probe": pa.array(probes, pa.string()),
+        "corrected": pa.array([sp.correction(p) for p in probes], pa.string()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_stats": _q_term_stats,
@@ -689,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
+        "spellcheck": _q_spellcheck,
     }
 
 
@@ -1082,5 +1117,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                    sha256(text) AS payload_sha256
             FROM documents
+        """,
+        # same vocabulary (ascii tokens + cf), same probe derivation
+        # (substr surgery on the top-8 cf terms), same correction rule
+        # (known -> verbatim; else damerau_levenshtein=1 best by cf desc,
+        # term asc; else =2; else probe)
+        "spellcheck": f"""
+            WITH {_TOKS_CTE},
+            vocab AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY term),
+            top8 AS (SELECT term FROM vocab WHERE length(term) >= 6
+                     ORDER BY cf DESC, term LIMIT 8),
+            probes AS (
+                SELECT substr(term, 1, 2) || substr(term, 4) AS probe FROM top8
+                UNION ALL
+                SELECT substr(term, 1, 2) || substr(term, 4, 1)
+                       || substr(term, 3, 1) || substr(term, 5) FROM top8
+                UNION ALL
+                SELECT substr(term, 1, 2) || 'q' || substr(term, 4) FROM top8
+                UNION ALL
+                SELECT substr(term, 1, 3) || 'x' || substr(term, 4) FROM top8
+                UNION ALL
+                SELECT 'zzqqzzqq'
+            )
+            SELECT p.probe,
+                   CASE WHEN EXISTS (SELECT 1 FROM vocab v WHERE v.term = p.probe)
+                        THEN p.probe
+                        ELSE coalesce(
+                            (SELECT v.term FROM vocab v
+                             WHERE damerau_levenshtein(p.probe, v.term) = 1
+                             ORDER BY v.cf DESC, v.term LIMIT 1),
+                            (SELECT v.term FROM vocab v
+                             WHERE damerau_levenshtein(p.probe, v.term) = 2
+                             ORDER BY v.cf DESC, v.term LIMIT 1),
+                            p.probe) END AS corrected
+            FROM probes p
         """,
     }
