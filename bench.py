@@ -34,12 +34,12 @@ import time
 # raylet-spawned worker inherits it.
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
-# one arena: keep every allocation in the (pre-faulted) main heap instead
-# of scattering across per-thread arenas that each pay first-touch faults
-os.environ.setdefault("MALLOC_ARENA_MAX", "1")
 # searcher processes pre-fault this much heap once at reader init — sized
 # to the decode arrays of the hottest positional queries (see
-# rayindex/searcher.py:_prefault_heap)
+# rayindex/searcher.py:_prefault_heap).  NOTE: do NOT pin MALLOC_ARENA_MAX=1
+# here — measured on this host it makes the 32-worker build's kernel time
+# explode (stime 46 s -> 193 s): with one arena, contended threads fall
+# back to fresh mmap allocations and the first-touch fault tax returns.
 os.environ.setdefault("RAYINDEX_PREFAULT_MB", "384")
 
 N_FILES = int(os.environ.get("RAYINDEX_BENCH_FILES", "100000"))

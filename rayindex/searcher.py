@@ -132,7 +132,10 @@ def _prefault_heap() -> None:
     decode arrays then pays seconds of fault time instead of the ~0.1 s of
     arithmetic.  Touching the pages once at reader init (with glibc trim
     disabled so they stay resident) moves that cost out of the query path.
-    Combine with MALLOC_ARENA_MAX=1 so later allocations reuse this arena."""
+    (Do NOT combine with MALLOC_ARENA_MAX=1: measured on this host, one
+    arena shared by a worker's threads overflows contended allocations to
+    fresh mmaps and the fault tax returns — the prefault alone is the
+    effective mitigation.)"""
     global _PREFAULTED
     if _PREFAULTED:
         return
