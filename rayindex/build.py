@@ -14,12 +14,13 @@ SURVEY.md §3.1) with four checkpointed Dataset stages:
                 (term, batch doc-run), plus per-doc stat rows.  This is the
                 combiner that makes the groupby shuffle move compressed
                 blobs, not raw (term, doc, pos) rows.
-3. **shards**   salted two-phase posting merge: ``groupby(term, range_id)``
-                (phase 1 — a hot term like ``def`` never lands on a single
-                reducer) then ``groupby(shard)`` (phase 2) which byte-splices
-                each term's range-chunks and writes one memory-mappable blob
-                file + Arrow term dictionary per shard, atomically, with a
-                per-shard manifest (per-partition resume).
+3. **shards**   filesystem hash exchange: stage 2 writes the chunk table
+                ``partition_cols=["shard"]``, so each shard's merge is an
+                independent task that reads ``chunks/shard=N/``, byte-splices
+                its fine blocks (never decoding a posting stream) and writes
+                one memory-mappable blob file + Arrow term dictionary,
+                atomically, with a per-shard manifest (per-partition resume).
+                No posting byte ever crosses the object store.
 4. **stats**    doc_stats + collection_stats tables.
 
 Every stage is skipped on resume when its ``.done.json`` fingerprint
@@ -56,19 +57,6 @@ def term_shard(term: str, num_shards: int) -> int:
     """Stable shard assignment (zlib.crc32 is platform/run stable, unlike
     Python's salted hash())."""
     return zlib.crc32(term.encode()) % num_shards
-
-
-def _shuffle_read_blocks(path: str) -> int:
-    """Block count for a read that FEEDS A SHUFFLE: Ray's sort-based groupby
-    degrades badly with hundreds of tiny input blocks (each sort partition
-    exchanges with every input block), so coalesce small inputs to roughly
-    64 MiB per block, floored at the CPU count for parallelism."""
-    total = 0
-    for root, _, files in os.walk(path):
-        for f in files:
-            total += os.path.getsize(os.path.join(root, f))
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return max(ncpu, total // (64 << 20) + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -539,7 +527,7 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
         zero_copy_batch=True,
         batch_size=cfg.tokenize_batch_size,
     )
-    ds.write_parquet(chunks_out)
+    ds.write_parquet(chunks_out, partition_cols=["shard"])
     return metrics, cfg
 
 
@@ -738,7 +726,7 @@ def _stage_chunks(doc_store: str, out: str, cfg: BuildConfig,
         zero_copy_batch=True,
         batch_size=cfg.tokenize_batch_size,
     )
-    ds.write_parquet(out)
+    ds.write_parquet(out, partition_cols=["shard"])
     return {}
 
 
@@ -1042,47 +1030,6 @@ def _large_binary_from(buffer, offsets: np.ndarray) -> pa.LargeBinaryArray:
         pa.large_binary(), len(offsets) - 1, [None, off, pa.py_buffer(buffer)])
 
 
-def _merge_shard_range(group: pa.Table) -> pa.Table:
-    """Phase-1 reducer over a (shard, range_id) group: merge every fine
-    block's parts (bridge splice + metadata aggregation).  Grouping by
-    (shard, range) instead of (term, range) keeps the same skew bound — a
-    hot term's postings stay spread across ranges — while making the number
-    of Ray groups small and the per-fine-block work pure numpy."""
-    if group.num_rows == 0:  # Ray may hand the UDF an empty block
-        return _empty_chunks_table()
-    v = _FineView(group, block_size=None)
-    ngrp = v.n_groups
-    gs = v.grp_start
-    doc_arr = _large_binary_from(
-        v.doc_stream, np.append(v.g_doc_start, v.g_doc_start[-1] + v.g_doc_len[-1])
-        if ngrp else np.zeros(1, np.int64))
-    tf_arr = _large_binary_from(
-        v._tf_mv, np.append(v.g_tf_start, v.g_tf_start[-1] + v.g_tf_len[-1])
-        if ngrp else np.zeros(1, np.int64))
-    pos_arr = _large_binary_from(
-        v._pos_mv, np.append(v.g_pos_start, v.g_pos_start[-1] + v.g_pos_len[-1])
-        if ngrp else np.zeros(1, np.int64))
-    take = pa.array(gs, pa.int64())
-    return pa.table(
-        {
-            "term": v.g["term"].take(take),
-            "range_id": v.g["range_id"].take(take),
-            "shard": v.g["shard"].take(take),
-            "block_id": pa.array(v.g_blk.astype(np.int64)),
-            "first_doc": pa.array(v.g_first.astype(np.int64)),
-            "last_doc": pa.array(v.g_last.astype(np.int64)),
-            "n_docs": pa.array(v.g_n.astype(np.int64)),
-            "cf": pa.array(v.g_cf.astype(np.int64)),
-            "max_tf": pa.array(v.g_mtf.astype(np.int32)),
-            "min_dl": pa.array(v.g_mdl.astype(np.int32)),
-            "doc_blob": doc_arr,
-            "tf_blob": tf_arr,
-            "pos_blob": pos_arr,
-        },
-        schema=schema.POSTING_CHUNKS,
-    )
-
-
 class WriteShard:
     """Phase-2 reducer: receives every fine-block row of one shard,
     coalesces fine blocks into canonical dict blocks (bridge splice — no
@@ -1195,39 +1142,77 @@ class WriteShard:
                          "bytes": [total_bytes], "skipped": [False]})
 
 
+def _write_empty_shard(shard_dir: str, sid: int, fingerprint: str) -> None:
+    """A shard with no terms still needs (empty) files for the searcher."""
+    atomic_write_bytes(os.path.join(shard_dir, f"shard_{sid:05d}.bin"), b"")
+    empty = pa.table(
+        {f.name: pa.array([], f.type) for f in schema.TERM_DICT}, schema=schema.TERM_DICT
+    )
+    tmp = os.path.join(shard_dir, f"shard_{sid:05d}.dict.parquet.tmp-{os.getpid()}")
+    pq.write_table(empty, tmp)
+    os.replace(tmp, os.path.join(shard_dir, f"shard_{sid:05d}.dict.parquet"))
+    BuildCheckpoint.write_shard_manifest(shard_dir, sid, fingerprint,
+                                         {"n_terms": 0, "bytes": 0})
+
+
 def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
-                  fingerprint: str, multi_range: bool) -> dict[str, Any]:
-    ds = ray.data.read_parquet(chunks_path,
-                               override_num_blocks=_shuffle_read_blocks(chunks_path))
-    # phase 1 (salted two-phase merge): (shard, range_id) groups keep hot
-    # terms spread across reducers, bounded per doc range.  With a single
-    # range (corpus smaller than doc_range_size) the shard writer's own
-    # per-fine-block merge does identical work, so the extra shuffle is
-    # skipped — the two-phase path engages exactly when the data is big
-    # enough to need it.
-    if multi_range:
-        ds = ds.groupby(["shard", "range_id"]).map_groups(
-            _merge_shard_range, batch_format="pyarrow"
-        )
-    # phase 2: all of a shard's fine rows on one reducer; splice + write
+                  fingerprint: str) -> dict[str, Any]:
+    """Merge + write every shard from its own on-disk partition.
+
+    The wide exchange already happened THROUGH THE FILESYSTEM: the tokenize
+    stage writes the posting-chunk table hash-partitioned by shard
+    (``write_parquet(partition_cols=["shard"])``), so this stage is
+    embarrassingly parallel — one task per shard reads ``chunks/shard=N/``
+    and splices it.  No sort/groupby shuffle moves posting bytes through
+    the object store (measured on the bench host: the plasma exchange cost
+    60–94 s of kernel time at 32 workers for a 50k-doc corpus — fresh
+    shuffle objects fault pages in every mapper; the filesystem exchange
+    writes each byte once and reads it once).  On a multi-node cluster the
+    same layout runs against shared storage and stays resumable per shard
+    (each task skips via its own manifest, so a killed build redoes only
+    unfinished shards).
+
+    Skew: shard count auto-scales with corpus size (~100k docs/shard), a
+    hot TERM's bytes stay inside one shard task but are only ever
+    byte-spliced, never decoded (the doc-range fine-block layout makes
+    every merge a metadata aggregate + splice); if a single term ever
+    dwarfs its shard, the doc-range keying supports splitting the shard
+    into range sub-files without changing the dictionary format.
+    """
     writer = WriteShard(shard_dir, fingerprint, cfg.block_size)
 
-    def write_shard(group: pa.Table) -> pa.Table:
-        return writer(group)
+    def merge_shard(batch: pa.Table) -> pa.Table:
+        out = []
+        for sid in batch["shard_id"].to_pylist():
+            part_dir = os.path.join(chunks_path, f"shard={sid}")
+            files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+            if not files:
+                _write_empty_shard(shard_dir, sid, fingerprint)
+                out.append(pa.table({"shard": [sid], "n_terms": [0],
+                                     "bytes": [0], "skipped": [False]}))
+                continue
+            # single-threaded read: shard tasks already saturate the node
+            t = pa.concat_tables(
+                [pq.read_table(f, use_threads=False) for f in files])
+            # the hive partition key was stripped from the files; restore it
+            # in canonical POSTING_CHUNKS column order (the interleave
+            # repair concatenates against that exact schema)
+            t = t.append_column(
+                "shard", pa.array(np.full(t.num_rows, sid, np.int32)))
+            t = t.select([f.name for f in schema.POSTING_CHUNKS])
+            out.append(writer(t.combine_chunks()))
+        if not out:
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "n_terms": pa.array([], pa.int64()),
+                             "bytes": pa.array([], pa.int64()),
+                             "skipped": pa.array([], pa.bool_())})
+        return pa.concat_tables(out)
 
-    res = ds.groupby("shard").map_groups(write_shard, batch_format="pyarrow")
+    res = ray.data.from_items(
+        [{"shard_id": sid} for sid in range(cfg.num_shards)],
+        override_num_blocks=cfg.num_shards,
+    ).map_batches(merge_shard, batch_format="pyarrow", batch_size=1)
     stats = res.to_pandas()
-    # shards with no terms still need (empty) files for the searcher
-    present = set(stats["shard"].tolist())
-    for sid in range(cfg.num_shards):
-        if sid not in present:
-            atomic_write_bytes(os.path.join(shard_dir, f"shard_{sid:05d}.bin"), b"")
-            empty = pa.table(
-                {f.name: pa.array([], f.type) for f in schema.TERM_DICT}, schema=schema.TERM_DICT
-            )
-            pq.write_table(empty, os.path.join(shard_dir, f"shard_{sid:05d}.dict.parquet"))
-            BuildCheckpoint.write_shard_manifest(shard_dir, sid, fingerprint,
-                                                 {"n_terms": 0, "bytes": 0})
     return {
         "n_terms": int(stats["n_terms"].sum()),
         "index_bytes": int(stats["bytes"].sum()),
@@ -1418,11 +1403,10 @@ def build_index(
     # tokenize stage (which wipes them itself on re-run); this stage only
     # aggregates N / l_tot from them
     r3 = ckpt.run_stage("stats", lambda d: _stage_stats(d), clear=False)
-    multi_range = r1.metrics.get("n_docs", 0) > cfg.doc_range_size
     # clear=False: completed shards are skipped via their own manifests
     r4 = ckpt.run_stage(
         "shards",
-        lambda d: _stage_shards(chunks, d, cfg, fp, multi_range),
+        lambda d: _stage_shards(chunks, d, cfg, fp),
         clear=False)
     r5 = ckpt.run_stage(
         "finalize",
