@@ -685,6 +685,10 @@ class TokenizeToChunks:
                 "lang": pa.array(langs, pa.string()),
                 "repo": pa.array(repos, pa.string()),
             })
+            # stamp the part's token sum into the footer so the stats stage
+            # aggregates from metadata alone (never re-reads data pages)
+            stats_tbl = stats_tbl.replace_schema_metadata(
+                {b"rayindex_total_tokens": str(int(counts.sum())).encode()})
             name = f"ds-{int(doc_ids[0]):012d}-{int(doc_ids[-1]):012d}.parquet"
             tmp = os.path.join(self.doc_stats_dir, f".{name}.tmp-{os.getpid()}")
             pq.write_table(stats_tbl, tmp)
@@ -1208,10 +1212,13 @@ def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
                              "skipped": pa.array([], pa.bool_())})
         return pa.concat_tables(out)
 
+    ncpu = ray.cluster_resources().get("CPU", 8)
+    merge_cpus = max(1.0, ncpu / max(1, cfg.max_concurrent_merges))
     res = ray.data.from_items(
         [{"shard_id": sid} for sid in range(cfg.num_shards)],
         override_num_blocks=cfg.num_shards,
-    ).map_batches(merge_shard, batch_format="pyarrow", batch_size=1)
+    ).map_batches(merge_shard, batch_format="pyarrow", batch_size=1,
+                  num_cpus=merge_cpus)
     stats = res.to_pandas()
     return {
         "n_terms": int(stats["n_terms"].sum()),
@@ -1225,11 +1232,31 @@ def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
 # ---------------------------------------------------------------------------
 
 
+def _part_stats(paths: list[str]) -> tuple[int, int]:
+    """(n_docs, total_tokens) of doc_stats parts from their parquet footers
+    alone — the tokenize stage stamps each part's token sum into the file's
+    key-value metadata, so this never touches a data page."""
+    n = tok = 0
+    for p in paths:
+        md = pq.read_metadata(p)
+        n += md.num_rows
+        kv = md.metadata or {}
+        if b"rayindex_total_tokens" in kv:
+            tok += int(kv[b"rayindex_total_tokens"])
+        else:  # part from an older build: fall back to a column read
+            t = pq.read_table(p, columns=["n_tokens"], use_threads=False)
+            tok += pc.sum(t["n_tokens"]).as_py() or 0
+    return n, tok
+
+
 def _stage_stats(out: str) -> dict[str, Any]:
     """Aggregate N / l_tot from the doc_stats parts the tokenize stage
     side-wrote (reference computes them at app startup,
     /root/reference/search/retrieval/retrieval_helpers/helpers.py:229-230).
-    No scan of the chunks table — doc stats fell out of tokenize."""
+    Footer-only: each part carries its own (num_rows, token sum), so the
+    aggregate reads metadata, not data — driver-side below a threshold,
+    a small Ray map over file paths beyond it (at 10^12 docs the part
+    list itself is large)."""
     doc_stats_dir = os.path.join(out, "doc_stats")
     os.makedirs(doc_stats_dir, exist_ok=True)
     files = [os.path.join(doc_stats_dir, f)
@@ -1237,11 +1264,18 @@ def _stage_stats(out: str) -> dict[str, Any]:
              if f.endswith(".parquet")]
     if not files:
         return {"n_docs": 0, "total_tokens": 0}
-    agg = ray.data.read_parquet(files, columns=["n_tokens"]).map_batches(
-        lambda t: pa.table({
-            "n": pa.array([t.num_rows], pa.int64()),
-            "tok": pa.array([pc.sum(t["n_tokens"]).as_py() or 0], pa.int64()),
-        }),
+    if len(files) <= 1024:
+        n, tok = _part_stats(files)
+        return {"n_docs": n, "total_tokens": tok}
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    agg = ray.data.from_items(
+        [{"path": f} for f in files],
+        override_num_blocks=min(len(files), ncpu * 2),
+    ).map_batches(
+        lambda t: pa.table(dict(zip(
+            ("n", "tok"),
+            (pa.array([v], pa.int64())
+             for v in _part_stats(t["path"].to_pylist()))))),
         batch_format="pyarrow",
     ).to_pandas()
     return {"n_docs": int(agg["n"].sum()), "total_tokens": int(agg["tok"].sum())}
