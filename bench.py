@@ -108,6 +108,9 @@ def _ray_cpu_seconds() -> float:
     return sum(_ray_cpu_split())
 
 
+from rayindex.checkpoint import CpuMonitor as _CpuMonitor  # noqa: E402
+
+
 def _ray_cpu_split() -> tuple[float, float]:
     """(utime, stime) — stime isolates the kernel page-fault tax (fresh
     worker heaps fault at ~0.1 ms/page on this host)."""
@@ -119,15 +122,24 @@ def _ray_cpu_split() -> tuple[float, float]:
     for stat in _g.glob("/proc/[0-9]*/stat"):
         pid = stat.split("/")[2]
         try:
+            raw = open(stat).read()
+            # comm sits between the first "(" and the last ") " and
+            # SURVIVES zombie state, unlike cmdline (a freshly-killed
+            # ray:: worker has an empty cmdline but its utime/stime are
+            # still in stat until the raylet reaps it — matching cmdline
+            # only made deltas go negative when heavy workers died
+            # between snapshots)
+            comm = raw[raw.index("(") + 1:raw.rindex(") ")]
             with open(f"/proc/{pid}/cmdline", "rb") as f:
                 cmd = f.read()
-            if not (pid == me or b"ray::" in cmd or b"raylet" in cmd
-                    or b"ray/" in cmd):
+            is_ray = (pid == me or comm.startswith("ray") or
+                      b"ray::" in cmd or b"raylet" in cmd or b"ray/" in cmd)
+            if not is_ray:
                 continue
-            parts = open(stat).read().rsplit(") ", 1)[1].split()
+            parts = raw.rsplit(") ", 1)[1].split()
             utime += int(parts[11]) / hz
             stime += int(parts[12]) / hz
-            if b"raylet" in cmd:
+            if b"raylet" in cmd or comm == "raylet":
                 # reaped worker jiffies migrate to the raylet's cutime/
                 # cstime — without these, dying idle workers make deltas
                 # NEGATIVE (their own counters vanish from /proc)
@@ -216,16 +228,19 @@ def run_bench() -> dict:
     out = f"/tmp/rayindex_bench_idx_{os.getpid()}"
     shutil.rmtree(out, ignore_errors=True)
     cfg = BuildConfig(num_shards=32, tokenize_batch_size=256)
-    u0, s0 = _ray_cpu_split()
     t0 = time.perf_counter()
-    res = build_index(CORPUS_DIR, out, cfg)
+    with _CpuMonitor() as mon:
+        res = build_index(CORPUS_DIR, out, cfg)
     timings["build_sec"] = time.perf_counter() - t0
-    u1, s1 = _ray_cpu_split()
-    timings["build_cpu_sec"] = (u1 - u0) + (s1 - s0)
-    timings["build_stime_sec"] = s1 - s0
+    mu, ms = mon.totals()
+    timings["build_cpu_sec"] = mu + ms
+    timings["build_stime_sec"] = ms
     timings["build_effective_cores"] = timings["build_cpu_sec"] / timings["build_sec"]
     for name, st in res.stages.items():
         timings[f"build_{name}_sec"] = st.get("wall_s", 0.0)
+        for sub in ("pass1_s", "pipeline_s"):
+            if sub in st:
+                timings[f"build_{name}_{sub}"] = st[sub]
 
     if build_only:
         shutil.rmtree(out, ignore_errors=True)

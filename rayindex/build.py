@@ -34,6 +34,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 import zlib
 from dataclasses import dataclass, field
 from typing import Any
@@ -51,6 +52,12 @@ from rayindex import analysis, codec, schema
 from rayindex.checkpoint import (BuildCheckpoint, StageResult,
                                  atomic_write_bytes, fingerprint_of)
 from rayindex.config import BuildConfig
+
+
+# sub-phase wall timings for the most recent fused ingest+tokenize stage
+# (diagnostic only — lets the scaling probe attribute chunks-stage time to
+# pass-1 key sort vs the streaming exchange→tokenize pipeline)
+_SUBPHASE: dict[str, float] = {}
 
 
 def term_shard(term: str, num_shards: int) -> int:
@@ -220,6 +227,7 @@ def _ingest_ranked(source: str, cfg: BuildConfig):
 
     Doc ids are assigned by sorting a (repo, path, sha, provenance) KEY
     table — the content column never enters the SORT and is never pinned."""
+    t0 = time.perf_counter()
     units = _ingest_units(source)
     max_bytes = cfg.max_content_bytes
     ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -246,6 +254,7 @@ def _ingest_ranked(source: str, cfg: BuildConfig):
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     ranked_refs = [_attach_rank.remote(r, int(off))
                    for r, off, n in zip(refs, offsets, counts) if n > 0]
+    _SUBPHASE["pass1_s"] = round(time.perf_counter() - t0, 3)
     return units, ranked_refs, int(sum(counts)), digest_refs
 
 
@@ -516,18 +525,19 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
     metrics = {"n_docs": n_docs, "n_blocks": len(units)}
     if not ranked_refs:
         _write_empty_doc_store(doc_store_out)
-        pq.write_table(_empty_chunks_table(),
-                       os.path.join(chunks_out, "part-empty.parquet"))
-        return metrics, cfg
+        return metrics, cfg  # no spool files → every shard written empty
+    t1 = time.perf_counter()
     ds = _doc_exchange(units, ranked_refs, doc_store_out, cfg, emit=True,
                        digest_refs=digest_refs)
     ds = ds.map_batches(
-        TokenizeToChunks(cfg, doc_stats_dir),
+        TokenizeToChunks(cfg, doc_stats_dir, chunks_out),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.tokenize_batch_size,
     )
-    ds.write_parquet(chunks_out, partition_cols=["shard"])
+    metrics["n_chunk_rows"] = int(ds.sum("rows") or 0)
+    _SUBPHASE["pipeline_s"] = round(time.perf_counter() - t1, 3)
+    metrics.update(_SUBPHASE)
     return metrics, cfg
 
 
@@ -575,11 +585,25 @@ class TokenizeToChunks:
     (doc_id, n_tokens, lang, repo) as an idempotently-named parquet part —
     the doc-stats table falls out of the tokenize pass for free instead of
     a separate scan of the chunks table (reference doc_sizes.json,
-    /root/reference/indexing/index_builder/index_build.py:181-183)."""
+    /root/reference/indexing/index_builder/index_build.py:181-183).
 
-    def __init__(self, cfg: BuildConfig, doc_stats_dir: str | None = None):
+    When ``chunks_spool_dir`` is set, the posting-chunk rows NEVER enter the
+    object store: each batch writes ONE Arrow-IPC file with one record batch
+    per shard run (shard ids in the schema metadata), and the shard merge
+    mmaps the file and random-accesses ONLY its shard's record batch through
+    the IPC footer.  Compared to the previous ``write_parquet(partition_cols
+    =["shard"])`` exchange this removes (a) a full plasma round trip of
+    every posting byte, (b) snappy decode of already-VB-compressed blobs,
+    and (c) ~350-row parquet row groups whose per-group overhead was ~70%
+    of the merge's read cost (measured: 12-file shard partition read 150 ms
+    vs 34 ms as one file).  File count is O(batches) — at larger corpora
+    raise ``tokenize_batch_size`` or consolidate spools per node."""
+
+    def __init__(self, cfg: BuildConfig, doc_stats_dir: str | None = None,
+                 chunks_spool_dir: str | None = None):
         self.cfg = cfg
         self.doc_stats_dir = doc_stats_dir
+        self.chunks_spool_dir = chunks_spool_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -712,7 +736,37 @@ class TokenizeToChunks:
                             ("max_tf", pa.int32()), ("min_dl", pa.int32())):
             cols[name] = pa.array(
                 np.asarray(chunk_tbl[name], dtype.to_pandas_dtype()))
-        return pa.table(cols, schema=schema.POSTING_CHUNKS)
+        chunks = pa.table(cols, schema=schema.POSTING_CHUNKS)
+        if self.chunks_spool_dir is None:
+            return chunks
+        if chunks.num_rows:
+            self._spool(chunks, int(doc_ids[0]))
+        return pa.table({"rows": pa.array([chunks.num_rows], pa.int64())})
+
+    def _spool(self, chunks: pa.Table, first_doc: int) -> None:
+        """One IPC file per batch: record batch i holds shard runs[i]; the
+        shard list rides in the schema metadata so a merge task can read
+        only its own batch (mmap + footer random access).  Idempotent name
+        (batch doc ranges are disjoint; a retried task re-emits identical
+        bytes under the same name, atomic replace)."""
+        order = pc.sort_indices(chunks["shard"])
+        chunks = chunks.take(order).combine_chunks()
+        shards = chunks["shard"].to_numpy()
+        run_starts = (np.flatnonzero(np.concatenate(
+            [[True], shards[1:] != shards[:-1]]))
+            if shards.size else np.zeros(0, np.int64))
+        run_ends = np.append(run_starts[1:], shards.size)
+        shard_list = ",".join(str(int(s)) for s in shards[run_starts])
+        sch = schema.POSTING_CHUNKS.with_metadata(
+            {b"rayindex_shards": shard_list.encode()})
+        name = f"part-{first_doc:012d}.arrow"
+        tmp = os.path.join(self.chunks_spool_dir, f".{name}.tmp-{os.getpid()}")
+        with pa.OSFile(tmp, "wb") as sink:
+            with pa.ipc.new_file(sink, sch) as writer:
+                for s, e in zip(run_starts.tolist(), run_ends.tolist()):
+                    writer.write_batch(
+                        chunks.slice(s, e - s).to_batches()[0])
+        os.replace(tmp, os.path.join(self.chunks_spool_dir, name))
 
 
 def _stage_chunks(doc_store: str, out: str, cfg: BuildConfig,
@@ -725,13 +779,12 @@ def _stage_chunks(doc_store: str, out: str, cfg: BuildConfig,
     cols = ["doc_id", "content", "lang", "repo"]
     ds = ray.data.read_parquet(doc_store, columns=cols)
     ds = ds.map_batches(
-        TokenizeToChunks(cfg, doc_stats_dir),
+        TokenizeToChunks(cfg, doc_stats_dir, out),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.tokenize_batch_size,
     )
-    ds.write_parquet(out, partition_cols=["shard"])
-    return {}
+    return {"n_chunk_rows": int(ds.sum("rows") or 0)}
 
 
 # ---------------------------------------------------------------------------
@@ -1185,25 +1238,38 @@ def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
     """
     writer = WriteShard(shard_dir, fingerprint, cfg.block_size)
 
+    def read_shard_parts(sid: int) -> pa.Table | None:
+        """Gather shard ``sid``'s record batches from every spool file —
+        mmap + IPC-footer random access, so only this shard's byte ranges
+        are ever paged in (each spool file holds one record batch per
+        shard run; the run→shard map rides in the schema metadata)."""
+        files = sorted(glob.glob(os.path.join(chunks_path, "*.arrow")))
+        parts = []
+        for f in files:
+            # no context manager: the returned batches are zero-copy views
+            # into the mapping, which must outlive this function (the
+            # reader/batches hold the reference; GC unmaps when done)
+            reader = pa.ipc.open_file(pa.memory_map(f))
+            meta = reader.schema.metadata or {}
+            raw = meta.get(b"rayindex_shards", b"").decode()
+            if not raw:
+                continue
+            for i, s in enumerate(raw.split(",")):
+                if int(s) == sid:
+                    parts.append(reader.get_batch(i))
+        if not parts:
+            return None
+        return pa.Table.from_batches(parts, schema=schema.POSTING_CHUNKS)
+
     def merge_shard(batch: pa.Table) -> pa.Table:
         out = []
         for sid in batch["shard_id"].to_pylist():
-            part_dir = os.path.join(chunks_path, f"shard={sid}")
-            files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
-            if not files:
+            t = read_shard_parts(sid)
+            if t is None:
                 _write_empty_shard(shard_dir, sid, fingerprint)
                 out.append(pa.table({"shard": [sid], "n_terms": [0],
                                      "bytes": [0], "skipped": [False]}))
                 continue
-            # single-threaded read: shard tasks already saturate the node
-            t = pa.concat_tables(
-                [pq.read_table(f, use_threads=False) for f in files])
-            # the hive partition key was stripped from the files; restore it
-            # in canonical POSTING_CHUNKS column order (the interleave
-            # repair concatenates against that exact schema)
-            t = t.append_column(
-                "shard", pa.array(np.full(t.num_rows, sid, np.int32)))
-            t = t.select([f.name for f in schema.POSTING_CHUNKS])
             out.append(writer(t.combine_chunks()))
         if not out:
             return pa.table({"shard": pa.array([], pa.int64()),

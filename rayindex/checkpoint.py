@@ -105,16 +105,16 @@ class BuildCheckpoint:
                                metrics=self.stage_metrics(stage).get("metrics", {}))
         d = self.begin(stage, clear=clear)
         track_cpu = os.environ.get("RAYINDEX_STAGE_CPU") == "1"
-        if track_cpu:
-            u0, s0 = _ray_cpu_split()
+        mon = CpuMonitor().__enter__() if track_cpu else None
         t0 = time.perf_counter()
         metrics = fn(d) or {}
         wall = time.perf_counter() - t0
         metrics["wall_s"] = round(wall, 3)
-        if track_cpu:
-            u1, s1 = _ray_cpu_split()
-            metrics["utime_s"] = round(u1 - u0, 2)
-            metrics["stime_s"] = round(s1 - s0, 2)
+        if mon is not None:
+            mon.__exit__()
+            u, s = mon.totals()
+            metrics["utime_s"] = round(u, 2)
+            metrics["stime_s"] = round(s, 2)
         self.mark_done(stage, metrics)
         return StageResult(stage, skipped=False, wall_s=wall, metrics=metrics)
 
@@ -159,31 +159,81 @@ def atomic_write_bytes(path: str, data: bytes) -> None:
     os.replace(tmp, path)
 
 
-def _ray_cpu_split() -> tuple[float, float]:
-    """(utime, stime) summed over this process and live local Ray
-    processes — see bench._ray_cpu_split for the methodology notes."""
-    import glob as _g
+class CpuMonitor:
+    """Window (utime, stime) accounting over local Ray processes that
+    SURVIVES worker death.
 
-    hz = os.sysconf("SC_CLK_TCK")
-    me = str(os.getpid())
-    utime = stime = 0.0
-    for stat in _g.glob("/proc/[0-9]*/stat"):
-        pid = stat.split("/")[2]
-        try:
-            with open(f"/proc/{pid}/cmdline", "rb") as f:
-                cmd = f.read()
-            if not (pid == me or b"ray::" in cmd or b"raylet" in cmd
-                    or b"ray/" in cmd):
+    Snapshot-delta accounting (sum live processes at t0 and t1, subtract)
+    goes NEGATIVE whenever Ray kills idle workers inside the window: a
+    killed worker's jiffies vanish from /proc, and the raylet's
+    cutime/cstime never accrues them (measured: 8 killed Burner actors
+    carrying 22.7 cpu-s → raylet cutime stays 0.0 — the raylet reaps
+    children without wait()-style CPU accounting).  This monitor samples
+    /proc every ``interval`` seconds and charges each (pid, starttime)
+    key last_seen − first_seen, so a worker that dies mid-window keeps
+    every jiffy it burned up to its final sample (loss bound: interval ×
+    cores; pid reuse can't cross-charge because starttime differs)."""
+
+    def __init__(self, interval: float = 0.25):
+        import threading
+
+        self._interval = interval
+        self._first: dict[str, tuple[float, float]] = {}
+        self._last: dict[str, tuple[float, float]] = {}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _sample() -> dict[str, tuple[float, float]]:
+        import glob as _g
+
+        hz = os.sysconf("SC_CLK_TCK")
+        me = str(os.getpid())
+        out: dict[str, tuple[float, float]] = {}
+        for stat in _g.glob("/proc/[0-9]*/stat"):
+            pid = stat.split("/")[2]
+            try:
+                raw = open(stat).read()
+                # comm survives zombie state (cmdline is empty there)
+                comm = raw[raw.index("(") + 1:raw.rindex(") ")]
+                if not (pid == me or comm.startswith("ray")):
+                    with open(f"/proc/{pid}/cmdline", "rb") as f:
+                        cmd = f.read()
+                    if not (b"ray::" in cmd or b"raylet" in cmd
+                            or b"ray/" in cmd):
+                        continue
+                parts = raw.rsplit(") ", 1)[1].split()
+                key = f"{pid}:{parts[19]}"  # starttime disambiguates reuse
+                out[key] = (int(parts[11]) / hz, int(parts[12]) / hz)
+            except Exception:
                 continue
-            parts = open(stat).read().rsplit(") ", 1)[1].split()
-            utime += int(parts[11]) / hz
-            stime += int(parts[12]) / hz
-            if b"raylet" in cmd:
-                # reaped worker jiffies migrate to the raylet's cutime/
-                # cstime — without these, dying idle workers make deltas
-                # NEGATIVE (their own counters vanish from /proc)
-                utime += int(parts[13]) / hz
-                stime += int(parts[14]) / hz
-        except Exception:
-            continue
-    return utime, stime
+        return out
+
+    def _absorb(self, s: dict[str, tuple[float, float]]) -> None:
+        for k, v in s.items():
+            if k not in self._first:
+                self._first[k] = v
+            self._last[k] = v
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._interval):
+            self._absorb(self._sample())
+
+    def __enter__(self) -> "CpuMonitor":
+        self._absorb(self._sample())
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+        self._absorb(self._sample())
+
+    def totals(self) -> tuple[float, float]:
+        """(utime, stime) burned inside the window."""
+        u = s = 0.0
+        for k, (lu, ls) in self._last.items():
+            fu, fs = self._first[k]
+            u += lu - fu
+            s += ls - fs
+        return u, s
