@@ -802,7 +802,6 @@ def _stage_chunks(doc_store: str, out: str, cfg: BuildConfig,
 # ---------------------------------------------------------------------------
 
 
-_EMPTY_CHUNKS = None
 
 
 def _vb_head_lens(data: np.ndarray, starts: np.ndarray) -> np.ndarray:
@@ -853,14 +852,62 @@ def _binary_column_view(g: pa.Table, name: str) -> tuple[memoryview, np.ndarray]
     return memoryview(bufs[2] or b""), offs
 
 
-def _empty_chunks_table() -> pa.Table:
-    global _EMPTY_CHUNKS
-    if _EMPTY_CHUNKS is None:
-        _EMPTY_CHUNKS = pa.table(
-            {f.name: pa.array([], f.type) for f in schema.POSTING_CHUNKS},
-            schema=schema.POSTING_CHUNKS,
-        )
-    return _EMPTY_CHUNKS
+class _BlobChunks:
+    """Per-chunk zero-copy access to a (possibly chunked) binary column:
+    lets the shard merge gather row slices straight from the mmap'd IPC
+    spool buffers into an output stream — no ``combine_chunks`` and no
+    ``Table.take`` pass over the posting bytes (each of which copied EVERY
+    blob byte; together they were half the merge's DRAM traffic)."""
+
+    def __init__(self, col):
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        self.data: list[np.ndarray] = []
+        self.offs: list[np.ndarray] = []
+        sizes = []
+        for ch in chunks:
+            bufs = ch.buffers()
+            od = np.int64 if pa.types.is_large_binary(ch.type) else np.int32
+            offs_all = np.frombuffer(bufs[1], od) if bufs[1] is not None else np.zeros(1, od)
+            self.offs.append(
+                offs_all[ch.offset: ch.offset + len(ch) + 1].astype(np.int64))
+            self.data.append(np.frombuffer(bufs[2] or b"", np.uint8))
+            sizes.append(len(ch))
+        self.bounds = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+
+    def row_lens(self) -> np.ndarray:
+        """Byte length per row, original row order."""
+        return np.concatenate([o[1:] - o[:-1] for o in self.offs]) \
+            if self.offs else np.zeros(0, np.int64)
+
+    def _by_chunk(self, rows: np.ndarray):
+        cid = np.searchsorted(self.bounds, rows, side="right") - 1
+        order = np.argsort(cid, kind="stable")
+        cid_sorted = cid[order]
+        for k in range(len(self.data)):
+            lo = np.searchsorted(cid_sorted, k, side="left")
+            hi = np.searchsorted(cid_sorted, k, side="right")
+            if lo < hi:
+                yield k, order[lo:hi]
+
+    def gather(self, rows: np.ndarray, dst: np.ndarray, dst_starts: np.ndarray,
+               lens: np.ndarray, head_skip: np.ndarray | None = None) -> None:
+        """dst[dst_starts[i]:+lens[i]] = row bytes of ``rows[i]`` (skipping
+        ``head_skip[i]`` leading bytes), gathered chunk by chunk."""
+        for k, sel in self._by_chunk(rows):
+            local = rows[sel] - self.bounds[k]
+            src_starts = self.offs[k][local]
+            if head_skip is not None:
+                src_starts = src_starts + head_skip[sel]
+            _ragged_copy(dst, dst_starts[sel], self.data[k], src_starts,
+                         lens[sel])
+
+    def head_lens(self, rows: np.ndarray) -> np.ndarray:
+        """Byte length of the first VB value of each row's blob."""
+        out = np.zeros(rows.size, np.int64)
+        for k, sel in self._by_chunk(rows):
+            local = rows[sel] - self.bounds[k]
+            out[sel] = _vb_head_lens(self.data[k], self.offs[k][local])
+        return out
 
 
 def _repair_interleaved(g: pa.Table, codes: np.ndarray,
@@ -961,27 +1008,50 @@ class _FineView:
 
     def __init__(self, group: pa.Table, block_size: int | None):
         g = group
-        for _ in range(3):
-            idx = pc.sort_indices(g, sort_keys=[
-                ("term", "ascending"), ("block_id", "ascending"),
-                ("first_doc", "ascending")])
-            g = g.take(idx).combine_chunks()
-            codes = pc.dictionary_encode(g["term"]).combine_chunks().indices.to_numpy()
-            first = g["first_doc"].to_numpy()
-            last = g["last_doc"].to_numpy()
-            n = codes.size
-            overlap = np.zeros(n, bool)
-            if n > 1:
-                overlap[1:] = (codes[1:] == codes[:-1]) & (first[1:] <= last[:-1])
-            if not overlap.any():
-                break
-            g = _repair_interleaved(g, codes, overlap)
-        else:
-            raise RuntimeError("interleave repair did not converge")
+        sort_keys = [("term", "ascending"), ("block_id", "ascending"),
+                     ("first_doc", "ascending")]
+
+        def comb(col):
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        # Sort ONLY the permutation — metadata columns are permuted as numpy
+        # arrays and blob bytes are gathered straight from the (mmap'd) chunk
+        # buffers below; the posting bytes never pass through Table.take or
+        # combine_chunks (each copied every blob byte — together half the
+        # merge's DRAM traffic).
+        perm = pc.sort_indices(g, sort_keys=sort_keys).to_numpy().astype(np.int64)
+        term_comb = comb(g["term"])
+        n = perm.size
+        codes = pc.dictionary_encode(term_comb).indices.to_numpy()[perm]
+        first = comb(g["first_doc"]).to_numpy()[perm]
+        last = comb(g["last_doc"]).to_numpy()[perm]
+        overlap = np.zeros(n, bool)
+        if n > 1:
+            overlap[1:] = (codes[1:] == codes[:-1]) & (first[1:] <= last[:-1])
+        if overlap.any():
+            # rare slow path (parts of one fine block with overlapping doc
+            # ranges): materialize sorted, decode-repair those blocks only
+            g = g.take(pa.array(perm)).combine_chunks()
+            for _ in range(3):
+                codes = pc.dictionary_encode(comb(g["term"])).indices.to_numpy()
+                first = g["first_doc"].to_numpy()
+                last = g["last_doc"].to_numpy()
+                n = codes.size
+                overlap = np.zeros(n, bool)
+                if n > 1:
+                    overlap[1:] = (codes[1:] == codes[:-1]) & (first[1:] <= last[:-1])
+                if not overlap.any():
+                    break
+                g = _repair_interleaved(g, codes, overlap)
+                g = g.take(pc.sort_indices(g, sort_keys=sort_keys)).combine_chunks()
+            else:
+                raise RuntimeError("interleave repair did not converge")
+            term_comb = comb(g["term"])
+            perm = np.arange(n, dtype=np.int64)
         self.g = g
-        blk = g["block_id"].to_numpy()
-        nd = g["n_docs"].to_numpy()
-        cf = g["cf"].to_numpy()
+        blk = comb(g["block_id"]).to_numpy()[perm]
+        nd = comb(g["n_docs"]).to_numpy()[perm]
+        cf = comb(g["cf"]).to_numpy()[perm]
 
         def cs(a: np.ndarray) -> np.ndarray:
             return np.concatenate([[0], np.cumsum(a)])
@@ -1025,8 +1095,10 @@ class _FineView:
         cs_cf = cs(cf)
         self.g_cf = cs_cf[grp_end] - cs_cf[grp_start]
         if n:
-            self.g_mtf = np.maximum.reduceat(g["max_tf"].to_numpy(), grp_start)
-            self.g_mdl = np.minimum.reduceat(g["min_dl"].to_numpy(), grp_start)
+            self.g_mtf = np.maximum.reduceat(
+                comb(g["max_tf"]).to_numpy()[perm], grp_start)
+            self.g_mdl = np.minimum.reduceat(
+                comb(g["min_dl"]).to_numpy()[perm], grp_start)
         else:
             self.g_mtf = np.zeros(0, np.int32)
             self.g_mdl = np.zeros(0, np.int32)
@@ -1037,15 +1109,16 @@ class _FineView:
                                        ) if gcodes.size else np.zeros(0, np.int64)
         self.tg_end = np.append(self.tg_start[1:], self.n_groups)
         self.n_terms = self.tg_start.size
-        self.run_terms = g["term"].take(
-            pa.array(grp_start[self.tg_start], pa.int64())).to_pylist()
+        self.run_terms = term_comb.take(
+            pa.array(perm[grp_start[self.tg_start]], pa.int64())).to_pylist()
 
-        # --- assemble the spliced doc stream (one vectorized gather) ------
-        self._doc_mv, doc_offs = _binary_column_view(g, "doc_blob")
-        self._tf_mv, self._tf_offs = _binary_column_view(g, "tf_blob")
-        self._pos_mv, self._pos_offs = _binary_column_view(g, "pos_blob")
-        data = np.frombuffer(self._doc_mv, np.uint8)
-        row_len = doc_offs[1:] - doc_offs[:-1]
+        # --- assemble the output streams (chunk-direct ragged gathers) ----
+        doc_bc = _BlobChunks(g["doc_blob"])
+        tf_bc = _BlobChunks(g["tf_blob"])
+        pos_bc = _BlobChunks(g["pos_blob"])
+        row_len = doc_bc.row_lens()[perm]   # sorted row order
+        tf_len = tf_bc.row_lens()[perm]
+        pos_len = pos_bc.row_lens()[perm]
         internal = np.ones(n, bool)
         internal[grp_start] = False
         iidx = np.flatnonzero(internal)
@@ -1053,7 +1126,7 @@ class _FineView:
         bridge_len_row = np.zeros(n, np.int64)
         bridge_start_row = np.zeros(n, np.int64)
         if iidx.size:
-            heads[iidx] = _vb_head_lens(data, doc_offs[:-1][iidx])
+            heads[iidx] = doc_bc.head_lens(perm[iidx])
             bridge_vals = (first[iidx] - last[iidx - 1]).astype(np.uint64)
             bout, bends = codec._vb_encode_arr(bridge_vals)
             bstart = np.zeros(iidx.size, np.int64)
@@ -1062,21 +1135,29 @@ class _FineView:
             bridge_start_row[iidx] = bstart
         else:
             bout = np.zeros(0, np.uint8)
-        bodyB_start = doc_offs[:-1] + heads
         bodyB_len = row_len - heads
         out_len = bridge_len_row + bodyB_len
         out_start = np.cumsum(out_len) - out_len
         out = np.empty(int(out_len.sum()), np.uint8)
         _ragged_copy(out, out_start, bout, bridge_start_row, bridge_len_row)
-        _ragged_copy(out, out_start + bridge_len_row, data, bodyB_start, bodyB_len)
+        doc_bc.gather(perm, out, out_start + bridge_len_row, bodyB_len,
+                      head_skip=heads)
         self.doc_stream = out
         cs_out = cs(out_len)
         self.g_doc_start = cs_out[grp_start]
         self.g_doc_len = cs_out[grp_end] - cs_out[grp_start]
-        self.g_tf_start = self._tf_offs[grp_start]
-        self.g_tf_len = self._tf_offs[grp_end] - self._tf_offs[grp_start]
-        self.g_pos_start = self._pos_offs[grp_start]
-        self.g_pos_len = self._pos_offs[grp_end] - self._pos_offs[grp_start]
+        tf_out = np.empty(int(tf_len.sum()), np.uint8)
+        tf_bc.gather(perm, tf_out, np.cumsum(tf_len) - tf_len, tf_len)
+        self._tf_mv = memoryview(tf_out)
+        cs_tf = cs(tf_len)
+        self.g_tf_start = cs_tf[grp_start]
+        self.g_tf_len = cs_tf[grp_end] - cs_tf[grp_start]
+        pos_out = np.empty(int(pos_len.sum()), np.uint8)
+        pos_bc.gather(perm, pos_out, np.cumsum(pos_len) - pos_len, pos_len)
+        self._pos_mv = memoryview(pos_out)
+        cs_pos = cs(pos_len)
+        self.g_pos_start = cs_pos[grp_start]
+        self.g_pos_len = cs_pos[grp_end] - cs_pos[grp_start]
 
 
 def _large_binary_from(buffer, offsets: np.ndarray) -> pa.LargeBinaryArray:
@@ -1270,7 +1351,7 @@ def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
                 out.append(pa.table({"shard": [sid], "n_terms": [0],
                                      "bytes": [0], "skipped": [False]}))
                 continue
-            out.append(writer(t.combine_chunks()))
+            out.append(writer(t))  # chunked ok — blobs gathered per chunk
         if not out:
             return pa.table({"shard": pa.array([], pa.int64()),
                              "n_terms": pa.array([], pa.int64()),
@@ -1360,10 +1441,18 @@ def _write_doc_meta_bins(stats_dir: str) -> dict[str, Any]:
     so builder memory stays bounded by one partition."""
     import glob as _g
     import json
+    import re
 
     parts = sorted(_g.glob(os.path.join(stats_dir, "doc_stats", "*.parquet")))
     max_doc = -1
     for p in parts:
+        # parts are doc-ordered and named ds-{first:012d}-{last:012d}; the
+        # max doc comes from the names alone (no data pass).  Fall back to
+        # reading the column for foreign part names.
+        m = re.match(r"ds-\d{12}-(\d{12})\.parquet$", os.path.basename(p))
+        if m:
+            max_doc = max(max_doc, int(m.group(1)))
+            continue
         t = pq.read_table(p, columns=["doc_id"])
         if t.num_rows:
             max_doc = max(max_doc, int(t["doc_id"][t.num_rows - 1].as_py()))
@@ -1392,7 +1481,8 @@ def _write_doc_meta_bins(stats_dir: str) -> dict[str, Any]:
 
 
 def _stage_finalize(stats_dir: str, out: str, n_docs: int, total_tokens: int,
-                    n_terms: int) -> dict[str, Any]:
+                    n_terms: int,
+                    bins_meta: dict[str, Any] | None = None) -> dict[str, Any]:
     cs = pa.table(
         {
             "n_docs": pa.array([n_docs], pa.int64()),
@@ -1403,7 +1493,8 @@ def _stage_finalize(stats_dir: str, out: str, n_docs: int, total_tokens: int,
         schema=schema.COLLECTION_STATS,
     )
     pq.write_table(cs, os.path.join(stats_dir, "collection_stats.parquet"))
-    meta = _write_doc_meta_bins(stats_dir)
+    # bins_meta: already written concurrently with the shard merge
+    meta = bins_meta if bins_meta is not None else _write_doc_meta_bins(stats_dir)
     return {"n_terms": n_terms, **meta}
 
 
@@ -1503,19 +1594,42 @@ def build_index(
     # tokenize stage (which wipes them itself on re-run); this stage only
     # aggregates N / l_tot from them
     r3 = ckpt.run_stage("stats", lambda d: _stage_stats(d), clear=False)
+    # The doc-meta bins depend only on doc_stats (complete after the chunks
+    # stage), not on the shard merge — overlap their IO with the DRAM-bound
+    # merges in a driver thread (parquet read + memmap store release the
+    # GIL).  On crash the finalize stage just redoes them (idempotent).
+    bins_box: dict[str, Any] = {}
+    bins_thread = None
+    if not ckpt.is_done("finalize"):
+        import threading
+
+        def _bins():
+            try:
+                bins_box["meta"] = _write_doc_meta_bins(stats_dir)
+            except BaseException as exc:  # surfaced at finalize join
+                bins_box["err"] = exc
+
+        bins_thread = threading.Thread(target=_bins, daemon=True)
+        bins_thread.start()
     # clear=False: completed shards are skipped via their own manifests
     r4 = ckpt.run_stage(
         "shards",
         lambda d: _stage_shards(chunks, d, cfg, fp),
         clear=False)
-    r5 = ckpt.run_stage(
-        "finalize",
-        lambda d: _stage_finalize(
+
+    def finalize(d):
+        if bins_thread is not None:
+            bins_thread.join()
+        if "err" in bins_box:
+            raise bins_box["err"]
+        return _stage_finalize(
             stats_dir, d,
             r3.metrics.get("n_docs", 0), r3.metrics.get("total_tokens", 0),
             r4.metrics.get("n_terms", 0),
-        ),
-    )
+            bins_meta=bins_box.get("meta"),
+        )
+
+    r5 = ckpt.run_stage("finalize", finalize)
 
     result.stages = {r.name: {"skipped": r.skipped, **r.metrics}
                      for r in (r1, r2, r3, r4, r5)}

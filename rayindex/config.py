@@ -71,13 +71,14 @@ class BuildConfig:
     max_content_bytes: int = 8 << 20  # drop pathological rows (ref: title/url>=1000 filter)
     verify_sha256: bool = True     # ingest invariant: per-row sha256(content) vs source
     # cap on concurrent shard-merge tasks — a memory-bandwidth annotation,
-    # not a parallelism setting: shard splicing is DRAM-bound and 32
-    # concurrent splicers on one 32-core node ANTI-scale vs 16 (measured:
-    # wall 4.9 s vs 3.2 s on identical data).  Each merge task reserves
-    # num_cpus = max(1, cluster_cpus / max_concurrent_merges); on a
-    # multi-node cluster set this to 16 × nodes (the bound is per-node
-    # DRAM, which Ray's logical CPUs can't express directly).
-    max_concurrent_merges: int = 16
+    # not a parallelism setting: shard splicing is DRAM-bound, and past ~8
+    # concurrent splicers per node the same merge work burns ~2x the CPU
+    # time (memory-stall cycles) for equal wall (measured on the 32-core
+    # bench host: utime 9.2 s at 8 vs 21.8 s at 32 concurrent, wall flat).
+    # Each merge task reserves num_cpus = max(1, cluster_cpus /
+    # max_concurrent_merges); on a multi-node cluster set this to 8 × nodes
+    # (the bound is per-node DRAM, which Ray's logical CPUs can't express).
+    max_concurrent_merges: int = 8
 
     def fingerprint(self) -> str:
         d = asdict(self)
