@@ -38,6 +38,7 @@ from rayindex.config import AnalyzerConfig
 
 _REFERENCE_RE = re.compile(r"[¢£€\w]+")
 _ASCII_RE = re.compile(r"[a-z0-9_]+")
+_CODE_RAW_RE = re.compile(r"[A-Za-z0-9_]+")
 _CAMEL_RE = re.compile(r"[a-z0-9]+|[A-Z][a-z0-9]*|[A-Z]+(?![a-z])")
 
 # Standard English stopword list (Snowball project stop list, public domain —
@@ -147,22 +148,76 @@ def tokenize_docs_grouped(
       group after group (groups ordered by (doc_idx, first occurrence... ) —
       ordered by (doc, term code) which is deterministic).
     """
-    fn = _analyzer_fn(cfg)
-    token_lists = [fn(t) if t is not None else [] for t in texts]
-    counts = np.fromiter((len(t) for t in token_lists), np.int64, len(token_lists))
-    total = int(counts.sum())
-    if total == 0:
-        z = np.zeros(0, np.int64)
-        return counts, z, np.zeros(0, object), z, z
+    n_docs = len(texts)
+    # 1. RAW tokens per doc (C-level regex only) — per-token Python work
+    # (lower / stopword test / stem) runs below on the batch's UNIQUE
+    # surface forms instead of the full occurrence stream (~30-100x fewer
+    # Python-level operations; the stream is reconstructed by vectorized
+    # expansion).  Semantics stay token-for-token identical to
+    # tokenize_text (test_analysis asserts it).
+    if cfg.mode == "reference":
+        raw_lists = [_REFERENCE_RE.findall(t) if t else [] for t in texts]
+    elif cfg.mode == "ascii":
+        raw_lists = [_ASCII_RE.findall(t.lower()) if t else [] for t in texts]
+    elif cfg.mode == "code":
+        raw_lists = [_CODE_RAW_RE.findall(t) if t else [] for t in texts]
+    else:
+        raise ValueError(f"unknown analyzer mode {cfg.mode!r}")
+    raw_counts = np.fromiter((len(l) for l in raw_lists), np.int64, n_docs)
+    total_raw = int(raw_counts.sum())
+    zcounts = np.zeros(n_docs, np.int64)
+    z = np.zeros(0, np.int64)
+    if total_raw == 0:
+        return zcounts, z, np.zeros(0, object), z, z
     flat: list[str] = []
-    for t in token_lists:
-        flat.extend(t)
-    codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=True)
-    doc_idx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
-    offsets = np.repeat(np.cumsum(counts) - counts, counts)
-    pos = np.arange(total, dtype=np.int64) - offsets + 1  # 1-based per doc
-    order = np.lexsort((codes, doc_idx))  # stable: positions stay ascending
-    sd, sc, sp = doc_idx[order], codes[order], pos[order]
+    for l in raw_lists:
+        flat.extend(l)
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    # 2. expansion of each unique surface form → 0..k final tokens
+    if cfg.mode == "reference":
+        stop = stopword_set(cfg)
+        stemmer = cfg.stemmer
+        finals: list[list[str]] = []
+        for u in uniques:
+            lu = u.lower()
+            finals.append([] if lu in stop else [stem_cached(lu, stemmer)])
+    elif cfg.mode == "ascii":
+        finals = [[u] for u in uniques]
+    else:  # code: full lowercased token + snake/camel sub-tokens
+        finals = []
+        for u in uniques:
+            exp = [u.lower()]
+            parts = [p.lower() for p in _CAMEL_RE.findall(u.replace("_", " "))]
+            if len(parts) > 1:
+                exp.extend(parts)
+            finals.append(exp)
+    if cfg.min_token_len > 1 or cfg.max_token_len < 64:
+        lo, hi = cfg.min_token_len, cfg.max_token_len
+        finals = [[t for t in fl if lo <= len(t) <= hi] for fl in finals]
+    exp_len = np.fromiter((len(f) for f in finals), np.int64, len(finals))
+    flat_fin = [t for fl in finals for t in fl]
+    if not flat_fin:
+        return zcounts, z, np.zeros(0, object), z, z
+    fin_codes_u, fin_uniques = pd.factorize(
+        np.asarray(flat_fin, dtype=object), sort=True)
+    exp_off = np.cumsum(exp_len) - exp_len
+    # 3. vectorized occurrence expansion (raw order == final stream order)
+    occ_len = exp_len[codes]
+    counts = np.bincount(np.repeat(np.arange(n_docs, dtype=np.int64),
+                                   raw_counts),
+                         weights=occ_len, minlength=n_docs).astype(np.int64)
+    total = int(occ_len.sum())
+    if total == 0:
+        return counts, z, np.zeros(0, object), z, z
+    occ_cs = np.cumsum(occ_len) - occ_len
+    within = np.arange(total, dtype=np.int64) - np.repeat(occ_cs, occ_len)
+    tok_codes = fin_codes_u[np.repeat(exp_off[codes], occ_len) + within]
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    doc_starts = np.cumsum(counts) - counts
+    pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, counts) + 1
+    # 4. group occurrences per (doc, term code)
+    order = np.lexsort((tok_codes, doc_idx))  # stable: positions ascend
+    sd, sc, sp = doc_idx[order], tok_codes[order], pos[order]
     newgrp = np.empty(total, bool)
     newgrp[0] = True
     np.not_equal(sd[1:], sd[:-1], out=newgrp[1:])
@@ -170,5 +225,5 @@ def tokenize_docs_grouped(
     starts = np.flatnonzero(newgrp)
     tfs = np.diff(np.append(starts, total))
     g_doc = sd[starts]
-    g_terms = np.asarray(uniques, dtype=object)[sc[starts]]
+    g_terms = np.asarray(fin_uniques, dtype=object)[sc[starts]]
     return counts, g_doc, g_terms, tfs, sp

@@ -535,9 +535,12 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
         zero_copy_batch=True,
         batch_size=cfg.tokenize_batch_size,
     )
-    metrics["n_chunk_rows"] = int(ds.sum("rows") or 0)
+    mat = ds.materialize()  # tiny: one summary row per tokenize batch
+    metrics["n_chunk_rows"] = int(mat.sum("rows") or 0)
     _SUBPHASE["pipeline_s"] = round(time.perf_counter() - t1, 3)
     metrics.update(_SUBPHASE)
+    if os.environ.get("RAYINDEX_PIPE_STATS") == "1":  # diagnostic
+        print(mat.stats(), flush=True)
     return metrics, cfg
 
 
