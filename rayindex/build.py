@@ -335,14 +335,28 @@ def _unit_layout(ranked_refs) -> dict[int, tuple[int, int]] | None:
 @ray.remote
 def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
                         out: str, max_bytes: int, verify: bool,
-                        emit: bool) -> pa.Table:
+                        emit: bool, tok_cfg: BuildConfig | None = None,
+                        doc_stats_dir: str | None = None,
+                        chunks_dir: str | None = None) -> pa.Table:
     """Shuffle-free doc-store write for one run of doc-contiguous units:
     re-read each source row group, re-verify the pass-1 sha digest, assign
     doc_id = first_doc + row, write doc-ordered parts.  Content moves
     source → this task → part file, never through a groupby exchange
     (the exchange's wall time is flat in CPU count on page-fault-bound
-    hosts — it was the build's scaling ceiling)."""
+    hosts — it was the build's scaling ceiling).
+
+    With ``tok_cfg`` set, the task ALSO tokenizes its rows and spools the
+    posting chunks right here (returning only tiny count rows): the
+    content bytes then never enter the object store at all.  Measured
+    motivation: at 200k files x 32 workers, emitting content through
+    plasma into a separate tokenize stage cost 1,378 s of kernel time
+    (the host supplies fresh pages at a fixed rate; every plasma object
+    and every worker heap is a fresh first-touch) vs 17 s at 8 workers —
+    full task fusion removes the allocation entirely and tokenizes the
+    bytes while they are still cache-warm from the part write."""
     emit_cols = ["doc_id", "content", "lang", "repo"]
+    tok = (TokenizeToChunks(tok_cfg, doc_stats_dir, chunks_dir)
+           if tok_cfg is not None else None)
     outs = []
     for unit, path, rg, first_doc, n, digest in metas:
         t = pq.ParquetFile(path).read_row_group(rg)
@@ -374,13 +388,44 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
             pq.write_table(g, tmp)
             os.replace(tmp, os.path.join(out, f"part-u{unit:06d}-{lo:09d}.parquet"))
             lo = hi
-        outs.append(t.select([c for c in emit_cols if c in t.column_names])
-                    if emit else pa.table({"n": pa.array([n], pa.int64())}))
+        if tok is not None:
+            tcols = t.select([c for c in emit_cols if c in t.column_names])
+            bs = tok_cfg.tokenize_batch_size
+            rows = 0
+            for lo2 in range(0, tcols.num_rows, bs):
+                s = tok(tcols.slice(lo2, bs))
+                rows += int(s["rows"][0].as_py())
+            outs.append(pa.table({"n": pa.array([n], pa.int64()),
+                                  "rows": pa.array([rows], pa.int64())}))
+        elif emit:
+            outs.append(t.select([c for c in emit_cols if c in t.column_names]))
+        else:
+            outs.append(pa.table({"n": pa.array([n], pa.int64())}))
     if not outs:
+        if tok is not None:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
         return (pa.table({c: pa.array([], schema.DOC_STORE.field(c).type)
                           for c in emit_cols}) if emit
                 else pa.table({"n": pa.array([], pa.int64())}))
     return pa.concat_tables(outs)
+
+
+def _direct_metas(units, ranked_refs, digest_refs):
+    """Work-unit metas for the shuffle-free direct path, or None when the
+    source isn't (repo, path)-sorted (or the exchange is forced)."""
+    if digest_refs is None or os.environ.get("RAYINDEX_FORCE_EXCHANGE") == "1":
+        return None
+    layout = _unit_layout(ranked_refs)
+    if layout is None:
+        return None
+    digests: dict[int, str] = {}
+    for dt in ray.get(list(digest_refs)):
+        for u, dg in zip(dt["unit_idx"].to_pylist(),
+                         dt["digest"].to_pylist()):
+            digests[u] = dg
+    return [(u, units[u][0], units[u][1], base, n, digests[u])
+            for u, (base, n) in sorted(layout.items())]
 
 
 def _doc_exchange(units, ranked_refs, out: str, cfg: BuildConfig,
@@ -413,23 +458,15 @@ def _doc_exchange(units, ranked_refs, out: str, cfg: BuildConfig,
     (doc_id, content, lang, repo) so tokenization can consume them straight
     from the object store — fusing the two stages removes the doc-store
     write → read-back round trip from the build's critical path."""
-    if digest_refs is not None and os.environ.get("RAYINDEX_FORCE_EXCHANGE") != "1":
-        layout = _unit_layout(ranked_refs)
-        if layout is not None:
-            digests: dict[int, str] = {}
-            for dt in ray.get(list(digest_refs)):
-                for u, dg in zip(dt["unit_idx"].to_pylist(),
-                                 dt["digest"].to_pylist()):
-                    digests[u] = dg
-            metas = [(u, units[u][0], units[u][1], base, n, digests[u])
-                     for u, (base, n) in sorted(layout.items())]
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-            per_task = max(1, -(-len(metas) // (ncpu * 4)))
-            refs = [_write_units_direct.remote(
-                        metas[i:i + per_task], out, cfg.max_content_bytes,
-                        cfg.verify_sha256, emit)
-                    for i in range(0, len(metas), per_task)]
-            return ray.data.from_arrow_refs(refs)
+    metas = _direct_metas(units, ranked_refs, digest_refs)
+    if metas is not None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        per_task = max(1, -(-len(metas) // (ncpu * 4)))
+        refs = [_write_units_direct.remote(
+                    metas[i:i + per_task], out, cfg.max_content_bytes,
+                    cfg.verify_sha256, emit)
+                for i in range(0, len(metas), per_task)]
+        return ray.data.from_arrow_refs(refs)
     ranked = ray.data.from_arrow_refs(ranked_refs)
     verify = cfg.verify_sha256
     max_bytes = cfg.max_content_bytes
@@ -527,20 +564,37 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
         _write_empty_doc_store(doc_store_out)
         return metrics, cfg  # no spool files → every shard written empty
     t1 = time.perf_counter()
-    ds = _doc_exchange(units, ranked_refs, doc_store_out, cfg, emit=True,
-                       digest_refs=digest_refs)
-    ds = ds.map_batches(
-        TokenizeToChunks(cfg, doc_stats_dir, chunks_out),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=cfg.tokenize_batch_size,
-    )
-    mat = ds.materialize()  # tiny: one summary row per tokenize batch
-    metrics["n_chunk_rows"] = int(mat.sum("rows") or 0)
+    metas = _direct_metas(units, ranked_refs, digest_refs)
+    if metas is not None:
+        # FULLY fused direct path: each task re-reads its units, writes the
+        # doc-store parts, and tokenizes + spools the same bytes in-heap.
+        # Content never enters the object store (see _write_units_direct);
+        # only tiny (n, rows) count tables come back.
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        per_task = max(1, -(-len(metas) // (ncpu * 4)))
+        refs = [_write_units_direct.remote(
+                    metas[i:i + per_task], doc_store_out,
+                    cfg.max_content_bytes, cfg.verify_sha256, False,
+                    cfg, doc_stats_dir, chunks_out)
+                for i in range(0, len(metas), per_task)]
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        metrics["n_chunk_rows"] = int(sum(
+            pc.sum(t["rows"]).as_py() or 0 for t in tabs))
+    else:
+        ds = _doc_exchange(units, ranked_refs, doc_store_out, cfg, emit=True,
+                           digest_refs=digest_refs)
+        ds = ds.map_batches(
+            TokenizeToChunks(cfg, doc_stats_dir, chunks_out),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.tokenize_batch_size,
+        )
+        mat = ds.materialize()  # tiny: one summary row per tokenize batch
+        metrics["n_chunk_rows"] = int(mat.sum("rows") or 0)
+        if os.environ.get("RAYINDEX_PIPE_STATS") == "1":  # diagnostic
+            print(mat.stats(), flush=True)
     _SUBPHASE["pipeline_s"] = round(time.perf_counter() - t1, 3)
     metrics.update(_SUBPHASE)
-    if os.environ.get("RAYINDEX_PIPE_STATS") == "1":  # diagnostic
-        print(mat.stats(), flush=True)
     return metrics, cfg
 
 
