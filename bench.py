@@ -212,7 +212,15 @@ def run_bench() -> dict:
 
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
         _warm, batch_size=1).count()
-    ray.data.read_parquet(CORPUS_DIR).count()
+    # warm the corpus PAGE CACHE, not just footers (count() reads only
+    # metadata; a cold first content pass then lands inside the timed build)
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    ray.data.read_parquet(CORPUS_DIR, columns=["content"]).map_batches(
+        lambda t: _pa.table({"b": [_pc.sum(_pc.binary_length(
+            _pc.cast(t["content"], _pa.large_binary()))).as_py() or 0]}),
+        batch_format="pyarrow", zero_copy_batch=True).count()
     if os.environ.get("RAYINDEX_BENCH_WARMBUILD", "1") == "1":
         # untimed 2k-file mini build: exercises the SAME shuffle operators
         # so their aggregator actors land on already-warmed idle worker

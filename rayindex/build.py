@@ -148,12 +148,14 @@ def _unit_keys(first_unit: int, units: list[tuple[str, int]],
     Batching several units per task keeps the block count feeding the key
     sort small (Ray sorts degrade with hundreds of tiny input blocks).
 
-    Second return: one (unit_idx, n, digest) row per unit, where digest =
-    sha256 over the unit's row-ordered content hashes — the compact form
-    of the ingest invariant that the direct (shuffle-free) write path
-    re-verifies without needing the per-row sha rows shipped back."""
+    Second return: one summary row per unit — (n, digest, first/last
+    (repo, path) boundary key, within-unit sortedness).  digest = sha256
+    over the unit's row-ordered content hashes (the compact ingest
+    invariant the direct write path re-verifies); the boundary keys let
+    the driver prove GLOBAL sortedness from summaries alone and skip the
+    key sort entirely (no Ray sort barrier on the common sorted layout)."""
     parts = []
-    dig_units, dig_ns, dig_hex = [], [], []
+    su, sn, sd, sf, sl, sk = [], [], [], [], [], []
     for off, (path, rg) in enumerate(units):
         t = pq.ParquetFile(path).read_row_group(rg, columns=["repo", "path", "content"])
         keep = pc.less_equal(
@@ -167,15 +169,30 @@ def _unit_keys(first_unit: int, units: list[tuple[str, int]],
             "unit_idx": pa.array(np.full(t.num_rows, first_unit + off, np.int64)),
             "row_idx": pa.array(np.arange(t.num_rows, dtype=np.int64)),
         }))
-        dig_units.append(first_unit + off)
-        dig_ns.append(t.num_rows)
-        dig_hex.append(_sha_digest(sha))
-    digests = pa.table({
-        "unit_idx": pa.array(dig_units, pa.int64()),
-        "n": pa.array(dig_ns, pa.int64()),
-        "digest": pa.array(dig_hex, pa.string()),
+        # \x00 joins below all valid UTF-8, so the joined key's byte order
+        # equals (repo, path) tuple order
+        key = pc.binary_join_element_wise(
+            pc.fill_null(t["repo"], ""), pc.fill_null(t["path"], ""), "\x00")
+        n = t.num_rows
+        ok = True
+        if n > 1:
+            ok = bool(pc.all(pc.greater_equal(
+                key.slice(1), key.slice(0, n - 1))).as_py())
+        su.append(first_unit + off)
+        sn.append(n)
+        sd.append(_sha_digest(sha))
+        sf.append(key[0].as_py() if n else "")
+        sl.append(key[n - 1].as_py() if n else "")
+        sk.append(ok)
+    summaries = pa.table({
+        "unit_idx": pa.array(su, pa.int64()),
+        "n": pa.array(sn, pa.int64()),
+        "digest": pa.array(sd, pa.string()),
+        "first_key": pa.array(sf, pa.string()),
+        "last_key": pa.array(sl, pa.string()),
+        "sorted": pa.array(sk, pa.bool_()),
     })
-    return pa.concat_tables(parts), digests
+    return pa.concat_tables(parts), summaries
 
 
 def _sha_digest(sha_col: pa.Array | pa.ChunkedArray) -> str:
@@ -223,21 +240,59 @@ def _resolve_auto_shards(cfg: BuildConfig, n_docs: int) -> BuildConfig:
 
 
 def _ingest_ranked(source: str, cfg: BuildConfig):
-    """Pass 1 of the key-only ingest: (units, ranked_refs, n_docs).
+    """Pass 1 of the key-only ingest →
+    ``(units, ranked_refs, n_docs, metas)``.
 
-    Doc ids are assigned by sorting a (repo, path, sha, provenance) KEY
-    table — the content column never enters the SORT and is never pinned."""
+    FAST CASE: per-unit summaries (boundary keys + within-unit sortedness,
+    computed task-side) prove the source is already globally sorted by
+    (repo, path); doc ids then follow from a cumsum over unit counts and
+    ``metas`` carries the direct work units — no key ever enters a sort
+    (the Ray sort barrier only runs for unsorted sources), and
+    ``ranked_refs`` is None.
+
+    Otherwise doc ids are assigned by sorting a (repo, path, sha,
+    provenance) KEY table — the content column never enters the SORT and
+    is never pinned (``metas`` is None)."""
     t0 = time.perf_counter()
     units = _ingest_units(source)
     max_bytes = cfg.max_content_bytes
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     n_key_tasks = int(os.environ.get("RAYINDEX_KEY_TASKS", "0")) or ncpu * 4
     per_task = max(1, -(-len(units) // n_key_tasks))
-    key_refs, digest_refs = [], []
+    key_refs, summary_refs = [], []
     for i in range(0, len(units), per_task):
-        kr, dr = _unit_keys.remote(i, units[i:i + per_task], max_bytes)
+        kr, sr = _unit_keys.remote(i, units[i:i + per_task], max_bytes)
         key_refs.append(kr)
-        digest_refs.append(dr)
+        summary_refs.append(sr)
+    summaries = pa.concat_tables(ray.get(summary_refs))
+    order = pc.sort_indices(summaries["unit_idx"])
+    summaries = summaries.take(order)
+    ns = summaries["n"].to_numpy()
+    if os.environ.get("RAYINDEX_FORCE_EXCHANGE") != "1":
+        firsts = summaries["first_key"].to_pylist()
+        lasts = summaries["last_key"].to_pylist()
+        oks = summaries["sorted"].to_numpy(zero_copy_only=False)
+        globally_sorted = bool(oks.all()) if oks.size else True
+        prev = None
+        if globally_sorted:
+            for f, l, n in zip(firsts, lasts, ns.tolist()):
+                if n == 0:
+                    continue
+                if prev is not None and f < prev:
+                    globally_sorted = False
+                    break
+                prev = l
+        if globally_sorted:
+            offs = np.cumsum(ns) - ns  # doc ids are 1-based
+            digests = summaries["digest"].to_pylist()
+            uids = summaries["unit_idx"].to_numpy()
+            metas = [(int(u), units[int(u)][0], units[int(u)][1],
+                      int(off) + 1, int(n), dg)
+                     for u, off, n, dg in zip(uids, offs, ns.tolist(),
+                                              digests)
+                     if n > 0]
+            _SUBPHASE["pass1_s"] = round(time.perf_counter() - t0, 3)
+            return units, None, int(ns.sum()), metas
     keys = ray.data.from_arrow_refs(key_refs)
     # Coalesce before sorting: the key table is tiny (no content), but
     # Ray's sort exchanges O(blocks x partitions) sub-blocks — feeding it
@@ -255,81 +310,13 @@ def _ingest_ranked(source: str, cfg: BuildConfig):
     ranked_refs = [_attach_rank.remote(r, int(off))
                    for r, off, n in zip(refs, offsets, counts) if n > 0]
     _SUBPHASE["pass1_s"] = round(time.perf_counter() - t0, 3)
-    return units, ranked_refs, int(sum(counts)), digest_refs
+    return units, ranked_refs, int(sum(counts)), None
 
 
 def _write_empty_doc_store(out: str) -> None:
     pa_empty = pa.table({f.name: pa.array([], f.type) for f in schema.DOC_STORE},
                         schema=schema.DOC_STORE)
     pq.write_table(pa_empty, os.path.join(out, "part-000000.parquet"))
-
-
-_EMPTY_SUMMARY = pa.table({
-    "unit": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
-    "dmin": pa.array([], pa.int64()), "dmax": pa.array([], pa.int64()),
-    "rfirst": pa.array([], pa.int64()), "rlast": pa.array([], pa.int64()),
-    "ok": pa.array([], pa.bool_()),
-})
-
-
-@ray.remote
-def _block_unit_summary(t: pa.Table) -> pa.Table:
-    """Per-(ranked block, unit run) layout summary.  Block rows are already
-    doc-ascending (doc_id = block offset + position), so a unit whose rows
-    form one run of consecutive positions with row_idx stepping by exactly
-    1 maps to a contiguous, row-monotone doc range."""
-    if t.num_rows == 0:
-        return _EMPTY_SUMMARY
-    u = t["unit_idx"].to_numpy()
-    r = t["row_idx"].to_numpy()
-    d = t["doc_id"].to_numpy()
-    change = np.flatnonzero(np.diff(u) != 0)
-    starts = np.concatenate([[0], change + 1]).astype(np.int64)
-    ends = np.concatenate([change, [u.size - 1]]).astype(np.int64)
-    # within a run: row_idx must advance by exactly 1 (docs advance by 1
-    # by construction of block positions)
-    rstep_ok = np.ones(starts.size, bool)
-    for i, (s, e) in enumerate(zip(starts, ends)):
-        if e > s:
-            rstep_ok[i] = bool(np.all(np.diff(r[s:e + 1]) == 1))
-    return pa.table({
-        "unit": pa.array(u[starts], pa.int64()),
-        "n": pa.array(ends - starts + 1, pa.int64()),
-        "dmin": pa.array(d[starts], pa.int64()),
-        "dmax": pa.array(d[ends], pa.int64()),
-        "rfirst": pa.array(r[starts], pa.int64()),
-        "rlast": pa.array(r[ends], pa.int64()),
-        "ok": pa.array(rstep_ok),
-    })
-
-
-def _unit_layout(ranked_refs) -> dict[int, tuple[int, int]] | None:
-    """If every unit's surviving rows map to a contiguous, row-monotone
-    doc range (true whenever the source is already globally sorted by
-    (repo, path) — e.g. a corpus laid out repo-by-repo, or a re-ingested
-    doc store), return {unit: (first_doc, n)}; else None.  Derived from
-    tiny per-block summaries — never from the content."""
-    summaries = ray.get([_block_unit_summary.remote(r) for r in ranked_refs])
-    seg: dict[int, list[int]] = {}  # unit -> [dmin, dmax, rlast, rfirst0]
-    for s in summaries:  # ranked_refs are in global doc order
-        for unit, n, dmin, dmax, rfirst, rlast, ok in zip(
-                s["unit"].to_pylist(), s["n"].to_pylist(),
-                s["dmin"].to_pylist(), s["dmax"].to_pylist(),
-                s["rfirst"].to_pylist(), s["rlast"].to_pylist(),
-                s["ok"].to_pylist()):
-            if not ok:
-                return None
-            cur = seg.get(unit)
-            if cur is None:
-                if rfirst != 0:
-                    return None
-                seg[unit] = [dmin, dmax, rlast]
-            else:
-                if dmin != cur[1] + 1 or rfirst != cur[2] + 1:
-                    return None
-                cur[1] = dmax
-                cur[2] = rlast
-    return {u: (v[0], v[1] - v[0] + 1) for u, v in seg.items()}
 
 
 @ray.remote
@@ -355,8 +342,25 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
     full task fusion removes the allocation entirely and tokenizes the
     bytes while they are still cache-warm from the part write."""
     emit_cols = ["doc_id", "content", "lang", "repo"]
-    tok = (TokenizeToChunks(tok_cfg, doc_stats_dir, chunks_dir)
+    # spool dir stays None on the instance: chunk tables are buffered here
+    # and flushed per task (fewer, larger spool record batches — the merge
+    # pays per-chunk gather overhead, so 4x fewer chunks is a direct win)
+    tok = (TokenizeToChunks(tok_cfg, doc_stats_dir, None)
            if tok_cfg is not None else None)
+    pending: list[pa.Table] = []
+    pending_rows = 0
+    flush_idx = 0
+    task_key = f"{metas[0][3]:012d}" if metas else "empty"
+
+    def flush() -> None:
+        nonlocal pending, pending_rows, flush_idx
+        if pending:
+            _spool_chunks(pa.concat_tables(pending), chunks_dir,
+                          f"{task_key}-{flush_idx:03d}")
+            pending = []
+            pending_rows = 0
+            flush_idx += 1
+
     outs = []
     for unit, path, rg, first_doc, n, digest in metas:
         t = pq.ParquetFile(path).read_row_group(rg)
@@ -393,14 +397,20 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
             bs = tok_cfg.tokenize_batch_size
             rows = 0
             for lo2 in range(0, tcols.num_rows, bs):
-                s = tok(tcols.slice(lo2, bs))
-                rows += int(s["rows"][0].as_py())
+                ct = tok(tcols.slice(lo2, bs))
+                if ct.num_rows:
+                    pending.append(ct)
+                    pending_rows += ct.num_rows
+                    rows += ct.num_rows
+                if pending_rows >= (1 << 20):  # bound task heap at scale
+                    flush()
             outs.append(pa.table({"n": pa.array([n], pa.int64()),
                                   "rows": pa.array([rows], pa.int64())}))
         elif emit:
             outs.append(t.select([c for c in emit_cols if c in t.column_names]))
         else:
             outs.append(pa.table({"n": pa.array([n], pa.int64())}))
+    flush()
     if not outs:
         if tok is not None:
             return pa.table({"n": pa.array([], pa.int64()),
@@ -411,33 +421,16 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
     return pa.concat_tables(outs)
 
 
-def _direct_metas(units, ranked_refs, digest_refs):
-    """Work-unit metas for the shuffle-free direct path, or None when the
-    source isn't (repo, path)-sorted (or the exchange is forced)."""
-    if digest_refs is None or os.environ.get("RAYINDEX_FORCE_EXCHANGE") == "1":
-        return None
-    layout = _unit_layout(ranked_refs)
-    if layout is None:
-        return None
-    digests: dict[int, str] = {}
-    for dt in ray.get(list(digest_refs)):
-        for u, dg in zip(dt["unit_idx"].to_pylist(),
-                         dt["digest"].to_pylist()):
-            digests[u] = dg
-    return [(u, units[u][0], units[u][1], base, n, digests[u])
-            for u, (base, n) in sorted(layout.items())]
-
-
 def _doc_exchange(units, ranked_refs, out: str, cfg: BuildConfig,
-                  emit: bool, digest_refs=None) -> ray.data.Dataset:
+                  emit: bool, metas=None) -> ray.data.Dataset:
     """Pass 2 of the key-only ingest.
 
-    FAST PATH (shuffle-free): when ``_unit_layout`` proves every source
-    unit already maps to a contiguous, row-monotone doc range (any corpus
-    globally sorted by (repo, path) — the common layout), content never
-    enters an exchange at all: one task per unit run re-reads its row
-    groups, re-verifies the pass-1 sha digest, assigns doc_id = first_doc
-    + row, and writes doc-ordered parts.  This removes the build's
+    FAST PATH (shuffle-free): when pass 1's unit summaries proved the
+    source globally sorted by (repo, path) — the common layout — the
+    caller passes ``metas`` and content never enters an exchange at all:
+    one task per unit run re-reads its row groups, re-verifies the pass-1
+    sha digest, assigns doc_id = first_doc + row, and writes doc-ordered
+    parts.  This removes the build's
     scaling ceiling — the content groupby's wall time is FLAT in CPU
     count on page-fault-bound hosts (~16 s for 400 MB at both 8 and 32
     CPUs, measured), because every content byte takes several extra trips
@@ -458,7 +451,6 @@ def _doc_exchange(units, ranked_refs, out: str, cfg: BuildConfig,
     (doc_id, content, lang, repo) so tokenization can consume them straight
     from the object store — fusing the two stages removes the doc-store
     write → read-back round trip from the build's critical path."""
-    metas = _direct_metas(units, ranked_refs, digest_refs)
     if metas is not None:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         per_task = max(1, -(-len(metas) // (ncpu * 4)))
@@ -533,12 +525,12 @@ def _doc_exchange(units, ranked_refs, out: str, cfg: BuildConfig,
 
 def _stage_ingest_files(source: str, out: str, cfg: BuildConfig) -> dict[str, Any]:
     """Key-only ingest for file sources (unfused resume path)."""
-    units, ranked_refs, n_docs, digest_refs = _ingest_ranked(source, cfg)
-    if not ranked_refs:
+    units, ranked_refs, n_docs, metas = _ingest_ranked(source, cfg)
+    if not ranked_refs and not metas:
         _write_empty_doc_store(out)
         return {"n_docs": 0, "n_blocks": 0}
     rows = _doc_exchange(units, ranked_refs, out, cfg, emit=False,
-                         digest_refs=digest_refs)
+                         metas=metas)
     n_docs = int(rows.to_pandas()["n"].sum())
     return {"n_docs": n_docs, "n_blocks": len(units)}
 
@@ -557,14 +549,13 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
     os.makedirs(doc_store_out, exist_ok=True)
     shutil.rmtree(doc_stats_dir, ignore_errors=True)
     os.makedirs(doc_stats_dir, exist_ok=True)
-    units, ranked_refs, n_docs, digest_refs = _ingest_ranked(source, cfg)
+    units, ranked_refs, n_docs, metas = _ingest_ranked(source, cfg)
     cfg = _resolve_auto_shards(cfg, n_docs)
     metrics = {"n_docs": n_docs, "n_blocks": len(units)}
-    if not ranked_refs:
+    if not ranked_refs and not metas:
         _write_empty_doc_store(doc_store_out)
         return metrics, cfg  # no spool files → every shard written empty
     t1 = time.perf_counter()
-    metas = _direct_metas(units, ranked_refs, digest_refs)
     if metas is not None:
         # FULLY fused direct path: each task re-reads its units, writes the
         # doc-store parts, and tokenizes + spools the same bytes in-heap.
@@ -581,8 +572,7 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
         metrics["n_chunk_rows"] = int(sum(
             pc.sum(t["rows"]).as_py() or 0 for t in tabs))
     else:
-        ds = _doc_exchange(units, ranked_refs, doc_store_out, cfg, emit=True,
-                           digest_refs=digest_refs)
+        ds = _doc_exchange(units, ranked_refs, doc_store_out, cfg, emit=True)
         ds = ds.map_batches(
             TokenizeToChunks(cfg, doc_stats_dir, chunks_out),
             batch_format="pyarrow",
@@ -801,29 +791,33 @@ class TokenizeToChunks:
         return pa.table({"rows": pa.array([chunks.num_rows], pa.int64())})
 
     def _spool(self, chunks: pa.Table, first_doc: int) -> None:
-        """One IPC file per batch: record batch i holds shard runs[i]; the
-        shard list rides in the schema metadata so a merge task can read
-        only its own batch (mmap + footer random access).  Idempotent name
-        (batch doc ranges are disjoint; a retried task re-emits identical
-        bytes under the same name, atomic replace)."""
-        order = pc.sort_indices(chunks["shard"])
-        chunks = chunks.take(order).combine_chunks()
-        shards = chunks["shard"].to_numpy()
-        run_starts = (np.flatnonzero(np.concatenate(
-            [[True], shards[1:] != shards[:-1]]))
-            if shards.size else np.zeros(0, np.int64))
-        run_ends = np.append(run_starts[1:], shards.size)
-        shard_list = ",".join(str(int(s)) for s in shards[run_starts])
-        sch = schema.POSTING_CHUNKS.with_metadata(
-            {b"rayindex_shards": shard_list.encode()})
-        name = f"part-{first_doc:012d}.arrow"
-        tmp = os.path.join(self.chunks_spool_dir, f".{name}.tmp-{os.getpid()}")
-        with pa.OSFile(tmp, "wb") as sink:
-            with pa.ipc.new_file(sink, sch) as writer:
-                for s, e in zip(run_starts.tolist(), run_ends.tolist()):
-                    writer.write_batch(
-                        chunks.slice(s, e - s).to_batches()[0])
-        os.replace(tmp, os.path.join(self.chunks_spool_dir, name))
+        _spool_chunks(chunks, self.chunks_spool_dir, f"{first_doc:012d}")
+
+
+def _spool_chunks(chunks: pa.Table, spool_dir: str, name_key: str) -> None:
+    """One IPC spool file: record batch i holds shard runs[i]; the shard
+    list rides in the schema metadata so a merge task can read only its
+    own batches (mmap + footer random access).  Idempotent name (name_key
+    derives from disjoint doc ranges; a retried task re-emits identical
+    bytes under the same name, atomic replace)."""
+    order = pc.sort_indices(chunks["shard"])
+    chunks = chunks.take(order).combine_chunks()
+    shards = chunks["shard"].to_numpy()
+    run_starts = (np.flatnonzero(np.concatenate(
+        [[True], shards[1:] != shards[:-1]]))
+        if shards.size else np.zeros(0, np.int64))
+    run_ends = np.append(run_starts[1:], shards.size)
+    shard_list = ",".join(str(int(s)) for s in shards[run_starts])
+    sch = schema.POSTING_CHUNKS.with_metadata(
+        {b"rayindex_shards": shard_list.encode()})
+    name = f"part-{name_key}.arrow"
+    tmp = os.path.join(spool_dir, f".{name}.tmp-{os.getpid()}")
+    with pa.OSFile(tmp, "wb") as sink:
+        with pa.ipc.new_file(sink, sch) as writer:
+            for s, e in zip(run_starts.tolist(), run_ends.tolist()):
+                writer.write_batch(
+                    chunks.slice(s, e - s).to_batches()[0])
+    os.replace(tmp, os.path.join(spool_dir, name))
 
 
 def _stage_chunks(doc_store: str, out: str, cfg: BuildConfig,
@@ -1075,12 +1069,21 @@ class _FineView:
         # arrays and blob bytes are gathered straight from the (mmap'd) chunk
         # buffers below; the posting bytes never pass through Table.take or
         # combine_chunks (each copied every blob byte — together half the
-        # merge's DRAM traffic).
-        perm = pc.sort_indices(g, sort_keys=sort_keys).to_numpy().astype(np.int64)
+        # merge's DRAM traffic).  The sort itself runs string comparisons
+        # only over the UNIQUE terms (dictionary ranks), then one integer
+        # lexsort over the rows.
         term_comb = comb(g["term"])
+        denc = pc.dictionary_encode(term_comb)
+        rank = np.empty(len(denc.dictionary), np.int64)
+        rank[pc.sort_indices(denc.dictionary).to_numpy()] = np.arange(
+            len(denc.dictionary))
+        key_term = rank[denc.indices.to_numpy()]
+        first_o = comb(g["first_doc"]).to_numpy()
+        blk_o = comb(g["block_id"]).to_numpy()
+        perm = np.lexsort((first_o, blk_o, key_term))
         n = perm.size
-        codes = pc.dictionary_encode(term_comb).indices.to_numpy()[perm]
-        first = comb(g["first_doc"]).to_numpy()[perm]
+        codes = key_term[perm]
+        first = first_o[perm]
         last = comb(g["last_doc"]).to_numpy()[perm]
         overlap = np.zeros(n, bool)
         if n > 1:
