@@ -350,6 +350,13 @@ def run_scaling() -> dict:
     # as (anti-)scaling
     reps = int(os.environ.get("RAYINDEX_BENCH_REPS", "2"))
     lo, hi = (int(x) for x in os.environ.get("RAYINDEX_BENCH_LEVELS", "8,32").split(","))
+    # RAYINDEX_BENCH_WEAK=1 → weak scaling: corpus size grows with the
+    # parallelism level (the multi-node mental model: 4N nodes ingest 4x
+    # the corpus; ideal throughput still scales by 4, so the efficiency
+    # formula below is unchanged).  Strong scaling (same corpus at both
+    # levels) is the default.
+    weak = os.environ.get("RAYINDEX_BENCH_WEAK") == "1"
+    base_files = int(os.environ.get("RAYINDEX_BENCH_FILES", "50000"))
     results = {}
     # INTERLEAVE the levels (lo, hi, lo, hi, ...) rather than grouping them:
     # later runs are systematically slower on this host (writeback pressure,
@@ -360,8 +367,10 @@ def run_scaling() -> dict:
         for ncpu in (lo, hi):
             os.sync()
             time.sleep(10)
+            n_files = base_files * (ncpu // lo) if weak else base_files
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       RAYINDEX_BENCH_BUILD_ONLY="1")
+                       RAYINDEX_BENCH_BUILD_ONLY="1",
+                       RAYINDEX_BENCH_FILES=str(n_files))
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True, check=True)
             r = json.loads(out.stdout.strip().splitlines()[-1])
@@ -372,14 +381,15 @@ def run_scaling() -> dict:
     t_hi = results[hi]["queries"]["build_sec"]
     cpu_lo = results[lo]["queries"].get("build_cpu_sec", 0.0)
     cpu_hi = results[hi]["queries"].get("build_cpu_sec", 0.0)
-    n = results[hi]["n_files"]
-    tput_lo, tput_hi = n / t_lo, n / t_hi
+    n_lo, n_hi = results[lo]["n_files"], results[hi]["n_files"]
+    tput_lo, tput_hi = n_lo / t_lo, n_hi / t_hi
     factor = hi / lo
     ec_lo = cpu_lo / t_lo if t_lo else 0.0
     ec_hi = cpu_hi / t_hi if t_hi else 0.0
     return {
         "metric": "rayindex_build_scaling",
-        "n_files": n,
+        "mode": "weak" if weak else "strong",
+        "n_files": [n_lo, n_hi],
         "levels": [lo, hi],
         f"build_sec_{lo}cpu": round(t_lo, 3),
         f"build_sec_{hi}cpu": round(t_hi, 3),

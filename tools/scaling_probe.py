@@ -23,7 +23,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STATE = os.path.join(REPO, "BENCH", ".probe_state")
 OUT = os.path.join(REPO, "BENCH", "probes.jsonl")
-LEVELS = [8, 32]
+# (num_cpus, n_files): strong-scaling pair at 50k, plus the weak-scaling
+# leg (4x CPUs on 4x corpus) — pair quiet samples offline
+LEVELS = [(8, 50000), (32, 50000), (32, 200000)]
 
 
 def load1() -> float:
@@ -43,13 +45,13 @@ def main() -> int:
         idx = int(open(STATE).read().strip())
     except Exception:
         idx = 0
-    level = LEVELS[idx % len(LEVELS)]
+    level, n_files = LEVELS[idx % len(LEVELS)]
     os.makedirs(os.path.dirname(STATE), exist_ok=True)
     with open(STATE, "w") as f:
         f.write(str(idx + 1))
     env = dict(os.environ, RAY_GRAFT_CPUS=str(level),
                RAYINDEX_BENCH_BUILD_ONLY="1",
-               RAYINDEX_BENCH_FILES=str(args.files))
+               RAYINDEX_BENCH_FILES=str(n_files))
     os.sync()
     time.sleep(5)
     t0 = time.time()
@@ -63,6 +65,7 @@ def main() -> int:
     rec = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "level": level,
+        "n_files": n_files,
         "load1_before": round(l0, 2),
         "load1_after": round(l1, 2),
         "wall_total": round(time.time() - t0, 1),
