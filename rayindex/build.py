@@ -139,28 +139,57 @@ def _ingest_units(source: str) -> list[tuple[str, int]]:
     return units
 
 
-@ray.remote(num_returns=2)
-def _unit_keys(first_unit: int, units: list[tuple[str, int]],
-               max_bytes: int) -> tuple[pa.Table, pa.Table]:
-    """Pass 1: sort keys + content sha for a RUN of units.  Content is read
-    once here (for the oversize filter + the invariant hash) and DISCARDED
-    — only (repo, path, sha, provenance) rows ever enter the sort.
-    Batching several units per task keeps the block count feeding the key
-    sort small (Ray sorts degrade with hundreds of tiny input blocks).
+def _unit_key_col(t: pa.Table):
+    """(repo, path) joined with \\x00 — below all valid UTF-8, so the
+    joined key's byte order equals (repo, path) tuple order."""
+    return pc.binary_join_element_wise(
+        pc.fill_null(t["repo"], ""), pc.fill_null(t["path"], ""), "\x00")
 
-    Second return: one summary row per unit — (n, digest, first/last
-    (repo, path) boundary key, within-unit sortedness).  digest = sha256
-    over the unit's row-ordered content hashes (the compact ingest
-    invariant the direct write path re-verifies); the boundary keys let
-    the driver prove GLOBAL sortedness from summaries alone and skip the
-    key sort entirely (no Ray sort barrier on the common sorted layout)."""
+
+@ray.remote
+def _unit_bounds(first_unit: int, units: list[tuple[str, int]]) -> pa.Table:
+    """Pass 0: per-unit layout summary from the KEY COLUMNS ONLY (repo,
+    path — a few KB per row group; content is not read).  One row per
+    unit: (n total rows, first/last boundary key, within-unit
+    sortedness).  When the driver can chain the boundary keys it proves
+    the source globally (repo, path)-sorted and the whole key sort —
+    and pass 1's content read — are skipped."""
+    su, sn, sf, sl, sk = [], [], [], [], []
+    for off, (path, rg) in enumerate(units):
+        t = pq.ParquetFile(path).read_row_group(rg, columns=["repo", "path"])
+        key = _unit_key_col(t)
+        n = t.num_rows
+        ok = True
+        if n > 1:
+            ok = bool(pc.all(pc.greater_equal(
+                key.slice(1), key.slice(0, n - 1))).as_py())
+        su.append(first_unit + off)
+        sn.append(n)
+        sf.append(key[0].as_py() if n else "")
+        sl.append(key[n - 1].as_py() if n else "")
+        sk.append(ok)
+    return pa.table({
+        "unit_idx": pa.array(su, pa.int64()),
+        "n": pa.array(sn, pa.int64()),
+        "first_key": pa.array(sf, pa.string()),
+        "last_key": pa.array(sl, pa.string()),
+        "sorted": pa.array(sk, pa.bool_()),
+    })
+
+
+@ray.remote
+def _unit_keys(first_unit: int, units: list[tuple[str, int]]) -> pa.Table:
+    """Pass 1 (unsorted sources only): key + content-sha rows for a RUN of
+    units.  Content is read once (for the invariant hash) and DISCARDED —
+    only (repo, path, sha, provenance) rows enter the sort.  Rows are NOT
+    oversize-filtered here: doc ids are assigned over ALL rows (oversize
+    rows leave id holes downstream), which keeps id assignment identical
+    between the direct and exchange paths.  Batching several units per
+    task keeps the block count feeding the key sort small (Ray sorts
+    degrade with hundreds of tiny input blocks)."""
     parts = []
-    su, sn, sd, sf, sl, sk = [], [], [], [], [], []
     for off, (path, rg) in enumerate(units):
         t = pq.ParquetFile(path).read_row_group(rg, columns=["repo", "path", "content"])
-        keep = pc.less_equal(
-            pc.binary_length(pc.cast(t["content"], pa.large_binary())), max_bytes)
-        t = t.filter(pc.fill_null(keep, False))
         sha = _sha256_batch(t["content"])
         parts.append(pa.table({
             "repo": t["repo"],
@@ -169,37 +198,8 @@ def _unit_keys(first_unit: int, units: list[tuple[str, int]],
             "unit_idx": pa.array(np.full(t.num_rows, first_unit + off, np.int64)),
             "row_idx": pa.array(np.arange(t.num_rows, dtype=np.int64)),
         }))
-        # \x00 joins below all valid UTF-8, so the joined key's byte order
-        # equals (repo, path) tuple order
-        key = pc.binary_join_element_wise(
-            pc.fill_null(t["repo"], ""), pc.fill_null(t["path"], ""), "\x00")
-        n = t.num_rows
-        ok = True
-        if n > 1:
-            ok = bool(pc.all(pc.greater_equal(
-                key.slice(1), key.slice(0, n - 1))).as_py())
-        su.append(first_unit + off)
-        sn.append(n)
-        sd.append(_sha_digest(sha))
-        sf.append(key[0].as_py() if n else "")
-        sl.append(key[n - 1].as_py() if n else "")
-        sk.append(ok)
-    summaries = pa.table({
-        "unit_idx": pa.array(su, pa.int64()),
-        "n": pa.array(sn, pa.int64()),
-        "digest": pa.array(sd, pa.string()),
-        "first_key": pa.array(sf, pa.string()),
-        "last_key": pa.array(sl, pa.string()),
-        "sorted": pa.array(sk, pa.bool_()),
-    })
-    return pa.concat_tables(parts), summaries
+    return pa.concat_tables(parts)
 
-
-def _sha_digest(sha_col: pa.Array | pa.ChunkedArray) -> str:
-    h = hashlib.sha256()
-    for s in sha_col.to_pylist():
-        h.update((s or "").encode())
-    return h.hexdigest()
 
 
 @ray.remote
@@ -255,20 +255,16 @@ def _ingest_ranked(source: str, cfg: BuildConfig):
     is never pinned (``metas`` is None)."""
     t0 = time.perf_counter()
     units = _ingest_units(source)
-    max_bytes = cfg.max_content_bytes
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     n_key_tasks = int(os.environ.get("RAYINDEX_KEY_TASKS", "0")) or ncpu * 4
     per_task = max(1, -(-len(units) // n_key_tasks))
-    key_refs, summary_refs = [], []
-    for i in range(0, len(units), per_task):
-        kr, sr = _unit_keys.remote(i, units[i:i + per_task], max_bytes)
-        key_refs.append(kr)
-        summary_refs.append(sr)
-    summaries = pa.concat_tables(ray.get(summary_refs))
-    order = pc.sort_indices(summaries["unit_idx"])
-    summaries = summaries.take(order)
-    ns = summaries["n"].to_numpy()
+    spans = list(range(0, len(units), per_task))
     if os.environ.get("RAYINDEX_FORCE_EXCHANGE") != "1":
+        # pass 0: metadata-only layout proof (no content read)
+        summaries = pa.concat_tables(ray.get(
+            [_unit_bounds.remote(i, units[i:i + per_task]) for i in spans]))
+        summaries = summaries.take(pc.sort_indices(summaries["unit_idx"]))
+        ns = summaries["n"].to_numpy()
         firsts = summaries["first_key"].to_pylist()
         lasts = summaries["last_key"].to_pylist()
         oks = summaries["sorted"].to_numpy(zero_copy_only=False)
@@ -284,15 +280,15 @@ def _ingest_ranked(source: str, cfg: BuildConfig):
                 prev = l
         if globally_sorted:
             offs = np.cumsum(ns) - ns  # doc ids are 1-based
-            digests = summaries["digest"].to_pylist()
             uids = summaries["unit_idx"].to_numpy()
             metas = [(int(u), units[int(u)][0], units[int(u)][1],
-                      int(off) + 1, int(n), dg)
-                     for u, off, n, dg in zip(uids, offs, ns.tolist(),
-                                              digests)
+                      int(off) + 1, int(n), (f, l))
+                     for u, off, n, f, l in zip(uids, offs, ns.tolist(),
+                                                firsts, lasts)
                      if n > 0]
             _SUBPHASE["pass1_s"] = round(time.perf_counter() - t0, 3)
             return units, None, int(ns.sum()), metas
+    key_refs = [_unit_keys.remote(i, units[i:i + per_task]) for i in spans]
     keys = ray.data.from_arrow_refs(key_refs)
     # Coalesce before sorting: the key table is tiny (no content), but
     # Ray's sort exchanges O(blocks x partitions) sub-blocks — feeding it
@@ -362,35 +358,50 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
             flush_idx += 1
 
     outs = []
-    for unit, path, rg, first_doc, n, digest in metas:
+    for unit, path, rg, first_doc, n, bounds in metas:
         t = pq.ParquetFile(path).read_row_group(rg)
+        if t.num_rows != n:
+            raise ValueError(
+                f"ingest unit {unit}: {n} pass-0 rows vs {t.num_rows} "
+                "source rows — source changed between passes")
+        if verify and n:
+            key = _unit_key_col(t)
+            fk, lk = key[0].as_py(), key[n - 1].as_py()
+            ok = n <= 1 or bool(pc.all(pc.greater_equal(
+                key.slice(1), key.slice(0, n - 1))).as_py())
+            if not ok or (fk, lk) != tuple(bounds):
+                raise ValueError(
+                    f"ingest unit {unit}: key layout changed between "
+                    "passes — source modified during ingest")
+        # ids are assigned over ALL rows BEFORE the oversize filter, so an
+        # oversize row leaves an id hole: id assignment is positional and
+        # identical between the direct and exchange paths (and needs no
+        # content read in pass 0/1)
+        ids = pa.array(np.arange(first_doc, first_doc + n, dtype=np.int64))
+        t = t.append_column("doc_id", ids)
         keep = pc.less_equal(
             pc.binary_length(pc.cast(t["content"], pa.large_binary())), max_bytes)
         t = t.filter(pc.fill_null(keep, False))
-        if t.num_rows != n:
-            raise ValueError(
-                f"ingest unit {unit}: {n} key rows vs {t.num_rows} source "
-                "rows — source changed between passes")
         sha2 = _sha256_batch(t["content"])
-        if verify and _sha_digest(sha2) != digest:
-            raise ValueError(
-                f"ingest sha256 digest mismatch re-reading unit {unit} "
-                "(pass-1 hash vs write-pass content)")
-        ids = pa.array(np.arange(first_doc, first_doc + n, dtype=np.int64))
-        t = t.append_column("doc_id", ids).append_column("content_sha256", sha2)
+        t = t.append_column("content_sha256", sha2)
         cols = ["doc_id", "repo", "path", "commit", "lang", "content",
                 "content_sha256"]
         t = t.select([c for c in cols if c in t.column_names])
+        kept = t.num_rows
+        kept_ids = t["doc_id"].to_numpy()
         # slice on absolute doc boundaries so part sizes stay ~uniform even
         # for a single giant row group
         lo = first_doc
         while lo < first_doc + n:
             hi = min(((lo // _DOC_STORE_PART_DOCS) + 1) * _DOC_STORE_PART_DOCS,
                      first_doc + n)
-            g = t.slice(lo - first_doc, hi - lo)
-            tmp = os.path.join(out, f"part-u{unit:06d}-{lo:09d}.parquet.tmp-{os.getpid()}")
-            pq.write_table(g, tmp)
-            os.replace(tmp, os.path.join(out, f"part-u{unit:06d}-{lo:09d}.parquet"))
+            s = int(np.searchsorted(kept_ids, lo, side="left"))
+            e = int(np.searchsorted(kept_ids, hi, side="left"))
+            if e > s:
+                g = t.slice(s, e - s)
+                tmp = os.path.join(out, f"part-u{unit:06d}-{lo:09d}.parquet.tmp-{os.getpid()}")
+                pq.write_table(g, tmp)
+                os.replace(tmp, os.path.join(out, f"part-u{unit:06d}-{lo:09d}.parquet"))
             lo = hi
         if tok is not None:
             tcols = t.select([c for c in emit_cols if c in t.column_names])
@@ -404,12 +415,12 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
                     rows += ct.num_rows
                 if pending_rows >= (1 << 20):  # bound task heap at scale
                     flush()
-            outs.append(pa.table({"n": pa.array([n], pa.int64()),
+            outs.append(pa.table({"n": pa.array([kept], pa.int64()),
                                   "rows": pa.array([rows], pa.int64())}))
         elif emit:
             outs.append(t.select([c for c in emit_cols if c in t.column_names]))
         else:
-            outs.append(pa.table({"n": pa.array([n], pa.int64())}))
+            outs.append(pa.table({"n": pa.array([kept], pa.int64())}))
     flush()
     if not outs:
         if tok is not None:
@@ -473,9 +484,6 @@ def _doc_exchange(units, ranked_refs, out: str, cfg: BuildConfig,
         ui = int(group["unit_idx"][0].as_py())
         path, rg = units[ui]
         t = pq.ParquetFile(path).read_row_group(rg)
-        keep = pc.less_equal(
-            pc.binary_length(pc.cast(t["content"], pa.large_binary())), max_bytes)
-        t = t.filter(pc.fill_null(keep, False))
         order = pc.sort_indices(group["row_idx"])
         g = group.take(order)
         if g.num_rows != t.num_rows:
@@ -489,6 +497,11 @@ def _doc_exchange(units, ranked_refs, out: str, cfg: BuildConfig,
                 "vs write-pass content)")
         t = t.append_column("doc_id", g["doc_id"]).append_column(
             "content_sha256", sha2)
+        # ids were joined over ALL rows; the oversize filter runs AFTER, so
+        # oversize rows leave doc-id holes — identical to the direct path
+        keep = pc.less_equal(
+            pc.binary_length(pc.cast(t["content"], pa.large_binary())), max_bytes)
+        t = t.filter(pc.fill_null(keep, False))
         cols = ["doc_id", "repo", "path", "commit", "lang", "content",
                 "content_sha256"]
         return t.select([c for c in cols if c in t.column_names])
