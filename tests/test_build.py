@@ -268,3 +268,46 @@ def test_doc_meta_bins_match_parquet(tiny_build, tiny_reader):
         got = tiny_reader.allowed_for_lang(lang)
         assert np.array_equal(got, want), lang
     assert tiny_reader.allowed_for_lang("zz-no-such-lang").size == 0
+
+
+def test_oversize_filter_leaves_id_holes(ray_session, tmp_path, monkeypatch):
+    """Doc ids are positional over ALL source rows; an oversize row is
+    dropped AFTER id assignment, leaving a hole — identically on the
+    direct (sorted) and exchange paths, and invisible to queries."""
+    import dataclasses
+
+    from rayindex import corpus
+    from rayindex.build import build_index
+    from rayindex.config import BuildConfig
+    from rayindex.searcher import IndexReader
+
+    tbl = corpus.make_rows(corpus.file_plan(12, 3))  # sorted by (repo, path)
+    # blow up the 4th row's content past the cap (cap = just above the
+    # largest untouched row, so exactly one row is dropped)
+    contents = tbl["content"].to_pylist()
+    cap = max(len(c.encode()) for i, c in enumerate(contents) if i != 3) + 64
+    contents[3] = "x" * (cap + 1000) + " zebrahole "
+    tbl = tbl.set_column(tbl.schema.get_field_index("content"), "content",
+                         pa.array(contents, pa.large_string()))
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(tbl, str(src / "docs.parquet"))
+
+    cfg = BuildConfig(num_shards=2, tokenize_batch_size=8,
+                      max_content_bytes=cap)
+    out_di = str(tmp_path / "di")
+    build_index(str(src), out_di, cfg)
+    ds = pq.read_table(os.path.join(out_di, "doc_store"))
+    ids = sorted(ds["doc_id"].to_pylist())
+    assert ids == [i for i in range(1, 13) if i != 4]  # hole at 4
+    r = IndexReader(out_di)
+    assert r.lookup("zebrahole", need_positions=False) is None
+    assert r.stats.n_docs == 11
+
+    monkeypatch.setenv("RAYINDEX_FORCE_EXCHANGE", "1")
+    out_ex = str(tmp_path / "ex")
+    build_index(str(src), out_ex, cfg)
+    monkeypatch.delenv("RAYINDEX_FORCE_EXCHANGE")
+    for f1 in sorted(glob.glob(os.path.join(out_di, "shards", "*.bin"))):
+        f2 = os.path.join(out_ex, "shards", os.path.basename(f1))
+        assert open(f1, "rb").read() == open(f2, "rb").read()
