@@ -49,6 +49,7 @@ import ray
 import ray.data
 
 from rayindex import analysis, codec, schema
+from rayindex.io import direct_write, direct_write_table
 from rayindex.checkpoint import (BuildCheckpoint, StageResult,
                                  atomic_write_bytes, fingerprint_of)
 from rayindex.config import BuildConfig
@@ -400,7 +401,7 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
             if e > s:
                 g = t.slice(s, e - s)
                 tmp = os.path.join(out, f"part-u{unit:06d}-{lo:09d}.parquet.tmp-{os.getpid()}")
-                pq.write_table(g, tmp)
+                direct_write_table(tmp, g, pq.write_table)
                 os.replace(tmp, os.path.join(out, f"part-u{unit:06d}-{lo:09d}.parquet"))
             lo = hi
         if tok is not None:
@@ -522,7 +523,7 @@ def _doc_exchange(units, ranked_refs, out: str, cfg: BuildConfig,
         g = group.take(pc.sort_indices(group["doc_id"]))
         g = g.drop_columns(["out_part"])
         tmp = os.path.join(out, f"part-{part:06d}.parquet.tmp-{os.getpid()}")
-        pq.write_table(g, tmp)
+        direct_write_table(tmp, g, pq.write_table)
         os.replace(tmp, os.path.join(out, f"part-{part:06d}.parquet"))
         if emit:
             return g.select([c for c in emit_cols if c in g.column_names])
@@ -775,7 +776,7 @@ class TokenizeToChunks:
                 {b"rayindex_total_tokens": str(int(counts.sum())).encode()})
             name = f"ds-{int(doc_ids[0]):012d}-{int(doc_ids[-1]):012d}.parquet"
             tmp = os.path.join(self.doc_stats_dir, f".{name}.tmp-{os.getpid()}")
-            pq.write_table(stats_tbl, tmp)
+            direct_write_table(tmp, stats_tbl, pq.write_table)
             os.replace(tmp, os.path.join(self.doc_stats_dir, name))
 
         cols = {
@@ -825,12 +826,39 @@ def _spool_chunks(chunks: pa.Table, spool_dir: str, name_key: str) -> None:
         {b"rayindex_shards": shard_list.encode()})
     name = f"part-{name_key}.arrow"
     tmp = os.path.join(spool_dir, f".{name}.tmp-{os.getpid()}")
-    with pa.OSFile(tmp, "wb") as sink:
-        with pa.ipc.new_file(sink, sch) as writer:
-            for s, e in zip(run_starts.tolist(), run_ends.tolist()):
-                writer.write_batch(
-                    chunks.slice(s, e - s).to_batches()[0])
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_file(sink, sch) as writer:
+        for s, e in zip(run_starts.tolist(), run_ends.tolist()):
+            writer.write_batch(
+                chunks.slice(s, e - s).to_batches()[0])
+    direct_write(tmp, [sink.getvalue()])
     os.replace(tmp, os.path.join(spool_dir, name))
+
+
+@ray.remote
+def _tokenize_parts(paths: list[str], cfg: BuildConfig,
+                    doc_stats_dir: str | None, spool_dir: str) -> int:
+    """Unfused/resume tokenize: read doc-store parts, tokenize, spool —
+    content stays in this task's heap (no object-store round trip)."""
+    tok = TokenizeToChunks(cfg, doc_stats_dir, None)
+    pending: list[pa.Table] = []
+    rows = 0
+    first_key = None
+    for p in paths:
+        t = pq.read_table(
+            p, columns=[c for c in ("doc_id", "content", "lang", "repo")
+                        if c in pq.read_schema(p).names])
+        for lo in range(0, t.num_rows, cfg.tokenize_batch_size):
+            ct = tok(t.slice(lo, cfg.tokenize_batch_size))
+            if ct.num_rows:
+                if first_key is None:
+                    first_key = int(t["doc_id"][lo].as_py())
+                pending.append(ct)
+                rows += ct.num_rows
+    if pending:
+        _spool_chunks(pa.concat_tables(pending), spool_dir,
+                      f"{first_key:012d}")
+    return rows
 
 
 def _stage_chunks(doc_store: str, out: str, cfg: BuildConfig,
@@ -840,15 +868,17 @@ def _stage_chunks(doc_store: str, out: str, cfg: BuildConfig,
         # stats stage itself runs with clear=False and only aggregates)
         shutil.rmtree(doc_stats_dir, ignore_errors=True)
         os.makedirs(doc_stats_dir, exist_ok=True)
-    cols = ["doc_id", "content", "lang", "repo"]
-    ds = ray.data.read_parquet(doc_store, columns=cols)
-    ds = ds.map_batches(
-        TokenizeToChunks(cfg, doc_stats_dir, out),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=cfg.tokenize_batch_size,
-    )
-    return {"n_chunk_rows": int(ds.sum("rows") or 0)}
+    # one task per group of doc-store parts: read → tokenize → spool, all
+    # in the task heap (same object-store-free shape as the fused path)
+    parts = sorted(glob.glob(os.path.join(doc_store, "*.parquet")))
+    if not parts:
+        return {"n_chunk_rows": 0}
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    per_task = max(1, -(-len(parts) // (ncpu * 4)))
+    refs = [_tokenize_parts.remote(parts[i:i + per_task], cfg,
+                                   doc_stats_dir, out)
+            for i in range(0, len(parts), per_task)]
+    return {"n_chunk_rows": int(sum(ray.get(refs)))}
 
 
 # ---------------------------------------------------------------------------
@@ -1335,15 +1365,17 @@ class WriteShard:
         tpos_start = v.g_pos_start[tg_s]
         bin_path = os.path.join(self.shard_dir, f"shard_{shard_id:05d}.bin")
         tmp_path = bin_path + f".tmp-{os.getpid()}"
-        with open(tmp_path, "wb", buffering=4 << 20) as f:
+        def record_stream():
             for t in range(nt):
-                f.write(doc_view[tdoc_start[t]:tdoc_start[t] + dlen[t]])
-                f.write(v._tf_mv[ttf_start[t]:ttf_start[t] + tlen[t]])
-                f.write(v._pos_mv[tpos_start[t]:tpos_start[t] + plen[t]])
+                yield doc_view[tdoc_start[t]:tdoc_start[t] + dlen[t]]
+                yield v._tf_mv[ttf_start[t]:ttf_start[t] + tlen[t]]
+                yield v._pos_mv[tpos_start[t]:tpos_start[t] + plen[t]]
+
+        direct_write(tmp_path, record_stream())
         os.replace(tmp_path, bin_path)
         total_bytes = int(rec.sum())
         tmp = os.path.join(self.shard_dir, f"shard_{shard_id:05d}.dict.parquet.tmp-{os.getpid()}")
-        pq.write_table(dict_table, tmp)
+        direct_write_table(tmp, dict_table, pq.write_table)
         os.replace(tmp, os.path.join(self.shard_dir, f"shard_{shard_id:05d}.dict.parquet"))
         BuildCheckpoint.write_shard_manifest(
             self.shard_dir, shard_id, self.fingerprint,

@@ -1,0 +1,121 @@
+"""Bulk file output that bypasses the page cache.
+
+On paging-taxed virtual hosts (Firecracker-style VMs with lazy host page
+supply), ALLOCATING page-cache pages for file writes costs ~0.15 ms of
+kernel time per 4 KiB page, and the cost grows with writer concurrency —
+measured on the bench host: writing 768 MB across 64 files took 115 s of
+system time at 8 concurrent writers and 287 s at 32, versus 1–3 s with
+O_DIRECT; wall fell 15–18 s → 1.0–1.5 s.  Cold re-reads of
+O_DIRECT-written files are cheap (1.9 s stime for the same 768 MB at 32
+readers), so skipping the write-side cache costs readers almost nothing.
+
+``direct_write(path, buffers)`` stages through a page-aligned anonymous
+mmap and writes with O_DIRECT, falling back to ordinary buffered writes
+whenever O_DIRECT is unavailable (filesystem, platform, or alignment
+constraints).  The write is atomic-rename friendly: callers pass a tmp
+path and ``os.replace`` afterwards, exactly as with a normal write.
+"""
+
+from __future__ import annotations
+
+import mmap
+import os
+from typing import Iterable
+
+# staging buffer: large enough to amortize syscalls, small enough that a
+# few dozen concurrent writers don't matter (8 MiB x 32 = 256 MB once,
+# reused for the worker's lifetime)
+_STAGE_BYTES = 8 << 20
+_ALIGN = 4096
+
+_stage: mmap.mmap | None = None
+
+
+def _get_stage() -> mmap.mmap:
+    global _stage
+    if _stage is None:
+        _stage = mmap.mmap(-1, _STAGE_BYTES)  # anonymous => page-aligned
+    return _stage
+
+
+def direct_write(path: str, buffers: Iterable) -> None:
+    """Write ``buffers`` (bytes-like items) to ``path``, bypassing the
+    page cache when possible.  Falls back to a buffered write on any
+    O_DIRECT failure (first write decides; no partial mixing)."""
+    if not hasattr(os, "O_DIRECT"):
+        _buffered_write(path, buffers)
+        return
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC | os.O_DIRECT,
+                     0o644)
+    except OSError:
+        _buffered_write(path, buffers)
+        return
+    stage = _get_stage()
+    fill = 0           # bytes currently staged
+    written = 0        # aligned bytes written so far
+    tail = b""
+    try:
+        for buf in buffers:
+            mv = memoryview(buf).cast("B") if not isinstance(buf, memoryview) \
+                else buf.cast("B")
+            off = 0
+            n = mv.nbytes
+            while off < n:
+                take = min(n - off, _STAGE_BYTES - fill)
+                stage[fill:fill + take] = mv[off:off + take]
+                fill += take
+                off += take
+                if fill == _STAGE_BYTES:
+                    os.write(fd, stage)
+                    written += _STAGE_BYTES
+                    fill = 0
+        aligned = (fill // _ALIGN) * _ALIGN
+        if aligned:
+            os.write(fd, memoryview(stage)[:aligned])
+            written += aligned
+        tail = bytes(stage[aligned:fill])
+    except OSError:
+        # e.g. EINVAL mid-stream on an exotic fs: restart buffered
+        os.close(fd)
+        _buffered_write(path, _rebuild(buffers))
+        return
+    finally:
+        try:
+            os.close(fd)
+        except OSError:
+            pass
+    if tail:
+        with open(path, "r+b") as f:
+            f.seek(written)
+            f.write(tail)
+            f.truncate(written + len(tail))
+    else:
+        # O_TRUNC + aligned writes leave the right size already
+        pass
+
+
+def _rebuild(buffers):
+    # buffers may be a one-shot iterator that was partially consumed — the
+    # caller contract is a reusable sequence; raise clearly otherwise
+    if isinstance(buffers, (list, tuple)):
+        return buffers
+    raise OSError("direct_write fallback requires a reusable sequence")
+
+
+def _buffered_write(path: str, buffers: Iterable) -> None:
+    with open(path, "wb", buffering=1 << 20) as f:
+        for buf in buffers:
+            f.write(buf)
+
+
+def direct_write_table(path: str, table, writer_fn) -> None:
+    """Serialize with ``writer_fn(table, sink)`` into an in-memory Arrow
+    sink, then ``direct_write`` the bytes (parquet/IPC writers don't take
+    O_DIRECT fds; one in-heap staging copy trades for the page-cache
+    allocation tax)."""
+    import pyarrow as pa
+
+    sink = pa.BufferOutputStream()
+    writer_fn(table, sink)
+    direct_write(path, [sink.getvalue()])
