@@ -34,13 +34,16 @@ import time
 # raylet-spawned worker inherits it.
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
-# searcher processes pre-fault this much heap once at reader init — sized
-# to the decode arrays of the hottest positional queries (see
-# rayindex/searcher.py:_prefault_heap).  NOTE: do NOT pin MALLOC_ARENA_MAX=1
-# here — measured on this host it makes the 32-worker build's kernel time
-# explode (stime 46 s -> 193 s): with one arena, contended threads fall
-# back to fresh mmap allocations and the first-touch fault tax returns.
-os.environ.setdefault("RAYINDEX_PREFAULT_MB", "384")
+# NOTE: do NOT pin MALLOC_ARENA_MAX=1 here — measured on this host it makes
+# the 32-worker build's kernel time explode (stime 46 s -> 193 s): with one
+# arena, contended threads fall back to fresh mmap allocations and the
+# first-touch fault tax returns.
+# Searcher heap prefault ($RAYINDEX_PREFAULT_MB) defaults OFF: with the
+# memory-lean decode + LRU posting cache, 8 actors x 384 MB of 0.1 ms
+# first-touch faults cost ~60-90 s up front (measured cold query phase
+# 100 s -> 34 s without it), vs one ~12 s first-hot-query fault that only
+# happens if a pathological query arrives (pages then stay resident).
+os.environ.setdefault("RAYINDEX_PREFAULT_MB", "0")
 
 N_FILES = int(os.environ.get("RAYINDEX_BENCH_FILES", "100000"))
 N_REPOS = max(10, N_FILES // 500)
