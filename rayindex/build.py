@@ -1263,13 +1263,6 @@ class _FineView:
         self.g_pos_len = cs_pos[grp_end] - cs_pos[grp_start]
 
 
-def _large_binary_from(buffer, offsets: np.ndarray) -> pa.LargeBinaryArray:
-    """Zero-copy large_binary array over contiguous slices of ``buffer``
-    (absolute int64 offsets, length = len(offsets) - 1)."""
-    off = pa.py_buffer(np.ascontiguousarray(offsets, np.int64).tobytes())
-    return pa.LargeBinaryArray.from_buffers(
-        pa.large_binary(), len(offsets) - 1, [None, off, pa.py_buffer(buffer)])
-
 
 class WriteShard:
     """Phase-2 reducer: receives every fine-block row of one shard,
