@@ -1415,61 +1415,50 @@ def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
     dwarfs its shard, the doc-range keying supports splitting the shard
     into range sub-files without changing the dictionary format.
     """
-    writer = WriteShard(shard_dir, fingerprint, cfg.block_size)
-
-    def read_shard_parts(sid: int) -> pa.Table | None:
-        """Gather shard ``sid``'s record batches from every spool file —
-        mmap + IPC-footer random access, so only this shard's byte ranges
-        are ever paged in (each spool file holds one record batch per
-        shard run; the run→shard map rides in the schema metadata)."""
-        files = sorted(glob.glob(os.path.join(chunks_path, "*.arrow")))
-        parts = []
-        for f in files:
-            # no context manager: the returned batches are zero-copy views
-            # into the mapping, which must outlive this function (the
-            # reader/batches hold the reference; GC unmaps when done)
-            reader = pa.ipc.open_file(pa.memory_map(f))
-            meta = reader.schema.metadata or {}
-            raw = meta.get(b"rayindex_shards", b"").decode()
-            if not raw:
-                continue
-            for i, s in enumerate(raw.split(",")):
-                if int(s) == sid:
-                    parts.append(reader.get_batch(i))
-        if not parts:
-            return None
-        return pa.Table.from_batches(parts, schema=schema.POSTING_CHUNKS)
-
-    def merge_shard(batch: pa.Table) -> pa.Table:
-        out = []
-        for sid in batch["shard_id"].to_pylist():
-            t = read_shard_parts(sid)
-            if t is None:
-                _write_empty_shard(shard_dir, sid, fingerprint)
-                out.append(pa.table({"shard": [sid], "n_terms": [0],
-                                     "bytes": [0], "skipped": [False]}))
-                continue
-            out.append(writer(t))  # chunked ok — blobs gathered per chunk
-        if not out:
-            return pa.table({"shard": pa.array([], pa.int64()),
-                             "n_terms": pa.array([], pa.int64()),
-                             "bytes": pa.array([], pa.int64()),
-                             "skipped": pa.array([], pa.bool_())})
-        return pa.concat_tables(out)
-
     ncpu = ray.cluster_resources().get("CPU", 8)
     merge_cpus = max(1.0, ncpu / max(1, cfg.max_concurrent_merges))
-    res = ray.data.from_items(
-        [{"shard_id": sid} for sid in range(cfg.num_shards)],
-        override_num_blocks=cfg.num_shards,
-    ).map_batches(merge_shard, batch_format="pyarrow", batch_size=1,
-                  num_cpus=merge_cpus)
-    stats = res.to_pandas()
+    merge = _merge_shards_task.options(num_cpus=merge_cpus)
+    refs = [merge.remote(chunks_path, shard_dir, fingerprint,
+                         cfg.block_size, sid)
+            for sid in range(cfg.num_shards)]
+    stats = ray.get(refs)
     return {
-        "n_terms": int(stats["n_terms"].sum()),
-        "index_bytes": int(stats["bytes"].sum()),
+        "n_terms": int(sum(s["n_terms"] for s in stats)),
+        "index_bytes": int(sum(s["bytes"] for s in stats)),
         "shards": int(cfg.num_shards),
     }
+
+
+@ray.remote
+def _merge_shards_task(chunks_path: str, shard_dir: str, fingerprint: str,
+                       block_size: int, sid: int) -> dict[str, int]:
+    """Merge + write ONE shard: gather its record batches from every spool
+    file (mmap + IPC-footer random access — only this shard's byte ranges
+    are ever paged in; the run→shard map rides in the schema metadata),
+    then splice and write.  A plain task, not a Ray Data stage: the work
+    list is just shard ids, and the Dataset machinery added ~0.5 s of
+    operator start/stop per build."""
+    files = sorted(glob.glob(os.path.join(chunks_path, "*.arrow")))
+    parts = []
+    for f in files:
+        # no context manager: the returned batches are zero-copy views
+        # into the mapping, which must outlive the loop (the reader /
+        # batches hold the reference; GC unmaps when done)
+        reader = pa.ipc.open_file(pa.memory_map(f))
+        raw = (reader.schema.metadata or {}).get(b"rayindex_shards", b"")
+        if not raw:
+            continue
+        for i, s in enumerate(raw.decode().split(",")):
+            if int(s) == sid:
+                parts.append(reader.get_batch(i))
+    if not parts:
+        _write_empty_shard(shard_dir, sid, fingerprint)
+        return {"shard": sid, "n_terms": 0, "bytes": 0}
+    t = pa.Table.from_batches(parts, schema=schema.POSTING_CHUNKS)
+    writer = WriteShard(shard_dir, fingerprint, block_size)
+    out = writer(t)  # chunked ok — blobs gathered per chunk
+    return {"shard": sid, "n_terms": int(out["n_terms"][0].as_py()),
+            "bytes": int(out["bytes"][0].as_py())}
 
 
 # ---------------------------------------------------------------------------
