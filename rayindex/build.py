@@ -3,25 +3,32 @@
 Replaces the reference's single-threaded chain (stream TSV → per-doc dict
 update → 60k-doc segment spill → manual pairwise merge → byte-offset hash →
 TF-conversion → VB compression; /root/reference/indexing/main.py:7-29 and
-SURVEY.md §3.1) with four checkpointed Dataset stages:
+SURVEY.md §3.1) with checkpointed stages:
 
-1. **ingest**   read Parquet → oversize filter → sha256(content) →
-                global sort by (repo, path) → dense 1-based doc_id
-                assignment (deterministic under any parallelism) → re-verify
-                sha256 after the shuffle (the ingest invariant) → doc store.
-2. **chunks**   ``map_batches`` tokenize (zero-copy Arrow in) → per-batch
-                pre-aggregated *posting chunks*: one delta+VB-encoded row per
-                (term, batch doc-run), plus per-doc stat rows.  This is the
-                combiner that makes the groupby shuffle move compressed
-                blobs, not raw (term, doc, pos) rows.
-3. **shards**   filesystem hash exchange: stage 2 writes the chunk table
-                ``partition_cols=["shard"]``, so each shard's merge is an
-                independent task that reads ``chunks/shard=N/``, byte-splices
-                its fine blocks (never decoding a posting stream) and writes
-                one memory-mappable blob file + Arrow term dictionary,
-                atomically, with a per-shard manifest (per-partition resume).
-                No posting byte ever crosses the object store.
-4. **stats**    doc_stats + collection_stats tables.
+1. **ingest+tokenize (fused)**  pass 0 reads only the (repo, path) key
+   columns per row-group unit; when the boundary keys prove the source
+   globally sorted (the common layout), doc ids are positional (1-based
+   over ALL rows — an oversize row leaves an id hole) and ONE task per
+   unit run re-reads its rows, writes doc-ordered doc-store parts,
+   sha256-stamps each row (the ingest invariant), tokenizes, and spools
+   per-batch *posting chunks* — one delta+VB-encoded row per (term, fine
+   doc block) — as Arrow-IPC files (one record batch per shard run, the
+   shard map in the schema metadata).  Content never enters the object
+   store.  Unsorted sources fall back to a key sort (keys only — never
+   content) plus ONE range-partition content exchange.
+2. **shards**   each shard's merge is an independent task that mmaps the
+   spool files, random-accesses ONLY its record batches via the IPC
+   footer, byte-splices its fine blocks (never decoding a posting
+   stream; blob bytes are gathered per chunk, never passed through
+   Table.take/combine_chunks) and writes one memory-mappable blob file +
+   Arrow term dictionary, atomically, with a per-shard manifest
+   (per-partition resume).  No posting byte ever crosses the object
+   store; concurrency is capped at 8/node (DRAM-bound splicing).
+3. **stats / finalize**   doc_stats + collection_stats from parquet
+   footers alone; dense doc-meta bins written OVERLAPPED with the
+   merges.  All bulk output goes through rayindex/io.py::direct_write
+   (O_DIRECT — the page-cache write-allocation tax on virtualized hosts
+   is ~0.15 ms per 4 KiB page and grows with writer concurrency).
 
 Every stage is skipped on resume when its ``.done.json`` fingerprint
 matches (rayindex/checkpoint.py).
