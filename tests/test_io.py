@@ -1,0 +1,54 @@
+"""direct_write round-trips: alignment boundaries, multi-buffer streams,
+generator input, and overwrite-shrink behavior."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from rayindex.io import _STAGE_BYTES, direct_write
+
+
+@pytest.mark.parametrize("size", [
+    0, 1, 100, 4095, 4096, 4097, 65536,
+    _STAGE_BYTES - 1, _STAGE_BYTES, _STAGE_BYTES + 1,
+    _STAGE_BYTES + 4096, 2 * _STAGE_BYTES + 123,
+])
+def test_direct_write_roundtrip_sizes(tmp_path, size):
+    rng = np.random.default_rng(size or 1)
+    data = rng.integers(0, 255, size, dtype=np.uint8).tobytes()
+    p = str(tmp_path / f"f{size}.bin")
+    direct_write(p, [data])
+    assert open(p, "rb").read() == data
+
+
+def test_direct_write_many_small_buffers(tmp_path):
+    rng = np.random.default_rng(7)
+    bufs = [rng.integers(0, 255, int(n), dtype=np.uint8).tobytes()
+            for n in rng.integers(0, 5000, 200)]
+    p = str(tmp_path / "multi.bin")
+    direct_write(p, bufs)  # list: reusable for any fallback
+    assert open(p, "rb").read() == b"".join(bufs)
+
+
+def test_direct_write_generator_of_memoryviews(tmp_path):
+    base = np.arange(300000, dtype=np.uint8)
+    mv = memoryview(base)
+
+    def stream():
+        for lo in range(0, len(base), 7777):
+            yield mv[lo:lo + 7777]
+
+    p = str(tmp_path / "gen.bin")
+    direct_write(p, stream())
+    assert open(p, "rb").read() == base.tobytes()
+
+
+def test_direct_write_overwrite_shrinks(tmp_path):
+    p = str(tmp_path / "shrink.bin")
+    direct_write(p, [b"x" * 100000])
+    direct_write(p, [b"y" * 5000])
+    got = open(p, "rb").read()
+    assert got == b"y" * 5000  # O_TRUNC + tail truncate leave no residue
