@@ -355,12 +355,13 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
     pending_rows = 0
     flush_idx = 0
     task_key = f"{metas[0][3]:012d}" if metas else "empty"
+    spooled: list[str] = []
 
     def flush() -> None:
         nonlocal pending, pending_rows, flush_idx
         if pending:
-            _spool_chunks(pa.concat_tables(pending), chunks_dir,
-                          f"{task_key}-{flush_idx:03d}")
+            spooled.append(_spool_chunks(pa.concat_tables(pending), chunks_dir,
+                                         f"{task_key}-{flush_idx:03d}"))
             pending = []
             pending_rows = 0
             flush_idx += 1
@@ -437,7 +438,13 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
         return (pa.table({c: pa.array([], schema.DOC_STORE.field(c).type)
                           for c in emit_cols}) if emit
                 else pa.table({"n": pa.array([], pa.int64())}))
-    return pa.concat_tables(outs)
+    res = pa.concat_tables(outs)
+    if tok is not None and spooled:
+        # spool names ride back on the count table so the driver can feed
+        # merger actors incrementally (no directory-scan races)
+        res = res.replace_schema_metadata(
+            {b"rayindex_spools": "\x00".join(spooled).encode()})
+    return res
 
 
 def _doc_exchange(units, ranked_refs, out: str, cfg: BuildConfig,
@@ -557,15 +564,20 @@ def _stage_ingest_files(source: str, out: str, cfg: BuildConfig) -> dict[str, An
 
 
 def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
-                           doc_stats_dir: str, cfg: BuildConfig):
+                           doc_stats_dir: str, cfg: BuildConfig,
+                           shard_dir: str | None = None,
+                           fingerprint: str | None = None):
     """Fused file-source ingest + tokenize: ONE streaming pipeline from the
     ranked keys through the content exchange into posting chunks.  The
     doc-store part files are written by the same range writers whose output
     feeds tokenization, so the doc_store write overlaps tokenize compute
     and the content is never read back from disk.  Returns
-    (metrics, resolved_cfg) — num_shards auto-resolution happens here
-    because n_docs is known right after the key sort, before any shard
-    assignment."""
+    (metrics, resolved_cfg, merge_pool) — num_shards auto-resolution
+    happens here because n_docs is known right after the key sort, before
+    any shard assignment.  On the direct path a _MergePool is created and
+    fed each task's spool files AS THE TASK COMPLETES, so the shard stage's
+    spool gather (file opens + page-in) overlaps ingest instead of running
+    on the build's critical tail."""
     shutil.rmtree(doc_store_out, ignore_errors=True)
     os.makedirs(doc_store_out, exist_ok=True)
     shutil.rmtree(doc_stats_dir, ignore_errors=True)
@@ -575,8 +587,9 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
     metrics = {"n_docs": n_docs, "n_blocks": len(units)}
     if not ranked_refs and not metas:
         _write_empty_doc_store(doc_store_out)
-        return metrics, cfg  # no spool files → every shard written empty
+        return metrics, cfg, None  # no spool files → every shard written empty
     t1 = time.perf_counter()
+    pool = None
     if metas is not None:
         # FULLY fused direct path: each task re-reads its units, writes the
         # doc-store parts, and tokenizes + spools the same bytes in-heap.
@@ -589,9 +602,20 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
                     cfg.max_content_bytes, cfg.verify_sha256, False,
                     cfg, doc_stats_dir, chunks_out)
                 for i in range(0, len(metas), per_task)]
-        tabs = [t for t in ray.get(refs) if t.num_rows]
-        metrics["n_chunk_rows"] = int(sum(
-            pc.sum(t["rows"]).as_py() or 0 for t in tabs))
+        if shard_dir is not None and fingerprint is not None:
+            pool = _MergePool(shard_dir, fingerprint, cfg)
+        pending = list(refs)
+        rows_sum = 0
+        while pending:
+            done, pending = ray.wait(pending, num_returns=1)
+            t = ray.get(done[0])
+            if pool is not None:
+                md = (t.schema.metadata or {}).get(b"rayindex_spools", b"")
+                if md:
+                    pool.feed(md.decode().split("\x00"))
+            if t.num_rows:
+                rows_sum += int(pc.sum(t["rows"]).as_py() or 0)
+        metrics["n_chunk_rows"] = rows_sum
     else:
         ds = _doc_exchange(units, ranked_refs, doc_store_out, cfg, emit=True)
         ds = ds.map_batches(
@@ -606,7 +630,7 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
             print(mat.stats(), flush=True)
     _SUBPHASE["pipeline_s"] = round(time.perf_counter() - t1, 3)
     metrics.update(_SUBPHASE)
-    return metrics, cfg
+    return metrics, cfg, pool
 
 
 def _stage_ingest(ds: ray.data.Dataset, out: str, cfg: BuildConfig) -> dict[str, Any]:
@@ -815,7 +839,7 @@ class TokenizeToChunks:
         _spool_chunks(chunks, self.chunks_spool_dir, f"{first_doc:012d}")
 
 
-def _spool_chunks(chunks: pa.Table, spool_dir: str, name_key: str) -> None:
+def _spool_chunks(chunks: pa.Table, spool_dir: str, name_key: str) -> str:
     """One IPC spool file: record batch i holds shard runs[i]; the shard
     list rides in the schema metadata so a merge task can read only its
     own batches (mmap + footer random access).  Idempotent name (name_key
@@ -839,7 +863,9 @@ def _spool_chunks(chunks: pa.Table, spool_dir: str, name_key: str) -> None:
             writer.write_batch(
                 chunks.slice(s, e - s).to_batches()[0])
     direct_write(tmp, [sink.getvalue()])
-    os.replace(tmp, os.path.join(spool_dir, name))
+    final = os.path.join(spool_dir, name)
+    os.replace(tmp, final)
+    return final
 
 
 @ray.remote
@@ -850,7 +876,16 @@ def _tokenize_parts(paths: list[str], cfg: BuildConfig,
     tok = TokenizeToChunks(cfg, doc_stats_dir, None)
     pending: list[pa.Table] = []
     rows = 0
+    pending_rows = 0
     first_key = None
+
+    def flush() -> None:
+        nonlocal pending, pending_rows, first_key
+        if pending:
+            _spool_chunks(pa.concat_tables(pending), spool_dir,
+                          f"{first_key:012d}")
+        pending, pending_rows, first_key = [], 0, None
+
     for p in paths:
         t = pq.read_table(
             p, columns=[c for c in ("doc_id", "content", "lang", "repo")
@@ -862,9 +897,14 @@ def _tokenize_parts(paths: list[str], cfg: BuildConfig,
                     first_key = int(t["doc_id"][lo].as_py())
                 pending.append(ct)
                 rows += ct.num_rows
-    if pending:
-        _spool_chunks(pa.concat_tables(pending), spool_dir,
-                      f"{first_key:012d}")
+                pending_rows += ct.num_rows
+                # same bounded-heap flush threshold as the fused path —
+                # a task holding many doc-store parts must not accumulate
+                # the whole run's posting chunks in memory (spool names
+                # stay idempotent: first doc_id of the flushed span)
+                if pending_rows >= (1 << 20):
+                    flush()
+    flush()
     return rows
 
 
@@ -1365,13 +1405,17 @@ class WriteShard:
         tpos_start = v.g_pos_start[tg_s]
         bin_path = os.path.join(self.shard_dir, f"shard_{shard_id:05d}.bin")
         tmp_path = bin_path + f".tmp-{os.getpid()}"
-        def record_stream():
-            for t in range(nt):
-                yield doc_view[tdoc_start[t]:tdoc_start[t] + dlen[t]]
-                yield v._tf_mv[ttf_start[t]:ttf_start[t] + tlen[t]]
-                yield v._pos_mv[tpos_start[t]:tpos_start[t] + plen[t]]
+        class _RecordStream:
+            # re-iterable (not a one-shot generator) so direct_write's
+            # buffered fallback can restart after a mid-stream O_DIRECT
+            # failure without materializing 3*n_terms memoryviews
+            def __iter__(self):
+                for t in range(nt):
+                    yield doc_view[tdoc_start[t]:tdoc_start[t] + dlen[t]]
+                    yield v._tf_mv[ttf_start[t]:ttf_start[t] + tlen[t]]
+                    yield v._pos_mv[tpos_start[t]:tpos_start[t] + plen[t]]
 
-        direct_write(tmp_path, record_stream())
+        direct_write(tmp_path, _RecordStream())
         os.replace(tmp_path, bin_path)
         total_bytes = int(rec.sum())
         tmp = os.path.join(self.shard_dir, f"shard_{shard_id:05d}.dict.parquet.tmp-{os.getpid()}")
@@ -1398,74 +1442,153 @@ def _write_empty_shard(shard_dir: str, sid: int, fingerprint: str) -> None:
                                          {"n_terms": 0, "bytes": 0})
 
 
-def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
-                  fingerprint: str) -> dict[str, Any]:
-    """Merge + write every shard from its own on-disk partition.
+def _touch_batch_pages(batch: pa.RecordBatch) -> None:
+    """Fault in every page backing ``batch``'s buffers (one strided read
+    per 4 KiB page).  Spool batches are zero-copy views into an mmap'd IPC
+    file; without an explicit touch their data pages would only fault at
+    splice time — i.e. on the build's critical tail.  Touching them as the
+    spool lands moves the disk read + first-touch page tax into the ingest
+    window, where it overlaps tokenize compute."""
+    for arr in batch.columns:
+        for buf in arr.buffers():
+            if buf is not None and buf.size:
+                np.frombuffer(buf, np.uint8)[::4096].sum()
+
+
+@ray.remote(num_cpus=0)
+class _ShardMerger:
+    """Owns a set of shard ids end to end: collects their record batches
+    from spool files as the files land (``add_spools``), then splices and
+    writes each owned shard (``finish``).
+
+    Two scale properties vs the old one-task-per-shard merge:
+
+    - File opens are O(actors × spool_files), not O(shards × spool_files):
+      each actor opens a spool once and extracts ALL its owned shards'
+      batches through the IPC footer (with auto-sharding at ~100k
+      docs/shard the old shape grew quadratically with corpus size).
+    - The gather overlaps ingest: fed incrementally from completed
+      tokenize tasks, the actor pages in its byte ranges while other CPUs
+      are still tokenizing, so the post-barrier merge stage is left with
+      only the (DRAM-bound) splice + write.
+
+    ``num_cpus=0``: the actor is reactive and mostly idle during ingest —
+    reserving a CPU per actor would starve the tokenize tasks at small
+    cluster sizes (8 actors would consume ALL slots of an 8-CPU node).
+    Splice concurrency is still bounded by the ACTOR COUNT
+    (= max_concurrent_merges, the per-node DRAM-bandwidth annotation)."""
+
+    def __init__(self, shard_dir: str, fingerprint: str, block_size: int,
+                 shard_ids: list[int]):
+        self.shard_dir = shard_dir
+        self.fingerprint = fingerprint
+        self.block_size = block_size
+        self.shard_ids = list(shard_ids)
+        self.parts: dict[int, list[pa.RecordBatch]] = {
+            int(s): [] for s in shard_ids}
+
+    def add_spools(self, files: list[str]) -> None:
+        for f in files:
+            # no context manager: the returned batches are zero-copy views
+            # into the mapping, which must outlive this call (the reader /
+            # batches hold the reference; GC unmaps when dropped)
+            reader = pa.ipc.open_file(pa.memory_map(f))
+            raw = (reader.schema.metadata or {}).get(b"rayindex_shards", b"")
+            if not raw:
+                continue
+            for i, s in enumerate(raw.decode().split(",")):
+                sid = int(s)
+                if sid in self.parts:
+                    b = reader.get_batch(i)
+                    _touch_batch_pages(b)
+                    self.parts[sid].append(b)
+
+    def finish(self) -> list[dict]:
+        out = []
+        writer = WriteShard(self.shard_dir, self.fingerprint, self.block_size)
+        for sid in self.shard_ids:
+            parts = self.parts.pop(sid, [])
+            if BuildCheckpoint.shard_is_done(self.shard_dir, sid,
+                                             self.fingerprint):
+                m = json.load(open(BuildCheckpoint.shard_manifest_path(
+                    self.shard_dir, sid)))
+                out.append({"shard": sid, "n_terms": m["n_terms"],
+                            "bytes": m["bytes"]})
+                continue
+            if not parts:
+                _write_empty_shard(self.shard_dir, sid, self.fingerprint)
+                out.append({"shard": sid, "n_terms": 0, "bytes": 0})
+                continue
+            t = pa.Table.from_batches(parts, schema=schema.POSTING_CHUNKS)
+            r = writer(t)  # chunked ok — blobs gathered per chunk
+            out.append({"shard": sid,
+                        "n_terms": int(r["n_terms"][0].as_py()),
+                        "bytes": int(r["bytes"][0].as_py())})
+        return out
+
+
+class _MergePool:
+    """Driver-side handle on the shard-merger actors.
 
     The wide exchange already happened THROUGH THE FILESYSTEM: the tokenize
-    stage writes the posting-chunk table hash-partitioned by shard
-    (``write_parquet(partition_cols=["shard"])``), so this stage is
-    embarrassingly parallel — one task per shard reads ``chunks/shard=N/``
-    and splices it.  No sort/groupby shuffle moves posting bytes through
-    the object store (measured on the bench host: the plasma exchange cost
-    60–94 s of kernel time at 32 workers for a 50k-doc corpus — fresh
-    shuffle objects fault pages in every mapper; the filesystem exchange
-    writes each byte once and reads it once).  On a multi-node cluster the
-    same layout runs against shared storage and stays resumable per shard
-    (each task skips via its own manifest, so a killed build redoes only
-    unfinished shards).
+    stage writes posting chunks as shard-run-partitioned IPC spools, so the
+    merge is embarrassingly parallel over shard ids.  No sort/groupby
+    shuffle moves posting bytes through the object store (measured on the
+    bench host: the plasma exchange cost 60–94 s of kernel time at 32
+    workers for a 50k-doc corpus).  On a multi-node cluster the same layout
+    runs against shared storage and stays resumable per shard (each actor
+    skips completed shards via their manifests).
 
     Skew: shard count auto-scales with corpus size (~100k docs/shard), a
-    hot TERM's bytes stay inside one shard task but are only ever
-    byte-spliced, never decoded (the doc-range fine-block layout makes
-    every merge a metadata aggregate + splice); if a single term ever
-    dwarfs its shard, the doc-range keying supports splitting the shard
-    into range sub-files without changing the dictionary format.
-    """
-    ncpu = ray.cluster_resources().get("CPU", 8)
-    merge_cpus = max(1.0, ncpu / max(1, cfg.max_concurrent_merges))
-    merge = _merge_shards_task.options(num_cpus=merge_cpus)
-    refs = [merge.remote(chunks_path, shard_dir, fingerprint,
-                         cfg.block_size, sid)
-            for sid in range(cfg.num_shards)]
-    stats = ray.get(refs)
-    return {
-        "n_terms": int(sum(s["n_terms"] for s in stats)),
-        "index_bytes": int(sum(s["bytes"] for s in stats)),
-        "shards": int(cfg.num_shards),
-    }
+    hot TERM's bytes stay inside one shard but are only ever byte-spliced,
+    never decoded (the doc-range fine-block layout makes every merge a
+    metadata aggregate + splice); if a single term ever dwarfs its shard,
+    the doc-range keying supports splitting the shard into range sub-files
+    without changing the dictionary format."""
+
+    def __init__(self, shard_dir: str, fingerprint: str, cfg: BuildConfig):
+        n = max(1, min(cfg.num_shards, cfg.max_concurrent_merges))
+        self.actors = [
+            _ShardMerger.remote(shard_dir, fingerprint, cfg.block_size,
+                                list(range(a, cfg.num_shards, n)))
+            for a in range(n)
+        ]
+        self.num_shards = cfg.num_shards
+        self._pending: list = []
+
+    def feed(self, files: list[str]) -> None:
+        if files:
+            self._pending += [a.add_spools.remote(list(files))
+                              for a in self.actors]
+
+    def finish(self) -> dict[str, Any]:
+        ray.get(self._pending)
+        stats = [s for part in ray.get([a.finish.remote()
+                                        for a in self.actors]) for s in part]
+        self.shutdown()
+        return {
+            "n_terms": int(sum(s["n_terms"] for s in stats)),
+            "index_bytes": int(sum(s["bytes"] for s in stats)),
+            "shards": int(self.num_shards),
+        }
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+        self._pending = []
 
 
-@ray.remote
-def _merge_shards_task(chunks_path: str, shard_dir: str, fingerprint: str,
-                       block_size: int, sid: int) -> dict[str, int]:
-    """Merge + write ONE shard: gather its record batches from every spool
-    file (mmap + IPC-footer random access — only this shard's byte ranges
-    are ever paged in; the run→shard map rides in the schema metadata),
-    then splice and write.  A plain task, not a Ray Data stage: the work
-    list is just shard ids, and the Dataset machinery added ~0.5 s of
-    operator start/stop per build."""
-    files = sorted(glob.glob(os.path.join(chunks_path, "*.arrow")))
-    parts = []
-    for f in files:
-        # no context manager: the returned batches are zero-copy views
-        # into the mapping, which must outlive the loop (the reader /
-        # batches hold the reference; GC unmaps when done)
-        reader = pa.ipc.open_file(pa.memory_map(f))
-        raw = (reader.schema.metadata or {}).get(b"rayindex_shards", b"")
-        if not raw:
-            continue
-        for i, s in enumerate(raw.decode().split(",")):
-            if int(s) == sid:
-                parts.append(reader.get_batch(i))
-    if not parts:
-        _write_empty_shard(shard_dir, sid, fingerprint)
-        return {"shard": sid, "n_terms": 0, "bytes": 0}
-    t = pa.Table.from_batches(parts, schema=schema.POSTING_CHUNKS)
-    writer = WriteShard(shard_dir, fingerprint, block_size)
-    out = writer(t)  # chunked ok — blobs gathered per chunk
-    return {"shard": sid, "n_terms": int(out["n_terms"][0].as_py()),
-            "bytes": int(out["bytes"][0].as_py())}
+def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
+                  fingerprint: str, pool: _MergePool | None = None) -> dict[str, Any]:
+    """Merge + write every shard (see _MergePool).  ``pool`` is the
+    already-fed merger pool from the fused build path (spool gather
+    overlapped with ingest); without one — resume paths, exchange-path
+    builds — a fresh pool is fed from a directory scan here."""
+    if pool is None:
+        pool = _MergePool(shard_dir, fingerprint, cfg)
+        pool.feed(sorted(glob.glob(os.path.join(chunks_path, "*.arrow"))))
+    return pool.finish()
 
 
 # ---------------------------------------------------------------------------
@@ -1658,18 +1781,21 @@ def build_index(
     stats_dir = os.path.join(out_dir, "stats")
 
     doc_stats_dir = os.path.join(stats_dir, "doc_stats")
+    resolved: dict[str, Any] = {}
     if (isinstance(source, str) and not ckpt.is_done("doc_store")
             and not ckpt.is_done("chunks")):
         # fused fresh build: ingest exchange streams straight into tokenize
         # (no doc_store read-back).  The doc_store marker is written first,
         # so a crash between the two leaves a resumable doc_store and the
         # unfused chunks path below picks it up.
-        resolved = {}
 
         def fused(d):
-            m, rcfg = _stage_ingest_tokenize(source, doc_store, d,
-                                             doc_stats_dir, cfg)
+            m, rcfg, pool = _stage_ingest_tokenize(source, doc_store, d,
+                                                   doc_stats_dir, cfg,
+                                                   shard_dir=shard_dir,
+                                                   fingerprint=fp)
             resolved["cfg"] = rcfg
+            resolved["pool"] = pool
             ckpt.mark_done("doc_store", m)
             return m
 
@@ -1706,10 +1832,13 @@ def build_index(
         bins_thread = threading.Thread(target=_bins, daemon=True)
         bins_thread.start()
     # clear=False: completed shards are skipped via their own manifests
+    pool = resolved.get("pool")
     r4 = ckpt.run_stage(
         "shards",
-        lambda d: _stage_shards(chunks, d, cfg, fp),
+        lambda d: _stage_shards(chunks, d, cfg, fp, pool=pool),
         clear=False)
+    if r4.skipped and pool is not None:
+        pool.shutdown()  # actors were fed but the stage was already done
 
     def finalize(d):
         if bins_thread is not None:

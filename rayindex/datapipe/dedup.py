@@ -234,14 +234,22 @@ def minhash_candidates(ds, num_perm: int = 128, bands: int = 32,
             if len(bucket) < 2:
                 continue
             bucket = bucket.sort_values(id_col)
-            ids = bucket[id_col].tolist()
-            bsigs = [np.asarray(s, np.uint64) for s in bucket["sig"].tolist()]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    est.append(float(np.mean(bsigs[i] == bsigs[j])))
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": est})
+            ids = bucket[id_col].to_numpy(np.int64)
+            # vectorized pairwise signature agreement (the simhash_pairs
+            # triu pattern): one matrix compare per bucket, no per-pair
+            # Python loop
+            sig_mat = np.stack([np.asarray(s, np.uint64)
+                                for s in bucket["sig"].tolist()])
+            ii, jj = np.triu_indices(len(ids), k=1)
+            agree = (sig_mat[ii] == sig_mat[jj]).mean(axis=1)
+            a_out.append(ids[ii])
+            b_out.append(ids[jj])
+            est.append(agree)
+        if not a_out:
+            return empty
+        return pd.DataFrame({"doc_a": np.concatenate(a_out),
+                             "doc_b": np.concatenate(b_out),
+                             "est_jaccard": np.concatenate(est)})
 
     pairs = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")

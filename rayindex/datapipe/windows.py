@@ -61,16 +61,16 @@ def sessionize(ds, gap_s: int = 1800, key_col: str = "user_id", ts_col: str = "t
         ts = (pd.to_datetime(g[ts_col]).astype("datetime64[ns]")
               .astype("int64").to_numpy() // 10**9)  # → s
         new = np.concatenate([[True], np.diff(ts) > gap_s])
-        sid = np.cumsum(new)
-        out = []
-        for s in np.unique(sid):
-            m = sid == s
-            out.append({
-                key_col: g[key_col].iloc[0],
-                "session_start": int(ts[m].min()),
-                "session_end": int(ts[m].max()),
-                "n_events": int(m.sum()),
-            })
-        return pd.DataFrame(out)
+        # sessions are contiguous runs of the sorted ts array: boundaries +
+        # reduceat give start/end/count vectorized (no per-session Python
+        # loop — a key with millions of sessions stays O(events) numpy)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], ts.size) - 1
+        return pd.DataFrame({
+            key_col: np.repeat(g[key_col].iloc[0], starts.size),
+            "session_start": ts[starts].astype(np.int64),
+            "session_end": ts[ends].astype(np.int64),
+            "n_events": (np.append(starts[1:], ts.size) - starts).astype(np.int64),
+        })
 
     return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")

@@ -38,6 +38,20 @@ def _get_stage() -> mmap.mmap:
     return _stage
 
 
+def _write_full(fd: int, mv) -> None:
+    """os.write until every byte of ``mv`` is on the fd.  A short write
+    (ENOSPC retry-after-signal, RLIMIT_FSIZE, etc.) must not silently drop
+    bytes — every index artifact flows through this path."""
+    view = memoryview(mv)
+    off = 0
+    n = view.nbytes
+    while off < n:
+        w = os.write(fd, view[off:])
+        if w <= 0:
+            raise OSError(f"short write: wrote {off} of {n} bytes")
+        off += w
+
+
 def direct_write(path: str, buffers: Iterable) -> None:
     """Write ``buffers`` (bytes-like items) to ``path``, bypassing the
     page cache when possible.  Falls back to a buffered write on any
@@ -67,12 +81,12 @@ def direct_write(path: str, buffers: Iterable) -> None:
                 fill += take
                 off += take
                 if fill == _STAGE_BYTES:
-                    os.write(fd, stage)
+                    _write_full(fd, stage)
                     written += _STAGE_BYTES
                     fill = 0
         aligned = (fill // _ALIGN) * _ALIGN
         if aligned:
-            os.write(fd, memoryview(stage)[:aligned])
+            _write_full(fd, memoryview(stage)[:aligned])
             written += aligned
         tail = bytes(stage[aligned:fill])
     except OSError:
@@ -97,10 +111,11 @@ def direct_write(path: str, buffers: Iterable) -> None:
 
 def _rebuild(buffers):
     # buffers may be a one-shot iterator that was partially consumed — the
-    # caller contract is a reusable sequence; raise clearly otherwise
-    if isinstance(buffers, (list, tuple)):
+    # caller contract is a re-iterable (sequence or an object whose
+    # __iter__ yields a fresh stream); raise clearly otherwise
+    if iter(buffers) is not buffers:
         return buffers
-    raise OSError("direct_write fallback requires a reusable sequence")
+    raise OSError("direct_write fallback requires a re-iterable buffer source")
 
 
 def _buffered_write(path: str, buffers: Iterable) -> None:

@@ -563,11 +563,18 @@ def proximity_docs(provider: MiniIndexProvider, q: ProximityQuery) -> np.ndarray
     kdist = np.int64(q.k)
     idx = np.searchsorted(kb, ka)
     hit = np.zeros(ka.size, bool)
+    doc_a = ka >> _POS_SHIFT
+    # cheap same-doc mask on both neighbour probes: the |key diff| <= k
+    # shortcut alone is only safe while per-doc position counts stay far
+    # below 2^_POS_SHIFT; a doc filled to the cap would make cross-doc key
+    # gaps as small as 1 and fabricate proximity hits
     right = idx < kb.size
-    hit[right] = (kb[idx[right]] - ka[right]) <= kdist
+    hit[right] = ((kb[idx[right]] - ka[right]) <= kdist) & \
+                 ((kb[idx[right]] >> _POS_SHIFT) == doc_a[right])
     left = idx > 0
-    hit[left] |= (ka[left] - kb[idx[left] - 1]) <= kdist
-    return np.unique(ka[hit] >> _POS_SHIFT)
+    hit[left] |= ((ka[left] - kb[idx[left] - 1]) <= kdist) & \
+                 ((kb[idx[left] - 1] >> _POS_SHIFT) == doc_a[left])
+    return np.unique(doc_a[hit])
 
 
 # ---------------------------------------------------------------------------

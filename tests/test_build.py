@@ -311,3 +311,39 @@ def test_oversize_filter_leaves_id_holes(ray_session, tmp_path, monkeypatch):
     for f1 in sorted(glob.glob(os.path.join(out_di, "shards", "*.bin"))):
         f2 = os.path.join(out_ex, "shards", os.path.basename(f1))
         assert open(f1, "rb").read() == open(f2, "rb").read()
+
+
+def test_merge_pool_feed_order_invariant(ray_session, tmp_path):
+    """Shard bytes must not depend on the ORDER merger actors receive spool
+    files (the fused path feeds them in task-completion order, which is
+    nondeterministic run to run)."""
+    from rayindex import corpus
+    from rayindex.build import _MergePool, build_index
+    from rayindex.checkpoint import fingerprint_of
+    from rayindex.config import BuildConfig
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = corpus.make_rows(corpus.file_plan(48, 5))
+    for i, lo in enumerate(range(0, 48, 12)):  # 4 units → 4 fused tasks
+        pq.write_table(tbl.slice(lo, 12), str(src / f"{i}.parquet"))
+    out = tmp_path / "idx"
+    cfg = BuildConfig(num_shards=4, tokenize_batch_size=8)
+    build_index(str(src), str(out), cfg)
+
+    chunks = os.path.join(str(out), "chunks")
+    files = sorted(glob.glob(os.path.join(chunks, "*.arrow")))
+    assert len(files) >= 2, "need multiple spool files to permute"
+    ref_shards = str(out / "shards")
+
+    for tag, order in (("fwd", files), ("rev", list(reversed(files)))):
+        sd = str(tmp_path / f"shards_{tag}")
+        os.makedirs(sd)
+        pool = _MergePool(sd, fingerprint_of("feed-order", tag), cfg)
+        for f in order:  # one file per feed → maximally interleaved arrival
+            pool.feed([f])
+        pool.finish()
+        for f1 in sorted(glob.glob(os.path.join(ref_shards, "*.bin"))):
+            f2 = os.path.join(sd, os.path.basename(f1))
+            assert open(f1, "rb").read() == open(f2, "rb").read(), \
+                f"{tag}/{os.path.basename(f1)}"
