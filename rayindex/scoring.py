@@ -94,6 +94,11 @@ class MiniIndexProvider:
                 + np.arange(int(lens.sum())) - np.repeat(base, lens))
         return Posting(docs=p.docs[sel], tfs=lens, positions=p.positions[take])
 
+    def fetch_positions_many(self, term_docs) -> list["Posting | None"]:
+        """Batched positional fetch — distributed providers override this
+        to turn a phrase's per-term fetches into one scatter."""
+        return [self.fetch_positions(t, d) for t, d in term_docs]
+
 
 # ---------------------------------------------------------------------------
 # term weights (vectorized over a term's matching candidate subset)
@@ -321,6 +326,38 @@ def _rank_vsm(cand: np.ndarray, postings: dict[str, Posting], query: list[str],
     return cand, scores
 
 
+def rank_singles_pre(postings_w: dict[str, tuple[np.ndarray, np.ndarray]],
+                     scorer: str, stats: Stats, cfg: SearchConfig,
+                     allowed: np.ndarray | None = None
+                     ) -> tuple[np.ndarray, np.ndarray] | None:
+    """rank_singles for PRE-WEIGHTED postings: ``postings_w[term] = (docs,
+    w)`` where ``w[i]`` is the term's full per-doc score contribution,
+    computed where the postings live (a shard-owner actor).  Because the
+    weight kernels are elementwise, owner-side ``w`` equals the values
+    ``_accumulate`` would compute on any candidate subset — accumulating
+    ``w[hit]`` here is bit-identical to the local path, while the wire
+    carries (docs, w) instead of postings + a driver-side doc-length
+    gather.  bm25/reference only (lm/vsm weights depend on query-local
+    tf counts)."""
+    if not postings_w:
+        return None
+    meta = {t: Posting(docs=d, tfs=d[:0]) for t, (d, _) in postings_w.items()}
+    if scorer == "bm25":
+        cand = union_docs(meta, allowed)
+    else:
+        cand = candidates_reference(meta, cfg.candidate_relax, allowed)
+    if cand is None or cand.size == 0:
+        return None
+    acc = np.zeros(cand.size, np.float64)
+    for term in sorted(postings_w):
+        docs, w = postings_w[term]
+        idx = np.searchsorted(cand, docs)
+        idx_c = np.clip(idx, 0, cand.size - 1)
+        hit = cand[idx_c] == docs
+        acc[idx_c[hit]] += w[hit]
+    return cand, acc
+
+
 # composite (doc, position) key space for vectorized positional ops: the
 # low _POS_SHIFT bits hold the 1-based token position, the high bits the
 # doc_id.  67M positions covers the 8 MiB content cap even with the 'code'
@@ -424,7 +461,7 @@ def rank_phrases(provider: MiniIndexProvider, phrases: list[list[str]], scorer: 
             inter = np.intersect1d(inter, allowed, assume_unique=True)
         if inter.size == 0:
             return None
-        ps = [provider.fetch_positions(t, inter) for t in phrase]
+        ps = provider.fetch_positions_many([(t, inter) for t in phrase])
         tdocs, tcounts = _phrase_tf(ps, inter)
         df = int(tdocs.size)
         if fixed_docs is not None:
@@ -530,7 +567,7 @@ def _phrase_docs(provider: MiniIndexProvider, phrase: list[str]) -> np.ndarray:
         inter = np.intersect1d(inter, p.docs, assume_unique=True)
     if inter.size == 0:
         return inter
-    ps = [provider.fetch_positions(t, inter) for t in phrase]
+    ps = provider.fetch_positions_many([(t, inter) for t in phrase])
     tdocs, _ = _phrase_tf(ps, inter)
     return tdocs
 
@@ -549,8 +586,8 @@ def proximity_docs(provider: MiniIndexProvider, q: ProximityQuery) -> np.ndarray
     common = np.intersect1d(m1.docs, m2.docs, assume_unique=True)
     if common.size == 0:
         return np.zeros(0, np.int64)
-    p1 = provider.fetch_positions(q.terms[0], common)
-    p2 = provider.fetch_positions(q.terms[1], common)
+    p1, p2 = provider.fetch_positions_many(
+        [(q.terms[0], common), (q.terms[1], common)])
     ka = _pos_keys(p1)
     kb = _pos_keys(p2)
     if ka.size == 0 or kb.size == 0:
@@ -712,6 +749,16 @@ def wand_topk(provider: MiniIndexProvider, terms: list[str], k: int,
 # ---------------------------------------------------------------------------
 
 
+def query_terms(q) -> list[str]:
+    """Every term a parsed query touches (with duplicates) — the scatter
+    list for batched posting prefetch and the validity-gate input."""
+    if isinstance(q, ProximityQuery):
+        return list(q.terms)
+    if isinstance(q, BooleanQuery):
+        return [t for p in q.terms for t in p]
+    return [t for p in q.parts for t in p]
+
+
 def search_parsed(provider: MiniIndexProvider, q, stats: Stats, cfg: SearchConfig,
                   k: int | None = None, scorer: str | None = None,
                   allowed: np.ndarray | None = None
@@ -722,12 +769,7 @@ def search_parsed(provider: MiniIndexProvider, q, stats: Stats, cfg: SearchConfi
     # retrieval_execution.py:139-147): if NO query term exists in the
     # vocabulary, "no results" — including NOT queries whose boolean
     # universe would otherwise be non-empty
-    if isinstance(q, ProximityQuery):
-        _all_terms = list(q.terms)
-    elif isinstance(q, BooleanQuery):
-        _all_terms = [t for p in q.terms for t in p]
-    else:
-        _all_terms = [t for p in q.parts for t in p]
+    _all_terms = query_terms(q)
     if not any(provider.contains(t) for t in _all_terms):
         return empty
     if isinstance(q, ProximityQuery):

@@ -117,6 +117,76 @@ class _RangedBlob:
         return self.fs.cat_file(self.path, start=s, end=e)
 
 
+class _RangedBinArray:
+    """Doc-indexed fixed-dtype side table (``doc_len.bin``,
+    ``lang_codes.bin``) on object storage, served by BYTE-RANGE reads:
+    ``arr[docs]`` fetches only the 16 KiB chunks containing the requested
+    elements (deduplicated, LRU-cached) — a remote reader never
+    materializes the O(n_docs) table.  ``reads`` records ranges for tests
+    to assert no full fetch happens."""
+
+    _CHUNK = 16384
+    _CACHE_CHUNKS = 256  # ≤ 4 MB resident per array
+
+    def __init__(self, fs, path: str, dtype):
+        self.fs = fs
+        self.path = path
+        self.dtype = np.dtype(dtype)
+        self.nbytes = fs.size(path)
+        self.size = self.nbytes // self.dtype.itemsize
+        self.reads: list[tuple[int, int]] = []
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+
+    def __len__(self) -> int:
+        return self.size
+
+    @property
+    def shape(self):
+        return (self.size,)
+
+    def _chunk(self, c: int) -> np.ndarray:
+        buf = self._cache.get(c)
+        if buf is not None:
+            self._cache.move_to_end(c)
+            return buf
+        s = c * self._CHUNK
+        e = min(s + self._CHUNK, self.nbytes)
+        self.reads.append((s, e))
+        buf = np.frombuffer(self.fs.cat_file(self.path, start=s, end=e),
+                            self.dtype)
+        self._cache[c] = buf
+        while len(self._cache) > self._CACHE_CHUNKS:
+            self._cache.popitem(last=False)
+        return buf
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):  # full/span scan (lang-filter path)
+            start, stop, step = idx.indices(self.size)
+            out = self.read_span(start, stop)
+            return out[::step] if step != 1 else out
+        ids = np.asarray(idx, np.int64)
+        scalar = ids.ndim == 0
+        ids = np.atleast_1d(ids)
+        per = self._CHUNK // self.dtype.itemsize
+        out = np.empty(ids.size, self.dtype)
+        cid = ids // per
+        for c in np.unique(cid).tolist():
+            sel = cid == c
+            out[sel] = self._chunk(int(c))[ids[sel] - c * per]
+        return out[0] if scalar else out
+
+    def read_span(self, start: int, stop: int) -> np.ndarray:
+        isz = self.dtype.itemsize
+        s, e = start * isz, min(stop * isz, self.nbytes)
+        if e <= s:
+            return np.zeros(0, self.dtype)
+        self.reads.append((s, e))
+        return np.frombuffer(self.fs.cat_file(self.path, start=s, end=e),
+                             self.dtype)
+
+
 def _shard_id_of(path: str) -> int:
     name = os.path.basename(path)
     return int(name.split("_")[1].split(".")[0])
@@ -289,29 +359,43 @@ class IndexReader(MiniIndexProvider):
             "bin_sizes": bin_sizes,
             "dicts": dicts,
         }
-        dl_bin = (None if fs is not None
-                  else os.path.join(index_dir, "stats", "doc_len.bin"))
-        if dl_bin is not None and os.path.exists(dl_bin):
-            # doc-meta bins exist (local index): carry only PATHS — each
-            # attaching process mmaps them, the OS page cache shares one
-            # copy per node, and only touched doc ranges ever load.  A
-            # dense in-heap doc_len is O(n_docs) PER PROCESS — impossible
-            # at corpus scale.
+        if fs is not None:
+            stats_root = _strip(index_dir) + "/stats"
+            dl_bin = stats_root + "/doc_len.bin"
+            has_bins = fs.exists(dl_bin)
+        else:
+            stats_root = os.path.join(index_dir, "stats")
+            dl_bin = os.path.join(stats_root, "doc_len.bin")
+            has_bins = os.path.exists(dl_bin)
+        if has_bins:
+            # doc-meta bins exist: carry only PATHS — a local reader mmaps
+            # them (the OS page cache shares one copy per node), a REMOTE
+            # reader serves them by byte-range reads (_RangedBinArray); in
+            # both cases only touched doc ranges ever load.  A dense
+            # in-heap doc_len is O(n_docs) PER PROCESS — impossible at
+            # corpus scale.
             import json
 
-            with open(os.path.join(index_dir, "stats", "lang_vocab.json")) as f:
-                lang_uniq = json.load(f)
-            cs = (pq.read_table(os.path.join(index_dir, "stats",
-                                             "collection_stats.parquet"))
-                  .to_pylist()[0])
+            if fs is not None:
+                with fs.open(stats_root + "/lang_vocab.json") as f:
+                    lang_uniq = json.load(f)
+                cs = _read_parquet(
+                    fs, stats_root + "/collection_stats.parquet").to_pylist()[0]
+            else:
+                with open(os.path.join(stats_root, "lang_vocab.json")) as f:
+                    lang_uniq = json.load(f)
+                cs = (pq.read_table(os.path.join(stats_root,
+                                                 "collection_stats.parquet"))
+                      .to_pylist()[0])
             state.update({
                 "n_docs": cs["n_docs"],
                 "total_tokens": cs["total_tokens"],
-                "doc_meta_dir": os.path.join(index_dir, "stats"),
+                "doc_meta_dir": stats_root,
+                "doc_meta_remote": fs is not None,
                 "lang_uniq": lang_uniq,
             })
             return state
-        # fallback (remote URI or pre-bin index): materialize from parquet
+        # fallback (pre-bin index): materialize from parquet
         cs, ds_t = _load_docmeta(fs, index_dir)
         doc_ids = ds_t["doc_id"].to_numpy()
         doc_len = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 1, np.int64)
@@ -349,11 +433,18 @@ class IndexReader(MiniIndexProvider):
                     self._files.append(b"")
         meta_dir = state.get("doc_meta_dir")
         if meta_dir is not None:
-            # doc-indexed bins: mmap (shared page cache, lazy load)
-            doc_len = np.memmap(os.path.join(meta_dir, "doc_len.bin"),
-                                np.int64, mode="r")
-            self._lang_codes = np.memmap(
-                os.path.join(meta_dir, "lang_codes.bin"), np.int32, mode="r")
+            if state.get("doc_meta_remote"):
+                # object-store index: byte-range access, never a full fetch
+                doc_len = _RangedBinArray(self._fs, meta_dir + "/doc_len.bin",
+                                          np.int64)
+                self._lang_codes = _RangedBinArray(
+                    self._fs, meta_dir + "/lang_codes.bin", np.int32)
+            else:
+                # local doc-indexed bins: mmap (shared page cache, lazy load)
+                doc_len = np.memmap(os.path.join(meta_dir, "doc_len.bin"),
+                                    np.int64, mode="r")
+                self._lang_codes = np.memmap(
+                    os.path.join(meta_dir, "lang_codes.bin"), np.int32, mode="r")
             self._lang_docs = None  # dense: allowed = flatnonzero(code match)
             self._lang_plus1 = True
         else:
@@ -385,8 +476,14 @@ class IndexReader(MiniIndexProvider):
                 if code < 0:
                     hit = np.zeros(0, np.int64)
                 else:
-                    hit = np.flatnonzero(
-                        np.asarray(self._lang_codes) == code + 1).astype(np.int64)
+                    lc = self._lang_codes
+                    codes = (lc.read_span(0, len(lc))
+                             if isinstance(lc, _RangedBinArray)
+                             else np.asarray(lc))
+                    # remote: a lang filter inherently scans every doc's
+                    # code once (4 B/doc ranged read); the resulting doc
+                    # set is cached per lang below
+                    hit = np.flatnonzero(codes == code + 1).astype(np.int64)
             else:
                 hit = np.sort(
                     self._lang_docs[self._lang_codes == code]).astype(np.int64)
@@ -665,7 +762,9 @@ def search_dataset(queries, index_dir: str,
 
 
 class _ShardActor:
-    """Actor body: owns a disjoint shard subset's dictionaries + blobs."""
+    """Actor body: owns a disjoint shard subset's dictionaries + blobs,
+    plus the (mmap'd / ranged) doc-meta bins — enough state to score any
+    query whose terms all live in its subset."""
 
     def __init__(self, index_dir: str, shard_ids: list[int]):
         self.r = IndexReader(index_dir, shard_subset=set(shard_ids))
@@ -674,12 +773,51 @@ class _ShardActor:
         p = self.r.lookup(term, need_positions)
         return None if p is None else (p.docs, p.tfs, p.positions)
 
+    def postings_many(self, terms: list[str], need_positions: bool) -> list:
+        """One message for ALL of a query's terms on this owner (the
+        per-term round trips were the pool's latency floor)."""
+        return [self.postings(t, need_positions) for t in terms]
+
+    def rank_partials(self, terms: list[str], scorer: str,
+                      cfg: SearchConfig) -> list:
+        """Per-term (docs, w) PARTIAL SCORES for additive scorers: the
+        doc-length gather and the weight kernel run here, next to the
+        postings; the wire carries one float per posting instead of
+        (tfs + a driver-side doc_len dependency).  Weight kernels are
+        elementwise, so driver-side accumulation over any candidate set
+        is bit-identical to local scoring (scoring.rank_singles_pre)."""
+        from rayindex.scoring import w_bm25, w_reference
+
+        weight_fn = w_reference if scorer == "reference" else w_bm25
+        out = []
+        for t in terms:
+            p = self.r.lookup(t, need_positions=False)
+            if p is None:
+                out.append(None)
+                continue
+            dls = np.asarray(self.r.stats.doc_len[p.docs], np.float64)
+            w = weight_fn(p.tfs.astype(np.float64), dls, p.df,
+                          self.r.stats, cfg)
+            out.append((p.docs, w))
+        return out
+
     def positions_for(self, term: str, docs: np.ndarray):
         p = self.r.fetch_positions(term, docs)
         return None if p is None else (p.docs, p.tfs, p.positions)
 
+    def positions_for_many(self, term_docs: list) -> list:
+        return [self.positions_for(t, d) for t, d in term_docs]
+
     def contains(self, term: str) -> bool:
         return self.r.contains(term)
+
+    def search_local(self, query: str, k, cfg, analyzer, scorer, lang):
+        """Full query evaluation on this owner — valid whenever EVERY term
+        of the query routes to this actor's shard subset (then its reader
+        sees exactly the postings the full reader would).  Returns top-k
+        (docs, scores): per-query transport is k rows, not postings."""
+        return self.r.search(query, k=k, search_cfg=cfg, analyzer=analyzer,
+                             scorer=scorer, lang=lang)
 
 
 class ShardedSearchPool(MiniIndexProvider):
@@ -705,11 +843,9 @@ class ShardedSearchPool(MiniIndexProvider):
         from rayindex.build import term_shard
 
         self._term_shard = term_shard
-        if "://" in index_dir:
-            import fsspec
-
-            fs, root = fsspec.core.url_to_fs(index_dir)
-            paths = sorted(fs.glob(root.rstrip("/") + "/shards/*.dict.parquet"))
+        fs = _fs_of(index_dir)
+        if fs is not None:
+            paths = sorted(fs.glob(_strip(index_dir) + "/shards/*.dict.parquet"))
         else:
             paths = sorted(glob.glob(os.path.join(index_dir, "shards", "*.dict.parquet")))
         shard_ids = [_shard_id_of(p) for p in paths]
@@ -720,50 +856,161 @@ class ShardedSearchPool(MiniIndexProvider):
             parts[i % num_actors].append(sid)
         actor_cls = ray.remote(num_cpus=num_cpus)(_ShardActor)
         self.actors = [actor_cls.remote(index_dir, ids) for ids in parts]
-        self._owner: dict[int, Any] = {}
-        for actor, ids in zip(self.actors, parts):
+        self._owner_i: dict[int, int] = {}
+        for ai, ids in enumerate(parts):
             for sid in ids:
-                self._owner[sid] = actor
-        # collection + doc metadata stay driver-side (small tables)
-        cs, ds_t = _load_docmeta(_fs_of(index_dir), index_dir)
-        doc_ids = ds_t["doc_id"].to_numpy()
-        doc_len = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 1, np.int64)
-        doc_len[doc_ids] = ds_t["n_tokens"].to_numpy()
+                self._owner_i[sid] = ai
+        # doc metadata: NEVER materialized driver-side — the doc-meta bins
+        # are mmap'd locally / byte-ranged on object storage, exactly like
+        # the shard owners' readers (pre-bin indexes fall back to parquet)
+        if fs is not None:
+            stats_root = _strip(index_dir) + "/stats"
+            has_bins = fs.exists(stats_root + "/doc_len.bin")
+        else:
+            stats_root = os.path.join(index_dir, "stats")
+            has_bins = os.path.exists(os.path.join(stats_root, "doc_len.bin"))
+        if has_bins:
+            import json
+
+            if fs is not None:
+                cs = _read_parquet(
+                    fs, stats_root + "/collection_stats.parquet").to_pylist()[0]
+                with fs.open(stats_root + "/lang_vocab.json") as f:
+                    lang_uniq = json.load(f)
+                doc_len = _RangedBinArray(fs, stats_root + "/doc_len.bin",
+                                          np.int64)
+                self._lang_codes = _RangedBinArray(
+                    fs, stats_root + "/lang_codes.bin", np.int32)
+            else:
+                cs = pq.read_table(os.path.join(
+                    stats_root, "collection_stats.parquet")).to_pylist()[0]
+                with open(os.path.join(stats_root, "lang_vocab.json")) as f:
+                    lang_uniq = json.load(f)
+                doc_len = np.memmap(os.path.join(stats_root, "doc_len.bin"),
+                                    np.int64, mode="r")
+                self._lang_codes = np.memmap(
+                    os.path.join(stats_root, "lang_codes.bin"), np.int32,
+                    mode="r")
+            self._lang_docs = None
+            self._lang_uniq = {v: i for i, v in enumerate(lang_uniq)}
+        else:  # pre-bin index fallback
+            cs, ds_t = _load_docmeta(fs, index_dir)
+            doc_ids = ds_t["doc_id"].to_numpy()
+            doc_len = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 1,
+                               np.int64)
+            doc_len[doc_ids] = ds_t["n_tokens"].to_numpy()
+            self._lang_docs = doc_ids
+            enc = ds_t["lang"].combine_chunks().dictionary_encode()
+            self._lang_fallback_codes = enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int32)
+            self._lang_uniq = {v: i for i, v in
+                               enumerate(enc.dictionary.to_pylist())}
         self.stats = Stats(n_docs=cs["n_docs"], total_tokens=cs["total_tokens"],
                            doc_len=doc_len)
-        self._lang_docs = doc_ids
-        self._lang_vals = np.asarray(ds_t["lang"].to_pylist(), object)
         self._lang_cache: dict[str, np.ndarray] = {}
+        # per-search posting cache, filled by one batched scatter per query
+        self._qcache: dict[tuple[str, bool], Posting | None] = {}
+        # observability for transport-shape tests: rows shipped per path
+        self.metrics = {"delegated": 0, "partial_terms": 0,
+                        "posting_terms": 0, "posting_rows": 0}
 
-    def _actor(self, term: str):
-        return self._owner[self._term_shard(term, self.num_shards)]
+    def _actor_of(self, term: str):
+        return self.actors[self._owner_i[self._term_shard(term, self.num_shards)]]
+
+    @staticmethod
+    def _posting(res) -> Posting | None:
+        return None if res is None else Posting(docs=res[0], tfs=res[1],
+                                                positions=res[2])
+
+    def prefetch(self, terms: list[str], need_positions: bool) -> None:
+        """ONE scatter for all of a query's terms: group by owner, one
+        ``postings_many`` round per owner in parallel (the old per-term
+        blocking ``ray.get`` serialized a round trip per term)."""
+        import ray
+
+        todo: dict[int, list[str]] = {}
+        for t in dict.fromkeys(terms):
+            if (t, need_positions) not in self._qcache:
+                todo.setdefault(
+                    self._owner_i[self._term_shard(t, self.num_shards)],
+                    []).append(t)
+        if not todo:
+            return
+        refs = [(ts, self.actors[ai].postings_many.remote(ts, need_positions))
+                for ai, ts in todo.items()]
+        for ts, ref in refs:
+            for t, res in zip(ts, ray.get(ref)):
+                p = self._posting(res)
+                self._qcache[(t, need_positions)] = p
+                if p is not None:
+                    self.metrics["posting_terms"] += 1
+                    self.metrics["posting_rows"] += int(p.docs.size)
 
     def lookup(self, term: str, need_positions: bool) -> Posting | None:
         import ray
 
-        res = ray.get(self._actor(term).postings.remote(term, need_positions))
-        if res is None:
-            return None
-        return Posting(docs=res[0], tfs=res[1], positions=res[2])
+        key = (term, need_positions)
+        if key in self._qcache:
+            return self._qcache[key]
+        if not need_positions and (term, True) in self._qcache:
+            return self._qcache[(term, True)]
+        p = self._posting(ray.get(
+            self._actor_of(term).postings.remote(term, need_positions)))
+        self._qcache[key] = p
+        if p is not None:
+            self.metrics["posting_terms"] += 1
+            self.metrics["posting_rows"] += int(p.docs.size)
+        return p
 
     def contains(self, term: str) -> bool:
         import ray
 
-        return ray.get(self._actor(term).contains.remote(term))
+        for key in ((term, False), (term, True)):
+            if key in self._qcache:
+                return self._qcache[key] is not None
+        return ray.get(self._actor_of(term).contains.remote(term))
 
     def fetch_positions(self, term: str, docs: np.ndarray) -> Posting | None:
         import ray
 
-        res = ray.get(self._actor(term).positions_for.remote(
-            term, np.asarray(docs, np.int64)))
-        if res is None:
-            return None
-        return Posting(docs=res[0], tfs=res[1], positions=res[2])
+        return self._posting(ray.get(self._actor_of(term).positions_for.remote(
+            term, np.asarray(docs, np.int64))))
+
+    def fetch_positions_many(self, term_docs) -> list[Posting | None]:
+        """Batched positional fetch: one round per owner, in parallel."""
+        import ray
+
+        groups: dict[int, list[int]] = {}
+        for i, (t, _) in enumerate(term_docs):
+            groups.setdefault(
+                self._owner_i[self._term_shard(t, self.num_shards)],
+                []).append(i)
+        out: list = [None] * len(term_docs)
+        refs = [(idxs, self.actors[ai].positions_for_many.remote(
+                    [(term_docs[i][0], np.asarray(term_docs[i][1], np.int64))
+                     for i in idxs]))
+                for ai, idxs in groups.items()]
+        for idxs, ref in refs:
+            for i, res in zip(idxs, ray.get(ref)):
+                out[i] = self._posting(res)
+        return out
 
     def allowed_for_lang(self, lang: str) -> np.ndarray:
         hit = self._lang_cache.get(lang)
         if hit is None:
-            hit = np.sort(self._lang_docs[self._lang_vals == lang]).astype(np.int64)
+            code = self._lang_uniq.get(lang, -1)
+            if self._lang_docs is None:
+                if code < 0:
+                    hit = np.zeros(0, np.int64)
+                else:
+                    lc = self._lang_codes
+                    codes = (lc.read_span(0, len(lc))
+                             if isinstance(lc, _RangedBinArray)
+                             else np.asarray(lc))
+                    hit = np.flatnonzero(codes == code + 1).astype(np.int64)
+            else:
+                hit = np.sort(self._lang_docs[
+                    self._lang_fallback_codes == code]).astype(np.int64)
             self._lang_cache[lang] = hit
         return hit
 
@@ -772,15 +1019,68 @@ class ShardedSearchPool(MiniIndexProvider):
                analyzer: AnalyzerConfig | None = None,
                scorer: str | None = None,
                lang: str | None = None) -> list[tuple[int, float]]:
+        import ray
+
+        from rayindex.query import TermsQuery
+        from rayindex.scoring import query_terms, rank_singles_pre
+
         cfg = search_cfg or SearchConfig()
+        analyzer = analyzer or AnalyzerConfig()
+        eff_scorer = scorer or cfg.scorer
+        q = parse_query(query, analyzer)
+        terms = query_terms(q)
+        owners = {self._owner_i[self._term_shard(t, self.num_shards)]
+                  for t in terms}
+        self._qcache = {}
+        if len(owners) == 1:
+            # every term lives on one owner → ship the QUERY to the data:
+            # full evaluation there, k result rows back (covers every
+            # single-term query, however hot the term)
+            self.metrics["delegated"] += 1
+            ai = next(iter(owners))
+            return ray.get(self.actors[ai].search_local.remote(
+                query, k, search_cfg, analyzer, scorer, lang))
         allowed = None
         if lang is not None:
             allowed = self.allowed_for_lang(lang)
             if allowed.size == 0:
                 return []
-        q = parse_query(query, analyzer or AnalyzerConfig())
-        docs, scores = search_parsed(self, q, self.stats, cfg, k=k, scorer=scorer,
-                                     allowed=allowed)
+        if (isinstance(q, TermsQuery) and eff_scorer in ("bm25", "reference")
+                and all(len(p) == 1 for p in q.parts if p)):
+            # multi-owner additive rank query: owners compute per-term
+            # (docs, w) partials in ONE parallel round; the driver merges —
+            # bit-identical to local TAAT (elementwise weight kernels),
+            # with no tfs / doc-length transport
+            singles = [p[0] for p in q.parts if p]
+            todo: dict[int, list[str]] = {}
+            for t in dict.fromkeys(singles):
+                todo.setdefault(
+                    self._owner_i[self._term_shard(t, self.num_shards)],
+                    []).append(t)
+            refs = [(ts, self.actors[ai].rank_partials.remote(
+                        ts, eff_scorer, cfg))
+                    for ai, ts in todo.items()]
+            pw: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for ts, ref in refs:
+                for t, res in zip(ts, ray.get(ref)):
+                    if res is not None:
+                        pw[t] = res
+            self.metrics["partial_terms"] += len(pw)
+            r = rank_singles_pre(pw, eff_scorer, self.stats, cfg,
+                                 allowed=allowed)
+            if r is None:
+                return []
+            from rayindex.scoring import _top
+
+            cap = cfg.top_k
+            docs, scores = _top(r, min(k or cap, cap))
+            return list(zip(docs.tolist(), scores.tolist()))
+        # general path (phrases, boolean, proximity, lm/vsm): batch the
+        # term fetches into one scatter, then run the standard kernels
+        self.prefetch(terms, need_positions=False)
+        docs, scores = search_parsed(self, q, self.stats, cfg, k=k,
+                                     scorer=scorer, allowed=allowed)
+        self._qcache = {}
         return list(zip(docs.tolist(), scores.tolist()))
 
 

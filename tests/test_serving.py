@@ -71,8 +71,8 @@ def test_sharded_pool_identical(ray_session, tiny_build, tiny_reader):
     pool = ShardedSearchPool(tiny_build["out"], num_actors=2)
     assert pool.num_shards == tiny_build["cfg"].num_shards
     owned = set()
-    for actor, ids in [(a, [s for s, o in pool._owner.items() if o is a])
-                       for a in pool.actors]:
+    for ai in range(len(pool.actors)):
+        ids = [s for s, o in pool._owner_i.items() if o == ai]
         assert ids, "every actor must own at least one shard"
         assert not (owned & set(ids)), "shard ownership must be disjoint"
         owned |= set(ids)
@@ -82,7 +82,7 @@ def test_sharded_pool_identical(ray_session, tiny_build, tiny_reader):
         got = pool.search(qtext, k=k)
         _assert_identical(want, got, f"sharded/{kind}/{qtext!r}")
     # metadata filter path
-    langs = sorted({v for v in pool._lang_vals.tolist() if v})
+    langs = sorted(v for v in pool._lang_uniq if v)
     for lang in langs[:2]:
         for qtext, kind, k in QUERIES[:10]:
             want = tiny_reader.search(qtext, k=k, lang=lang)
@@ -135,3 +135,76 @@ def test_shared_state_searcher_identical(ray_session, tiny_build, tiny_reader):
         sub = res[res["query_id"] == qid].sort_values("rank")
         got = list(zip(sub["doc_id"].tolist(), sub["score"].tolist()))
         _assert_identical(want, got, f"pool/{qid}")
+
+
+def test_remote_reader_docmeta_ranged(tiny_build, tiny_reader):
+    """A file:// reader must never materialize doc_stats: doc lengths come
+    from byte-range reads of the doc_len.bin side table (chunk-granular),
+    and the lang filter runs off the dense code bin remotely too."""
+    from rayindex.searcher import IndexReader, _RangedBinArray
+
+    r2 = IndexReader("file://" + tiny_build["out"])
+    assert isinstance(r2.stats.doc_len, _RangedBinArray)
+    r2.stats.doc_len.reads.clear()
+    for qtext, kind, k in QUERIES[:10]:
+        want = tiny_reader.search(qtext, k=k)
+        _assert_identical(want, r2.search(qtext, k=k), f"remote-meta/{qtext!r}")
+    reads = r2.stats.doc_len.reads
+    assert reads, "scoring must touch doc_len through ranged reads"
+    assert all(e - s <= _RangedBinArray._CHUNK for s, e in reads)
+    lang = sorted(v for v in r2._lang_uniq if v)[0]
+    got = r2.search("def", k=5, lang=lang)
+    _assert_identical(tiny_reader.search("def", k=5, lang=lang), got,
+                      "remote-lang")
+
+
+def test_sharded_pool_transport_shape(ray_session, tiny_build, tiny_reader):
+    """Serving-scale contract: (a) the pool never materializes doc_stats
+    (doc_len is the mmap'd bin); (b) a single-term query — however hot —
+    ships only k result rows back (full delegation, zero posting rows);
+    (c) a multi-owner rank query ships per-term (docs, w) partials, never
+    full postings."""
+    from rayindex.build import term_shard
+    from rayindex.searcher import ShardedSearchPool
+
+    pool = ShardedSearchPool(tiny_build["out"], num_actors=2)
+    assert isinstance(pool.stats.doc_len, np.memmap)
+    assert not hasattr(pool, "_lang_vals")
+
+    got = pool.search("def", k=10)
+    _assert_identical(tiny_reader.search("def", k=10), got, "delegate")
+    assert pool.metrics["delegated"] == 1
+    assert pool.metrics["posting_rows"] == 0
+
+    words = ["def", "return", "import", "class", "self", "data", "value",
+             "result", "index", "count"]
+    from rayindex.config import AnalyzerConfig
+    from rayindex.query import parse_query
+    from rayindex.scoring import query_terms
+
+    by_owner: dict[int, list[str]] = {}
+    for w in words:
+        terms = query_terms(parse_query(w, AnalyzerConfig()))
+        if not terms:
+            continue  # analyzed away (stopword)
+        by_owner.setdefault(
+            pool._owner_i[term_shard(terms[0], pool.num_shards)], []).append(w)
+    assert len(by_owner) >= 2, "test words must span two owners"
+    q = " ".join(v[0] for v in list(by_owner.values())[:2])
+    _assert_identical(tiny_reader.search(q, k=10), pool.search(q, k=10),
+                      f"partials/{q!r}")
+    assert pool.metrics["partial_terms"] >= 1
+    assert pool.metrics["posting_rows"] == 0, \
+        "rank queries must ship partial scores, not decoded postings"
+
+
+def test_sharded_pool_remote_uri(ray_session, tiny_build, tiny_reader):
+    """The pool over a file:// URI: owners serve ranged blob reads, the
+    driver's doc meta is byte-ranged — results stay identical."""
+    from rayindex.searcher import ShardedSearchPool, _RangedBinArray
+
+    pool = ShardedSearchPool("file://" + tiny_build["out"], num_actors=2)
+    assert isinstance(pool.stats.doc_len, _RangedBinArray)
+    for qtext, kind, k in QUERIES[:12]:
+        want = tiny_reader.search(qtext, k=k)
+        _assert_identical(want, pool.search(qtext, k=k), f"pool-uri/{qtext!r}")
