@@ -761,6 +761,76 @@ th AS (SELECT doc_id, generate_subscripts(tl, 1) AS i,
 """
 
 
+def _minhash_cte(num_perm: int = 64, bands: int = 16, shingle_k: int = 5) -> str:
+    """Shared CTE chain reproducing rayindex.datapipe.dedup's MinHash-LSH
+    in pure DuckDB: FNV-1a token hashes → k-token rolling shingles (uint64
+    Horner, wrap at 2^64) → 32-bit fold → the SEEDED universal-hash
+    permutations (a·x+b mod 2^31−1; the rng-derived (a, b) constants are
+    inlined as VALUES — data, not logic) → per-doc signature lists → banded
+    candidate pairs (any of ``bands`` equal slices).  Ends with ``cand``
+    (doc_a, doc_b, sa, sb) and exposes ``shs`` (exact shingle sets) for
+    the verification oracle."""
+    from rayindex.datapipe.dedup import _minhash_params
+
+    a, b, _ = _minhash_params(num_perm)
+    perm_vals = ", ".join(f"({i}, {int(ai)}, {int(bi)})"
+                          for i, (ai, bi) in enumerate(zip(a, b)))
+    rows = num_perm // bands
+    k = shingle_k
+    return f"""
+            {_FNV_CTE},
+            hl AS (SELECT doc_id, list(h ORDER BY i) AS hs
+                   FROM th GROUP BY doc_id),
+            short AS (SELECT doc_id, array_to_string(tl, ' ') AS s
+                      FROM tokl WHERE len(tl) BETWEEN 1 AND {k - 1}),
+            jh AS (SELECT doc_id, list_reduce(
+                       list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                                    list_transform(string_split(s, ''),
+                                                   c -> CAST(ord(c) AS HUGEINT))),
+                       (h, b) -> ((h - (h % 128)
+                                   + CAST(xor(CAST(h % 128 AS BIGINT),
+                                              CAST(b AS BIGINT)) AS HUGEINT))
+                                  * 1099511628211) % 18446744073709551616) AS sh
+                   FROM short),
+            rolled AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(hs) - {k - 2}),
+                           j -> list_reduce(
+                                  list_slice(hs, CAST(j AS INT),
+                                             CAST(j + {k - 1} AS INT)),
+                                  (acc, x) -> (acc * 1000003 + x)
+                                              % 18446744073709551616))) AS sh
+                       FROM hl WHERE len(hs) >= {k}),
+            shs AS (SELECT DISTINCT doc_id, sh FROM
+                    (SELECT * FROM rolled UNION ALL SELECT * FROM jh)),
+            folded AS (SELECT doc_id,
+                         xor(CAST(sh % 4294967296 AS BIGINT),
+                             CAST(sh // 4294967296 AS BIGINT)) AS x
+                       FROM shs),
+            perms(perm, pa, pb) AS (VALUES {perm_vals}),
+            minv AS (SELECT f.doc_id, p.perm,
+                            min((p.pa * f.x + p.pb) % 2147483647) AS v
+                     FROM folded f CROSS JOIN perms p
+                     GROUP BY f.doc_id, p.perm),
+            sigrows AS (
+              SELECT d.doc_id, p.perm,
+                     CAST(coalesce(m.v, 18446744073709551615) AS UBIGINT) AS v
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              CROSS JOIN perms p
+              LEFT JOIN minv m ON m.doc_id = d.doc_id AND m.perm = p.perm),
+            sl AS (SELECT doc_id, list(v ORDER BY perm) AS sig
+                   FROM sigrows GROUP BY doc_id),
+            cand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.sig AS sa, b.sig AS sb
+              FROM sl a JOIN sl b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(range({bands}),
+                    bi -> list_slice(a.sig, CAST(bi * {rows} + 1 AS INT),
+                                     CAST(bi * {rows} + {rows} AS INT))
+                          = list_slice(b.sig, CAST(bi * {rows} + 1 AS INT),
+                                       CAST(bi * {rows} + {rows} AS INT)))) > 0)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     probe = ", ".join(f"'{t}'" for t in PROBE_TERMS)
     qvals = ", ".join(
@@ -1151,5 +1221,39 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY v.cf DESC, v.term LIMIT 1),
                             p.probe) END AS corrected
             FROM probes p
+        """,
+        # est_jaccard = (# equal signature positions)/64 — an exact dyadic
+        # rational, so the double hashes identically across engines
+        "minhash_pairs": f"""
+            WITH {_minhash_cte()}
+            SELECT doc_a, doc_b,
+                   len(list_filter(range(64),
+                       i -> sa[CAST(i + 1 AS INT)] = sb[CAST(i + 1 AS INT)]))
+                     / 64.0 AS est_jaccard
+            FROM cand
+        """,
+        "neardup_verified": f"""
+            WITH {_minhash_cte()},
+            cnt AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+            inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+                      FROM cand c JOIN shs x ON x.doc_id = c.doc_a
+                                  JOIN shs y ON y.doc_id = c.doc_b
+                                            AND y.sh = x.sh
+                      GROUP BY c.doc_a, c.doc_b),
+            j AS (SELECT c.doc_a, c.doc_b,
+                         coalesce(i.i, 0) AS i,
+                         coalesce(ca.n, 0) + coalesce(cb.n, 0)
+                           - coalesce(i.i, 0) AS u
+                  FROM cand c
+                  LEFT JOIN cnt ca ON ca.doc_id = c.doc_a
+                  LEFT JOIN cnt cb ON cb.doc_id = c.doc_b
+                  LEFT JOIN inter i ON i.doc_a = c.doc_a
+                                   AND i.doc_b = c.doc_b)
+            SELECT doc_a, doc_b,
+                   CAST(round((CASE WHEN u = 0 THEN 1.0
+                                    ELSE i::DOUBLE / u END) * 1e6) AS BIGINT)
+                     AS jaccard_micro
+            FROM j
+            WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i::DOUBLE / u END) >= 0.5
         """,
     }

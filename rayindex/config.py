@@ -107,6 +107,9 @@ class SearchConfig:
     top_k: int = 100           # reference result cap (helpers.py:135)
     boolean_cap: int = 500     # boolean result cap (boolean_retrieval.py:36)
     candidate_relax: int = 100  # <100 docs → intersection falls back toward union
-    algorithm: str = "taat"    # "taat" (vectorized term-at-a-time) | "bmw" (block-max WAND)
+    # "taat" (vectorized term-at-a-time) | "bmw" (block-max WAND) |
+    # "auto" (per-query routing from dict metadata: block-bound dispersion
+    # × doc-axis coverage — scoring.auto_prefers_bmw)
+    algorithm: str = "taat"
     lm_mu: float = 1303.0
     lm_g: float = 0.2

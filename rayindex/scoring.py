@@ -759,6 +759,45 @@ def query_terms(q) -> list[str]:
     return [t for p in q.parts for t in p]
 
 
+def auto_prefers_bmw(provider, terms, stats: Stats, cfg: SearchConfig) -> bool:
+    """Per-query TAAT-vs-block-max routing from DICT METADATA alone (no
+    posting decode): block-max pruning pays off only when segments exist
+    where few terms are active and the active bounds sit far below the
+    top-k threshold.  Estimate the MEAN segment bound as
+    Σ_t coverage_t · mean(block bounds of t) — where ``coverage_t`` is the
+    fraction of the query's doc axis the term's block ranges actually span
+    (a scattered term covers ~everything and is unprunable however rare) —
+    and compare against the threshold proxy max_t max(bound): prune-able
+    ⟺ the average segment's bound falls well below what the strongest
+    term alone can score.  Both failure modes route correctly: a uniform
+    corpus (every term covers the axis, flat bounds) sums above the proxy
+    → TAAT; a clustered rare term (narrow ranges, high idf) collapses the
+    mean segment bound → bmw.  Wrong guesses cost only time — both
+    algorithms are exact and identity-gated."""
+    if not hasattr(provider, "lookup_lazy"):
+        return False
+    lps = [lp for lp in (provider.lookup_lazy(t) for t in set(terms))
+           if lp is not None and lp.n_blocks]
+    if not lps:
+        return False
+    total_blocks = sum(lp.n_blocks for lp in lps)
+    if total_blocks < 64:
+        return False  # tiny lists: one vectorized TAAT pass beats setup
+    axis_lo = min(int(lp.block_first[0]) for lp in lps)
+    axis_hi = max(int(lp.block_last[-1]) for lp in lps)
+    axis = max(1, axis_hi - axis_lo + 1)
+    mean_seg_bound = 0.0
+    theta_proxy = 0.0
+    for lp in lps:
+        ub = w_bm25(lp.block_max_tf.astype(np.float64),
+                    lp.block_min_dl.astype(np.float64), lp.df, stats, cfg)
+        cover = min(1.0, float(
+            (lp.block_last - lp.block_first + 1).sum()) / axis)
+        mean_seg_bound += cover * float(ub.mean())
+        theta_proxy = max(theta_proxy, float(ub.max()))
+    return mean_seg_bound < 0.8 * theta_proxy
+
+
 def search_parsed(provider: MiniIndexProvider, q, stats: Stats, cfg: SearchConfig,
                   k: int | None = None, scorer: str | None = None,
                   allowed: np.ndarray | None = None
@@ -796,8 +835,12 @@ def search_parsed(provider: MiniIndexProvider, q, stats: Stats, cfg: SearchConfi
     singles, phrases = separate_mix(parts)
     # single-term queries: one vectorized pass over the posting list beats
     # doc-at-a-time traversal (no other terms to prune against)
-    use_wand = (cfg.algorithm == "bmw" and scorer == "bm25"
-                and len(set(singles)) > 1 and not phrases and allowed is None)
+    wand_ok = (scorer == "bm25" and len(set(singles)) > 1 and not phrases
+               and allowed is None)
+    use_wand = wand_ok and (
+        cfg.algorithm == "bmw"
+        or (cfg.algorithm == "auto"
+            and auto_prefers_bmw(provider, singles, stats, cfg)))
     if use_wand:
         return wand_topk(provider, singles, k or cfg.top_k, stats, cfg)
     t = (rank_singles(provider, singles, scorer, stats, cfg, allowed=allowed)

@@ -194,6 +194,26 @@ def test_bmw_skips_blocks_on_clustered_corpus(ray_session, tmp_path):
         assert decoded["n"] < 0.35 * total_blocks, (
             f"bmw decoded {decoded['n']}/{total_blocks} blocks — "
             "block skipping did not engage on a clustered corpus")
+
+        # algorithm="auto" must route THIS query to bmw (clustered rare
+        # term → prunable) and stay identical...
+        from rayindex import scoring
+
+        acfg = SearchConfig(scorer="bm25", algorithm="auto")
+        decoded["n"] = 0
+        c = r.search(q, k=10, search_cfg=acfg)
+        _assert_identical(b, c, "auto-clustered")
+        assert 0 < decoded["n"] < 0.35 * total_blocks, \
+            "auto did not route the clustered query to bmw"
+        assert scoring.auto_prefers_bmw(r, q.split(), r.stats, acfg)
+        # ...and route an UNPRUNABLE query (every term covers the whole doc
+        # axis with flat bounds) to taat: no block decodes at all
+        q2 = "alpha beta gamma delta"
+        assert not scoring.auto_prefers_bmw(r, q2.split(), r.stats, acfg)
+        decoded["n"] = 0
+        d = r.search(q2, k=10, search_cfg=acfg)
+        _assert_identical(r.search(q2, k=10, search_cfg=tcfg), d, "auto-uniform")
+        assert decoded["n"] == 0, "auto routed an unprunable query to bmw"
     finally:
         LazyPosting.decode_blocks = orig
 
