@@ -1484,6 +1484,9 @@ class _ShardMerger:
         self.fingerprint = fingerprint
         self.block_size = block_size
         self.shard_ids = list(shard_ids)
+        # finish() may launch before the shards stage formally begins
+        # (overlapped with the stats stage) — the dir must exist by then
+        os.makedirs(shard_dir, exist_ok=True)
         self.parts: dict[int, list[pa.RecordBatch]] = {
             int(s): [] for s in shard_ids}
 
@@ -1555,16 +1558,25 @@ class _MergePool:
         ]
         self.num_shards = cfg.num_shards
         self._pending: list = []
+        self._finish_refs: list | None = None
 
     def feed(self, files: list[str]) -> None:
         if files:
             self._pending += [a.add_spools.remote(list(files))
                               for a in self.actors]
 
+    def begin_finish(self) -> None:
+        """Launch the splices WITHOUT waiting: actor method ordering
+        guarantees every fed add_spools runs first, so the caller can
+        overlap the (driver-side) stats stage with the merge work."""
+        if self._finish_refs is None:
+            self._finish_refs = [a.finish.remote() for a in self.actors]
+
     def finish(self) -> dict[str, Any]:
+        self.begin_finish()
         ray.get(self._pending)
-        stats = [s for part in ray.get([a.finish.remote()
-                                        for a in self.actors]) for s in part]
+        self._pending = []
+        stats = [s for part in ray.get(self._finish_refs) for s in part]
         self.shutdown()
         return {
             "n_terms": int(sum(s["n_terms"] for s in stats)),
@@ -1810,6 +1822,11 @@ def build_index(
         r2 = ckpt.run_stage(
             "chunks",
             lambda d: _stage_chunks(doc_store, d, cfg, doc_stats_dir))
+    # start the shard splices NOW — they depend only on the fed spools, so
+    # they overlap the (driver-side, footer-only) stats stage and the
+    # doc-meta-bin thread below
+    if resolved.get("pool") is not None and not ckpt.is_done("shards"):
+        resolved["pool"].begin_finish()
     # clear=False: the doc_stats parts under stats/ were side-written by the
     # tokenize stage (which wipes them itself on re-run); this stage only
     # aggregates N / l_tot from them
