@@ -509,12 +509,19 @@ class IndexReader(MiniIndexProvider):
         return self._find(term) is not None
 
     def iter_terms(self):
-        """Yield (term, cf) over the whole vocabulary (spellcheck dict)."""
+        """Yield (term, cf) over the whole vocabulary (spellcheck dict).
+        Decodes each shard's term bytes through ONE Arrow array build
+        (C-speed) instead of a per-row Python slice+decode loop."""
         for d in self._dicts:
             offs, data, cf = d["term_offs"], d["term_data"], d["cf"]
-            for row in range(offs.size - 1):
-                yield (data[offs[row]:offs[row + 1]].tobytes().decode(),
-                       int(cf[row]))
+            n = offs.size - 1
+            if n <= 0:
+                continue
+            terms = pa.Array.from_buffers(
+                pa.large_utf8(), n,
+                [None, pa.py_buffer(np.ascontiguousarray(offs)),
+                 pa.py_buffer(np.ascontiguousarray(data))]).to_pylist()
+            yield from zip(terms, (int(c) for c in cf))
 
     def _blocks(self, d: dict, name: str, row: int) -> np.ndarray:
         off = d[f"{name}_off"]
