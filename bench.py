@@ -236,7 +236,8 @@ def run_bench() -> dict:
         shutil.rmtree(wout, ignore_errors=True)
 
     # -- headline: index build over the code corpus (fresh dir, no resume) --
-    out = f"/tmp/rayindex_bench_idx_{os.getpid()}"
+    out = os.path.join(os.environ.get("RAYINDEX_BENCH_OUTDIR", "/tmp"),
+                       f"rayindex_bench_idx_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     cfg = BuildConfig(num_shards=32, tokenize_batch_size=256)
     t0 = time.perf_counter()
