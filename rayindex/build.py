@@ -56,7 +56,8 @@ import ray
 import ray.data
 
 from rayindex import analysis, codec, schema
-from rayindex.io import direct_write, direct_write_table
+from rayindex.io import (AsyncFileWriter, direct_write, direct_write_table,
+                         serialize_table)
 from rayindex.checkpoint import (BuildCheckpoint, StageResult,
                                  atomic_write_bytes, fingerprint_of)
 from rayindex.config import BuildConfig
@@ -356,12 +357,17 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
     flush_idx = 0
     task_key = f"{metas[0][3]:012d}" if metas else "empty"
     spooled: list[str] = []
+    # overlapped output: doc-store parts and spool files are written by a
+    # background thread while this thread tokenizes the next unit
+    # (os.write releases the GIL); aw.close() below is the durability
+    # barrier before any spool name is published to the driver
+    aw = AsyncFileWriter()
 
     def flush() -> None:
         nonlocal pending, pending_rows, flush_idx
         if pending:
             spooled.append(_spool_chunks(pa.concat_tables(pending), chunks_dir,
-                                         f"{task_key}-{flush_idx:03d}"))
+                                         f"{task_key}-{flush_idx:03d}", aw))
             pending = []
             pending_rows = 0
             flush_idx += 1
@@ -409,8 +415,8 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
             if e > s:
                 g = t.slice(s, e - s)
                 tmp = os.path.join(out, f"part-u{unit:06d}-{lo:09d}.parquet.tmp-{os.getpid()}")
-                direct_write_table(tmp, g, pq.write_table)
-                os.replace(tmp, os.path.join(out, f"part-u{unit:06d}-{lo:09d}.parquet"))
+                aw.submit(tmp, [serialize_table(g, pq.write_table)],
+                          os.path.join(out, f"part-u{unit:06d}-{lo:09d}.parquet"))
             lo = hi
         if tok is not None:
             tcols = t.select([c for c in emit_cols if c in t.column_names])
@@ -431,6 +437,12 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
         else:
             outs.append(pa.table({"n": pa.array([kept], pa.int64())}))
     flush()
+    # durability barrier: joins the writer thread and re-raises its first
+    # error — after this every part/spool submitted above is on disk under
+    # its final name.  (On an exception above, the task fails and Ray
+    # retries it; names are deterministic and bytes idempotent, so a
+    # straggling write from the failed attempt is byte-identical.)
+    aw.close()
     if not outs:
         if tok is not None:
             return pa.table({"n": pa.array([], pa.int64()),
@@ -839,7 +851,8 @@ class TokenizeToChunks:
         _spool_chunks(chunks, self.chunks_spool_dir, f"{first_doc:012d}")
 
 
-def _spool_chunks(chunks: pa.Table, spool_dir: str, name_key: str) -> str:
+def _spool_chunks(chunks: pa.Table, spool_dir: str, name_key: str,
+                  aw: AsyncFileWriter | None = None) -> str:
     """One IPC spool file: record batch i holds shard runs[i]; the shard
     list rides in the schema metadata so a merge task can read only its
     own batches (mmap + footer random access).  Idempotent name (name_key
@@ -862,9 +875,14 @@ def _spool_chunks(chunks: pa.Table, spool_dir: str, name_key: str) -> str:
         for s, e in zip(run_starts.tolist(), run_ends.tolist()):
             writer.write_batch(
                 chunks.slice(s, e - s).to_batches()[0])
-    direct_write(tmp, [sink.getvalue()])
     final = os.path.join(spool_dir, name)
-    os.replace(tmp, final)
+    if aw is not None:
+        # overlapped write: the name is returned immediately, but the
+        # caller only publishes spool names after aw.close() succeeds
+        aw.submit(tmp, [sink.getvalue()], final)
+    else:
+        direct_write(tmp, [sink.getvalue()])
+        os.replace(tmp, final)
     return final
 
 
@@ -1550,7 +1568,14 @@ class _MergePool:
     without changing the dictionary format."""
 
     def __init__(self, shard_dir: str, fingerprint: str, cfg: BuildConfig):
-        n = max(1, min(cfg.num_shards, cfg.max_concurrent_merges))
+        # cap splice concurrency by the CLUSTER's CPU count too: the
+        # num_cpus=0 merger actors bypass Ray's slot accounting, so
+        # without this a 2-slot cluster would still run 8 concurrent
+        # splicers — 4 cores of merge work on a "2-CPU cluster", which
+        # breaks both the DRAM-cap rationale (8 per NODE) and any
+        # fixed-cluster-size scaling measurement
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n = max(1, min(cfg.num_shards, cfg.max_concurrent_merges, ncpu))
         self.actors = [
             _ShardMerger.remote(shard_dir, fingerprint, cfg.block_size,
                                 list(range(a, cfg.num_shards, n)))

@@ -20,22 +20,25 @@ from __future__ import annotations
 
 import mmap
 import os
+import queue
+import threading
 from typing import Iterable
 
 # staging buffer: large enough to amortize syscalls, small enough that a
 # few dozen concurrent writers don't matter (8 MiB x 32 = 256 MB once,
-# reused for the worker's lifetime)
+# reused for the worker's lifetime).  THREAD-local: AsyncFileWriter's
+# background thread writes concurrently with the task thread.
 _STAGE_BYTES = 8 << 20
 _ALIGN = 4096
 
-_stage: mmap.mmap | None = None
+_tls = threading.local()
 
 
 def _get_stage() -> mmap.mmap:
-    global _stage
-    if _stage is None:
-        _stage = mmap.mmap(-1, _STAGE_BYTES)  # anonymous => page-aligned
-    return _stage
+    stage = getattr(_tls, "stage", None)
+    if stage is None:
+        stage = _tls.stage = mmap.mmap(-1, _STAGE_BYTES)  # anon => aligned
+    return stage
 
 
 def _write_full(fd: int, mv) -> None:
@@ -124,13 +127,68 @@ def _buffered_write(path: str, buffers: Iterable) -> None:
             f.write(buf)
 
 
+class AsyncFileWriter:
+    """One background thread that performs ``direct_write(tmp, buffers)``
+    + atomic ``os.replace(tmp, final)`` pairs, so a task's file output
+    overlaps its compute (``os.write`` releases the GIL; on the bench
+    host a synchronous 200k-file build loses ~5 s of 32-leg wall to
+    serialized disk stalls — tmpfs 15.4 s vs disk 20.4 s).
+
+    The queue is bounded (one item queued + one in flight) so a task can
+    stage at most two serialized outputs in heap beyond its own working
+    set.  ``close()`` drains the queue, joins the thread and re-raises
+    the first write error — callers MUST close before treating any
+    submitted file as durable (e.g. before returning spool names to the
+    driver).  Submitted buffers are owned by the writer until written;
+    callers must not mutate them."""
+
+    def __init__(self, maxsize: int = 1):
+        self._q: queue.Queue = queue.Queue(maxsize=maxsize)
+        self._err: BaseException | None = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            tmp, buffers, final = item
+            try:
+                if self._err is None:
+                    direct_write(tmp, buffers)
+                    if final is not None:
+                        os.replace(tmp, final)
+            except BaseException as e:  # surfaced by close()
+                self._err = e
+
+    def submit(self, tmp: str, buffers, final: str | None) -> None:
+        if self._err is not None:
+            self.close()
+        self._q.put((tmp, buffers, final))
+
+    def close(self) -> None:
+        if self._t.is_alive():
+            self._q.put(None)
+            self._t.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
 def direct_write_table(path: str, table, writer_fn) -> None:
     """Serialize with ``writer_fn(table, sink)`` into an in-memory Arrow
     sink, then ``direct_write`` the bytes (parquet/IPC writers don't take
     O_DIRECT fds; one in-heap staging copy trades for the page-cache
     allocation tax)."""
+    direct_write(path, [serialize_table(table, writer_fn)])
+
+
+def serialize_table(table, writer_fn):
+    """``writer_fn(table, sink)`` into an in-memory Arrow sink; returns
+    the pyarrow.Buffer (ready for direct_write / AsyncFileWriter)."""
     import pyarrow as pa
 
     sink = pa.BufferOutputStream()
     writer_fn(table, sink)
-    direct_write(path, [sink.getvalue()])
+    return sink.getvalue()

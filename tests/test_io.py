@@ -52,3 +52,49 @@ def test_direct_write_overwrite_shrinks(tmp_path):
     direct_write(p, [b"y" * 5000])
     got = open(p, "rb").read()
     assert got == b"y" * 5000  # O_TRUNC + tail truncate leave no residue
+
+
+def test_async_writer_roundtrip_and_rename(tmp_path):
+    from rayindex.io import AsyncFileWriter
+
+    rng = np.random.default_rng(11)
+    aw = AsyncFileWriter()
+    want = {}
+    for i in range(8):
+        data = rng.integers(0, 255, 300000 + i * 9973, dtype=np.uint8).tobytes()
+        tmp = str(tmp_path / f".f{i}.tmp")
+        final = str(tmp_path / f"f{i}.bin")
+        aw.submit(tmp, [data], final)
+        want[final] = data
+    aw.close()
+    for final, data in want.items():
+        assert open(final, "rb").read() == data
+        assert not os.path.exists(final.replace("f", ".f", 1) + "")
+
+
+def test_async_writer_error_propagates(tmp_path):
+    from rayindex.io import AsyncFileWriter
+
+    aw = AsyncFileWriter()
+    aw.submit(str(tmp_path / "no_dir" / "x.tmp"), [b"abc"],
+              str(tmp_path / "no_dir" / "x.bin"))
+    with pytest.raises(OSError):
+        aw.close()
+
+
+def test_async_writer_concurrent_with_main_thread_writes(tmp_path):
+    # the stage buffer is thread-local: main-thread direct_write must not
+    # race the background writer's staging
+    from rayindex.io import AsyncFileWriter
+
+    rng = np.random.default_rng(13)
+    aw = AsyncFileWriter()
+    datas = [rng.integers(0, 255, 2_000_000, dtype=np.uint8).tobytes()
+             for _ in range(4)]
+    for i, d in enumerate(datas):
+        aw.submit(str(tmp_path / f".a{i}"), [d], str(tmp_path / f"a{i}"))
+        direct_write(str(tmp_path / f"m{i}"), [d])
+    aw.close()
+    for i, d in enumerate(datas):
+        assert open(str(tmp_path / f"a{i}"), "rb").read() == d
+        assert open(str(tmp_path / f"m{i}"), "rb").read() == d
