@@ -239,7 +239,10 @@ def run_bench() -> dict:
     out = os.path.join(os.environ.get("RAYINDEX_BENCH_OUTDIR", "/tmp"),
                        f"rayindex_bench_idx_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
-    cfg = BuildConfig(num_shards=32, tokenize_batch_size=256)
+    cfg = BuildConfig(num_shards=32, tokenize_batch_size=256,
+                      **({"max_concurrent_merges": int(m)}
+                         if (m := os.environ.get("RAYINDEX_BENCH_MERGES"))
+                         else {}))
     t0 = time.perf_counter()
     with _CpuMonitor() as mon:
         res = build_index(CORPUS_DIR, out, cfg)
