@@ -690,6 +690,41 @@ def _q_spellcheck(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_db_metadata(sf_dir: str) -> pa.Table:
+    """DB metadata sink (S6–S8, T6): stream document metadata through
+    the actor-pool DBAPI sink — one parameterized executemany + commit
+    per batch, reconnect with bounded backoff (vs the reference's
+    per-row interpolated INSERT + 900 s sleep-and-drop,
+    db_updater.py:4-14) — into a SQLite side table, then read the table
+    back.  The oracle is a bare projection of ``documents``: only a
+    faithful, complete, type-stable round-trip matches
+    rows+schema+hash.  Also exercises the truncator (S8, force-gated)
+    so re-entry starts from an empty table."""
+    import tempfile
+
+    import ray.data
+
+    from rayindex.db import (MetadataSink, read_table, sqlite_connect_fn,
+                             truncate_table)
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    db = os.path.join(tempfile.gettempdir(),
+                      f"rayindex_dbsink_{os.getpid()}.sqlite")
+    cf = sqlite_connect_fn(db)
+    truncate_table(cf, "doc_metadata", force=True, missing_ok=True)
+    src_schema = pq.read_schema(_docs_path(sf_dir))
+    sunk = ray.data.read_parquet(_docs_path(sf_dir), columns=cols).map_batches(
+        MetadataSink, batch_format="pyarrow", concurrency=2, batch_size=128,
+        fn_constructor_kwargs=dict(
+            connect_fn=cf, table="doc_metadata", columns=cols,
+            create_from=pa.schema([src_schema.field(c) for c in cols])),
+    ).sum("rows_written")
+    t = read_table(cf, "doc_metadata", cols)
+    if sunk != t.num_rows:
+        raise AssertionError(f"sink wrote {sunk} rows, table holds {t.num_rows}")
+    return t.sort_by("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_stats": _q_term_stats,
@@ -724,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "spellcheck": _q_spellcheck,
+        "db_metadata": _q_db_metadata,
     }
 
 
@@ -1187,6 +1223,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                    sha256(text) AS payload_sha256
             FROM documents
+        """,
+        # the sink round-trips documents metadata through the DB; a bare
+        # projection is the whole contract
+        "db_metadata": """
+            SELECT doc_id, lang, source, n_chars FROM documents
         """,
         # same vocabulary (ascii tokens + cf), same probe derivation
         # (substr surgery on the top-8 cf terms), same correction rule
