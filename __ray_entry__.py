@@ -690,6 +690,59 @@ def _q_spellcheck(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_date_parse(sf_dir: str):
+    """Date parser/filter (M3, reference drop-invalid semantics): a
+    deterministic date-string column derived from doc_id (every 7th doc
+    gets unparseable garbage, mirroring the reference's bad-date rows),
+    parsed and filtered by one vectorized strptime kernel.  Day-of-month
+    stays <= 28 so Arrow strptime and DuckDB try_strptime agree on
+    validity for every probe."""
+    import ray.data
+
+    from rayindex.datapipe.text import parse_date_filter
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        strs = [f"bad{i}" if i % 7 == 3
+                else f"{2000 + i % 30:04d}{1 + i % 12:02d}{1 + i % 28:02d}"
+                for i in ids]
+        return t.append_column("date_str", pa.array(strs, pa.string()))
+
+    return (ds.map_batches(synth, batch_format="pyarrow")
+              .map_batches(parse_date_filter, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+
+def _q_html_unescape(sf_dir: str):
+    """HTML entity decode (M4): documents.text is wrapped in a
+    deterministic entity-laden template (escape = exact inverse of the
+    operator), then decoded by the chained vectorized replace kernels.
+    The oracle builds the decoded expectation directly with string
+    concatenation, so any decode error (missing entity, wrong order on
+    '&amp;lt;'-style nesting) hash-mismatches."""
+    import ray.data
+
+    from rayindex.datapipe.text import html_escape_batch, html_unescape_batch
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        esc = html_escape_batch(t, "text")
+        col = pc.binary_join_element_wise(
+            pa.scalar('&lt;p id=&quot;&amp;lt;x&amp;gt;&quot;&gt; ', pa.string()),
+            pc.cast(esc["text"], pa.string()),
+            " &amp;tail &#39;end&#39;", "")
+        return t.set_column(t.column_names.index("text"), "text", col)
+
+    return (ds.map_batches(wrap, batch_format="pyarrow")
+              .map_batches(html_unescape_batch, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+
 def _q_db_metadata(sf_dir: str) -> pa.Table:
     """DB metadata sink (S6–S8, T6): stream document metadata through
     the actor-pool DBAPI sink — one parameterized executemany + commit
@@ -760,6 +813,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "spellcheck": _q_spellcheck,
         "db_metadata": _q_db_metadata,
+        "date_parse": _q_date_parse,
+        "html_unescape": _q_html_unescape,
     }
 
 
@@ -1228,6 +1283,23 @@ def oracle_sql() -> dict[str, str]:
         # projection is the whole contract
         "db_metadata": """
             SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        # same doc_id-derived probe strings; drop-invalid = try_strptime NULL
+        "date_parse": """
+            WITH d AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 3 THEN 'bad' || CAST(doc_id AS VARCHAR)
+                        ELSE printf('%04d%02d%02d', 2000 + doc_id % 30,
+                                    1 + doc_id % 12, 1 + doc_id % 28) END AS ds
+                 FROM documents),
+            p AS (SELECT doc_id, try_strptime(ds, '%Y%m%d') AS ts FROM d)
+            SELECT doc_id, CAST(epoch(ts) AS BIGINT) // 86400 AS epoch_day
+            FROM p WHERE ts IS NOT NULL
+        """,
+        # the decoded expectation built directly: any decode error mismatches
+        "html_unescape": """
+            SELECT doc_id,
+                   '<p id="&lt;x&gt;"> ' || text || ' &tail ''end''' AS text
+            FROM documents
         """,
         # same vocabulary (ascii tokens + cf), same probe derivation
         # (substr surgery on the top-8 cf terms), same correction rule

