@@ -354,6 +354,7 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
            if tok_cfg is not None else None)
     pending: list[pa.Table] = []
     pending_rows = 0
+    pending_bytes = 0
     flush_idx = 0
     task_key = f"{metas[0][3]:012d}" if metas else "empty"
     spooled: list[str] = []
@@ -364,12 +365,13 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
     aw = AsyncFileWriter()
 
     def flush() -> None:
-        nonlocal pending, pending_rows, flush_idx
+        nonlocal pending, pending_rows, pending_bytes, flush_idx
         if pending:
             spooled.append(_spool_chunks(pa.concat_tables(pending), chunks_dir,
                                          f"{task_key}-{flush_idx:03d}", aw))
             pending = []
             pending_rows = 0
+            pending_bytes = 0
             flush_idx += 1
 
     outs = []
@@ -427,8 +429,13 @@ def _write_units_direct(metas: list[tuple[int, str, int, int, int, str]],
                 if ct.num_rows:
                     pending.append(ct)
                     pending_rows += ct.num_rows
+                    pending_bytes += ct.nbytes
                     rows += ct.num_rows
-                if pending_rows >= (1 << 20):  # bound task heap at scale
+                # memory-size estimator (A9): bound the task heap by rows
+                # AND measured bytes — large docs blow the byte cap long
+                # before the row cap
+                if (pending_rows >= tok_cfg.spool_flush_rows
+                        or pending_bytes >= tok_cfg.spool_flush_bytes):
                     flush()
             outs.append(pa.table({"n": pa.array([kept], pa.int64()),
                                   "rows": pa.array([rows], pa.int64())}))
@@ -895,14 +902,15 @@ def _tokenize_parts(paths: list[str], cfg: BuildConfig,
     pending: list[pa.Table] = []
     rows = 0
     pending_rows = 0
+    pending_bytes = 0
     first_key = None
 
     def flush() -> None:
-        nonlocal pending, pending_rows, first_key
+        nonlocal pending, pending_rows, pending_bytes, first_key
         if pending:
             _spool_chunks(pa.concat_tables(pending), spool_dir,
                           f"{first_key:012d}")
-        pending, pending_rows, first_key = [], 0, None
+        pending, pending_rows, pending_bytes, first_key = [], 0, 0, None
 
     for p in paths:
         t = pq.read_table(
@@ -916,11 +924,13 @@ def _tokenize_parts(paths: list[str], cfg: BuildConfig,
                 pending.append(ct)
                 rows += ct.num_rows
                 pending_rows += ct.num_rows
-                # same bounded-heap flush threshold as the fused path —
+                pending_bytes += ct.nbytes
+                # same bounded-heap estimator as the fused path (A9) —
                 # a task holding many doc-store parts must not accumulate
                 # the whole run's posting chunks in memory (spool names
                 # stay idempotent: first doc_id of the flushed span)
-                if pending_rows >= (1 << 20):
+                if (pending_rows >= cfg.spool_flush_rows
+                        or pending_bytes >= cfg.spool_flush_bytes):
                     flush()
     flush()
     return rows

@@ -79,11 +79,22 @@ class BuildConfig:
     # max_concurrent_merges); on a multi-node cluster set this to 8 × nodes
     # (the bound is per-node DRAM, which Ray's logical CPUs can't express).
     max_concurrent_merges: int = 8
+    # memory-size estimator (reference A9: the 60k-doc segment flush,
+    # index_build.py:188-197, is a heap-size proxy): a tokenize task
+    # spools its pending chunk tables when EITHER the row count or the
+    # measured Arrow byte size crosses its cap — rows alone misjudge
+    # heap when documents (and so position lists) are large.  Flush
+    # cadence never changes final index bytes (the merge is
+    # batching-invariant by the determinism gate).
+    spool_flush_rows: int = 1 << 20
+    spool_flush_bytes: int = 256 << 20
 
     def fingerprint(self) -> str:
         d = asdict(self)
         # execution-only knobs (scheduling hints) don't change artifacts
         d.pop("max_concurrent_merges", None)
+        d.pop("spool_flush_rows", None)
+        d.pop("spool_flush_bytes", None)
         return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]
 
 

@@ -113,6 +113,14 @@ def test_build_deterministic_across_partitioning(ray_session, tmp_path):
                 input_token="det-test-ds")
     outs.append(out4)
 
+    # o5: byte-capped spool flushes (A9 memory estimator) — forcing a
+    # flush per ~4 KiB of pending chunks must not change any artifact
+    out5 = tmp_path / "o5"
+    cfg5 = BuildConfig(num_shards=4, tokenize_batch_size=16,
+                       spool_flush_bytes=4 << 10)
+    build_index(str(src), str(out5), cfg5)
+    outs.append(out5)
+
     for other in outs[1:]:
         for f1 in sorted(glob.glob(str(outs[0] / "shards" / "*.bin"))):
             f2 = str(other / "shards" / os.path.basename(f1))
