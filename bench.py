@@ -5,6 +5,9 @@
                                  # fresh processes; reports files/sec at both
                                  # + scaling efficiency (the sandbox stand-in
                                  # for the N vs 4N cluster criterion)
+    python bench.py --scaling-query  # steady-state query QPS through a
+                                 # warmed searcher actor pool at the same two
+                                 # levels over the IDENTICAL cached index
 
 Headline = full inverted-index build (ingest → tokenize/chunk → salted
 groupby merge → shard write) over the deterministic synthetic source-code
@@ -349,6 +352,200 @@ def run_bench() -> dict:
     }
 
 
+QIDX_DIR = f"/tmp/rayindex_bench_qidx_v1_{N_FILES}"
+
+
+def _ensure_query_index() -> str:
+    """Build the query-bench index once (untimed) and cache it under /tmp —
+    the build is byte-deterministic across parallelism levels, so every
+    scaling leg queries the IDENTICAL artifact."""
+    marker = os.path.join(QIDX_DIR, "_complete")
+    if os.path.exists(marker):
+        return QIDX_DIR
+    _ensure_corpus()
+    shutil.rmtree(QIDX_DIR, ignore_errors=True)
+    from rayindex.config import BuildConfig
+    from rayindex.engine import build_index
+
+    build_index(CORPUS_DIR, QIDX_DIR,
+                BuildConfig(num_shards=32, tokenize_batch_size=256))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return QIDX_DIR
+
+
+def _query_texts(n: int) -> list[str]:
+    """Deterministic workload: the fixed query set plus generated 1–4-term
+    queries.  $RAYINDEX_BENCH_QUERY_MIX picks the vocabulary profile:
+
+    - ``dense``: head-of-zipf terms (``def``/``return``/rank<1000) that
+      occur in nearly EVERY synthetic doc — every query streams
+      full-corpus postings, a pure DRAM-bandwidth stress.
+    - ``selective``: mid/tail terms (rank 200+) with short postings — the
+      CPU-bound shape of real query logs, where most terms are selective.
+    - ``mixed`` (default): 1 dense query in 5, selective otherwise.
+    """
+    from rayindex import corpus
+
+    mix = os.environ.get("RAYINDEX_BENCH_QUERY_MIX", "mixed")
+    out = list(corpus.fixed_queries()["query"].to_pylist())
+    dense = ["def", "return", "import", "class", "self"] + [
+        corpus._VOCAB[i] for i in (0, 1, 2, 5, 9, 20, 40, 100, 300, 900)
+    ]
+    sel = [corpus._VOCAB[(211 + 97 * j) % 4800 + 200] for j in range(64)]
+    i = 0
+    while len(out) < n:
+        k = 1 + i % 4
+        base = dense if (mix == "dense" or (mix == "mixed" and i % 5 == 0)) \
+            else sel
+        out.append(" ".join(base[(i + j) % len(base)] for j in range(k)))
+        i += 1
+    return out[:n]
+
+
+def run_query_bench() -> dict:
+    """One leg of query-throughput scaling: steady-state QPS through a pool
+    of ``num_cpus`` warmed searcher actors over the cached index.  Actor
+    init (dict attach, page faults) and index build are untimed; the timed
+    region is pure query serving with dynamic per-actor dispatch."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import pyarrow as pa
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from rayindex.config import SearchConfig
+    from rayindex.searcher import Searcher, build_shared_state
+
+    idx = _ensure_query_index()
+    n_q = int(os.environ.get("RAYINDEX_BENCH_QUERIES", "16384"))
+    bsz = int(os.environ.get("RAYINDEX_BENCH_QUERY_BATCH", "32"))
+    texts = _query_texts(n_q)
+    batches = []
+    for s in range(0, n_q, bsz):
+        chunk = texts[s:s + bsz]
+        batches.append(pa.table({
+            "query_id": pa.array(range(s, s + len(chunk)), pa.int64()),
+            "query": pa.array(chunk),
+            "k": pa.array([10] * len(chunk), pa.int32()),
+        }))
+
+    class _QueryActor(Searcher):
+        def run(self, batch) -> int:
+            return self.__call__(batch).num_rows
+
+        def warm(self, bs) -> int:
+            n = self.prefault()  # Lucene-style mmap preload, untimed
+            for b in bs:
+                self.__call__(b)
+            return n
+
+    scfg = SearchConfig(scorer="bm25", algorithm="taat")
+    shared = build_shared_state(idx)
+    QA = ray.remote(num_cpus=1)(_QueryActor)
+    actors = [QA.remote(idx, search_cfg=scfg, shared_state=shared)
+              for _ in range(num_cpus)]
+    # untimed warm: every actor prefaults the shard blobs (PTE population +
+    # readahead — the once-per-replica startup cost a serving fleet pays
+    # before taking traffic) and serves the FULL workload once, so the
+    # timed region below measures steady-state serving: hot posting cache
+    # for repeated terms, page-cache-resident positional decode for phrase
+    # terms (positions are decoded per query by design).
+    ray.get([a.warm.remote(batches) for a in actors])
+
+    passes = int(os.environ.get("RAYINDEX_BENCH_QUERY_PASSES", "16"))
+    work = [b for _ in range(passes) for b in batches]
+    t0 = time.perf_counter()
+    with _CpuMonitor() as mon:
+        it = iter(work)
+        pending: dict = {}
+        for a in actors:
+            for _ in range(2):
+                b = next(it, None)
+                if b is None:
+                    break
+                pending[a.run.remote(b)] = a
+        n_rows = 0
+        while pending:
+            done, _ = ray.wait(list(pending.keys()), num_returns=1)
+            a = pending.pop(done[0])
+            n_rows += ray.get(done[0])
+            b = next(it, None)
+            if b is not None:
+                pending[a.run.remote(b)] = a
+    wall = time.perf_counter() - t0
+    n_served = n_q * passes
+    mu, ms = mon.totals()
+    ray.shutdown()
+    return {
+        "metric": "rayindex_query_only",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": {"query_sec": round(wall, 3),
+                    "query_cpu_sec": round(mu + ms, 1),
+                    "query_stime_sec": round(ms, 1),
+                    "query_ms_per_q": round(wall / n_served * 1000, 3)},
+        "num_cpus": num_cpus,
+        "n_queries": n_served,
+        "distinct_queries": n_q,
+        "passes": passes,
+        "qps": round(n_served / wall, 1),
+        "n_result_rows": int(n_rows),
+    }
+
+
+def run_scaling_query() -> dict:
+    """Query-throughput scaling: the same fixed workload served at two
+    actor-pool sizes in fresh processes over the IDENTICAL cached index.
+    Serving is embarrassingly parallel (no shuffle, no merge tail), so this
+    isolates the query path's N→4N contract from the build's."""
+    reps = int(os.environ.get("RAYINDEX_BENCH_REPS", "2"))
+    lo, hi = (int(x) for x in
+              os.environ.get("RAYINDEX_BENCH_LEVELS", "8,32").split(","))
+    results: dict[int, dict] = {}
+    for rep in range(reps):
+        for ncpu in (lo, hi):
+            os.sync()
+            time.sleep(5)
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--query-bench"],
+                env=env, capture_output=True, text=True, check=True)
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            best = results.get(ncpu)
+            if best is None or r["qps"] > best["qps"]:
+                results[ncpu] = r
+    r_lo, r_hi = results[lo], results[hi]
+    factor = hi / lo
+    cpu_lo = r_lo["queries"]["query_cpu_sec"]
+    cpu_hi = r_hi["queries"]["query_cpu_sec"]
+    ec_lo = cpu_lo / r_lo["queries"]["query_sec"]
+    ec_hi = cpu_hi / r_hi["queries"]["query_sec"]
+    return {
+        "metric": "rayindex_query_scaling",
+        "mode": "query-strong",
+        "n_queries": r_lo["n_queries"],
+        "levels": [lo, hi],
+        f"qps_{lo}cpu": r_lo["qps"],
+        f"qps_{hi}cpu": r_hi["qps"],
+        f"ms_per_q_{lo}cpu": r_lo["queries"]["query_ms_per_q"],
+        f"ms_per_q_{hi}cpu": r_hi["queries"]["query_ms_per_q"],
+        "scaling_efficiency": round(r_hi["qps"] / (factor * r_lo["qps"]), 3),
+        f"cpu_sec_{lo}cpu": round(cpu_lo, 1),
+        f"cpu_sec_{hi}cpu": round(cpu_hi, 1),
+        f"effective_cores_{lo}cpu": round(ec_lo, 2),
+        f"effective_cores_{hi}cpu": round(ec_hi, 2),
+        "cpu_work_ratio": round(cpu_hi / cpu_lo, 3) if cpu_lo else None,
+        "effective_core_scaling": (round(ec_hi / (factor * ec_lo), 3)
+                                   if ec_lo else None),
+        "rows_equal": r_lo["n_result_rows"] == r_hi["n_result_rows"],
+    }
+
+
 def run_scaling() -> dict:
     """Same headline build at two parallelism levels in fresh processes (the
     sandbox stand-in for N vs 4N nodes); efficiency = tput_32 / (4·tput_8)."""
@@ -414,7 +611,11 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-query" in sys.argv:
+        print(json.dumps(run_scaling_query()))
+    elif "--query-bench" in sys.argv:
+        print(json.dumps(run_query_bench()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

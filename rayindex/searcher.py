@@ -464,6 +464,32 @@ class IndexReader(MiniIndexProvider):
         self._post_cache_budget = (
             int(os.environ.get("RAYINDEX_POSTING_CACHE_MB", "128")) << 20)
 
+    def prefault(self) -> int:
+        """Fault every page of the local shard blobs (and doc-meta bins)
+        into this process's page tables — the Lucene
+        ``MMapDirectory.setPreload`` startup warm.  A serving fleet calls
+        this once per replica before taking traffic so first-touch page
+        faults (disk readahead + PTE population) never land inside a
+        query; on this host the lazy-VM fault tax is ~0.1 ms/page, so a
+        cold hot-term phrase query would otherwise stall for seconds.
+        No-op for remote (byte-range) blobs.  Returns bytes touched."""
+        touched = 0
+        sink = np.int64(0)
+        for buf in self._files:
+            if isinstance(buf, mmap.mmap) and len(buf):
+                if hasattr(buf, "madvise"):
+                    buf.madvise(mmap.MADV_WILLNEED)
+                arr = np.frombuffer(buf, np.uint8)
+                sink += int(arr[::4096].sum()) + int(arr[-1])
+                touched += arr.nbytes
+        for m in (self.stats.doc_len, self._lang_codes):
+            if isinstance(m, np.memmap) and m.size:
+                v = m.view(np.uint8)
+                sink += int(v[::4096].astype(np.int64).sum())
+                touched += v.nbytes
+        self._prefault_sink = int(sink)  # defeat dead-code elimination
+        return touched
+
     def allowed_for_lang(self, lang: str) -> np.ndarray:
         """Doc set for a metadata filter (the reference's date2doc analog,
         /root/reference/indexing/index_builder/index_build.py:94-99)."""
@@ -702,6 +728,10 @@ class Searcher:
         self.reader = IndexReader(index_dir, shared_state=shared_state)
         self.cfg = search_cfg or SearchConfig()
         self.analyzer = analyzer or AnalyzerConfig()
+
+    def prefault(self) -> int:
+        """Startup page warm (see ``IndexReader.prefault``)."""
+        return self.reader.prefault()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs_out, scores_out = [], [], [], []
