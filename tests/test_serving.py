@@ -208,3 +208,18 @@ def test_sharded_pool_remote_uri(ray_session, tiny_build, tiny_reader):
     for qtext, kind, k in QUERIES[:12]:
         want = tiny_reader.search(qtext, k=k)
         _assert_identical(want, pool.search(qtext, k=k), f"pool-uri/{qtext!r}")
+
+
+def test_prefault_identical_and_idempotent(tiny_build, tiny_reader):
+    """The startup page warm (Searcher.prefault) must touch every local
+    blob byte, be idempotent, and leave query results bit-identical —
+    it is a pure page-table populate, never a semantic change."""
+    from rayindex.searcher import IndexReader
+
+    r = IndexReader(tiny_build["out"])
+    want = [tiny_reader.search(q, k=k) for q, _, k in QUERIES[:12]]
+    touched = r.prefault()
+    assert touched > 0
+    assert r.prefault() == touched  # idempotent, same byte census
+    for (q, _, k), w in zip(QUERIES[:12], want):
+        _assert_identical(w, r.search(q, k=k), f"prefault/{q!r}")
