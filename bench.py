@@ -259,6 +259,9 @@ def run_bench() -> dict:
         for sub in ("pass1_s", "pipeline_s"):
             if sub in st:
                 timings[f"build_{name}_{sub}"] = st[sub]
+        for sub, v in st.items():  # merge-tail phase profile (actor-seconds)
+            if sub.startswith("splice_"):
+                timings[f"build_{sub}"] = v
 
     if build_only:
         shutil.rmtree(out, ignore_errors=True)
@@ -561,6 +564,7 @@ def run_scaling() -> dict:
     # levels) is the default.
     weak = os.environ.get("RAYINDEX_BENCH_WEAK") == "1"
     base_files = int(os.environ.get("RAYINDEX_BENCH_FILES", "50000"))
+    load_at_start = float(open("/proc/loadavg").read().split()[0])
     results = {}
     # INTERLEAVE the levels (lo, hi, lo, hi, ...) rather than grouping them:
     # later runs are systematically slower on this host (writeback pressure,
@@ -607,6 +611,18 @@ def run_scaling() -> dict:
         f"effective_cores_{hi}cpu": round(ec_hi, 2),
         "cpu_work_ratio": round(cpu_hi / cpu_lo, 3) if cpu_lo else None,
         "effective_core_scaling": round(ec_hi / (factor * ec_lo), 3) if ec_lo else None,
+        # merge-tail attribution per leg (the one intentionally
+        # DRAM-capped stage; see _ShardMerger)
+        **{f"shards_sec_{lvl}cpu": results[lvl]["queries"].get(
+            "build_shards_sec") for lvl in (lo, hi)},
+        **{f"splice_crit_s_{lvl}cpu": results[lvl]["queries"].get(
+            "build_splice_crit_s") for lvl in (lo, hi)},
+        # provenance for the sample census: where artifacts landed (disk vs
+        # tmpfs — the shared single-box disk is the one resource a real 4N
+        # cluster would multiply) and ambient load when the pair STARTED
+        # (at pair end the 1-minute average is dominated by our own legs)
+        "outdir": os.environ.get("RAYINDEX_BENCH_OUTDIR", "/tmp"),
+        "loadavg_1m": load_at_start,
     }
 
 

@@ -57,7 +57,7 @@ import ray.data
 
 from rayindex import analysis, codec, schema
 from rayindex.io import (AsyncFileWriter, direct_write, direct_write_table,
-                         serialize_table)
+                         keep_heap_resident, serialize_table)
 from rayindex.checkpoint import (BuildCheckpoint, StageResult,
                                  atomic_write_bytes, fingerprint_of)
 from rayindex.config import BuildConfig
@@ -622,7 +622,9 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
                     cfg, doc_stats_dir, chunks_out)
                 for i in range(0, len(metas), per_task)]
         if shard_dir is not None and fingerprint is not None:
-            pool = _MergePool(shard_dir, fingerprint, cfg)
+            pool = _MergePool(shard_dir, fingerprint, cfg,
+                              expected_spool_bytes=n_docs
+                              * _MergePool._SPOOL_BYTES_PER_DOC)
         pending = list(refs)
         rows_sum = 0
         while pending:
@@ -1176,6 +1178,7 @@ class _FineView:
     """
 
     def __init__(self, group: pa.Table, block_size: int | None):
+        _t0 = time.perf_counter()
         g = group
         sort_keys = [("term", "ascending"), ("block_id", "ascending"),
                      ("first_doc", "ascending")]
@@ -1291,12 +1294,39 @@ class _FineView:
             pa.array(perm[grp_start[self.tg_start]], pa.int64())).to_pylist()
 
         # --- assemble the output streams (chunk-direct ragged gathers) ----
-        doc_bc = _BlobChunks(g["doc_blob"])
-        tf_bc = _BlobChunks(g["tf_blob"])
-        pos_bc = _BlobChunks(g["pos_blob"])
-        row_len = doc_bc.row_lens()[perm]   # sorted row order
-        tf_len = tf_bc.row_lens()[perm]
-        pos_len = pos_bc.row_lens()[perm]
+        _t1 = time.perf_counter()
+        self.t_sort = _t1 - _t0
+        # One Arrow ``take`` per stream: a single C++ memcpy pass that lands
+        # the blob bytes contiguously in SORTED row order.  For tf/pos the
+        # taken data buffer IS the output stream verbatim; only the doc
+        # stream needs further surgery (strip each internal row's absolute
+        # VB head, splice in a bridge delta), done with boolean-mask
+        # compress/scatter passes.  The previous per-byte int64 fancy-index
+        # gather moved ~18 bytes of DRAM traffic per payload byte and was
+        # 85% of the merge tail (measured: 50 of 57 actor-seconds at 200k
+        # docs / 32 shards).
+        perm_arr = pa.array(perm, pa.int64())
+
+        def taken(col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+            arr = col.take(perm_arr)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            bufs = arr.buffers()  # [validity, offsets, data]
+            od = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            offs_all = (np.frombuffer(bufs[1], od) if bufs[1] is not None
+                        else np.zeros(1, od))
+            offs = offs_all[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+            data = np.frombuffer(bufs[2] or b"", np.uint8)
+            if offs.size and offs[0]:
+                # rebase so offs index ``data`` from 0 (sliced parent array)
+                data = data[offs[0]:]
+                offs = offs - offs[0]
+            return arr, data, offs
+
+        _doc_arr, doc_np, doc_offs = taken(g["doc_blob"])
+        _tf_arr, tf_np, tf_offs = taken(g["tf_blob"])
+        _pos_arr, pos_np, pos_offs = taken(g["pos_blob"])
+        row_len = np.diff(doc_offs)        # sorted row order
         internal = np.ones(n, bool)
         internal[grp_start] = False
         iidx = np.flatnonzero(internal)
@@ -1304,7 +1334,7 @@ class _FineView:
         bridge_len_row = np.zeros(n, np.int64)
         bridge_start_row = np.zeros(n, np.int64)
         if iidx.size:
-            heads[iidx] = doc_bc.head_lens(perm[iidx])
+            heads[iidx] = _vb_head_lens(doc_np, doc_offs[iidx])
             bridge_vals = (first[iidx] - last[iidx - 1]).astype(np.uint64)
             bout, bends = codec._vb_encode_arr(bridge_vals)
             bstart = np.zeros(iidx.size, np.int64)
@@ -1316,26 +1346,46 @@ class _FineView:
         bodyB_len = row_len - heads
         out_len = bridge_len_row + bodyB_len
         out_start = np.cumsum(out_len) - out_len
-        out = np.empty(int(out_len.sum()), np.uint8)
-        _ragged_copy(out, out_start, bout, bridge_start_row, bridge_len_row)
-        doc_bc.gather(perm, out, out_start + bridge_len_row, bodyB_len,
-                      head_skip=heads)
+        total = int(out_len.sum())
+        out = np.empty(total, np.uint8)
+        # body bytes: drop internal heads from the taken buffer (boolean
+        # compress), then scatter into the non-bridge output positions
+        m = int(doc_offs[-1]) if doc_offs.size else 0
+        keep = np.ones(m, bool)
+        if iidx.size:
+            hl = heads[iidx]
+            hsum = int(hl.sum())
+            if hsum:
+                hbase = np.cumsum(hl) - hl
+                hidx = (np.repeat(doc_offs[iidx], hl)
+                        + np.arange(hsum, dtype=np.int64) - np.repeat(hbase, hl))
+                keep[hidx] = False
+        if bout.size:
+            bmask = np.zeros(total, bool)
+            bsum = int(bridge_len_row.sum())
+            bbase = np.cumsum(bridge_len_row) - bridge_len_row
+            boff = np.arange(bsum, dtype=np.int64) - np.repeat(bbase[iidx],
+                                                               bridge_len_row[iidx])
+            bpos = np.repeat(out_start[iidx], bridge_len_row[iidx]) + boff
+            bmask[bpos] = True
+            out[bpos] = bout[np.repeat(bridge_start_row[iidx],
+                                       bridge_len_row[iidx]) + boff]
+            out[~bmask] = doc_np[:m][keep]
+        else:
+            out[:] = doc_np[:m][keep]
         self.doc_stream = out
         cs_out = cs(out_len)
         self.g_doc_start = cs_out[grp_start]
         self.g_doc_len = cs_out[grp_end] - cs_out[grp_start]
-        tf_out = np.empty(int(tf_len.sum()), np.uint8)
-        tf_bc.gather(perm, tf_out, np.cumsum(tf_len) - tf_len, tf_len)
-        self._tf_mv = memoryview(tf_out)
-        cs_tf = cs(tf_len)
-        self.g_tf_start = cs_tf[grp_start]
-        self.g_tf_len = cs_tf[grp_end] - cs_tf[grp_start]
-        pos_out = np.empty(int(pos_len.sum()), np.uint8)
-        pos_bc.gather(perm, pos_out, np.cumsum(pos_len) - pos_len, pos_len)
-        self._pos_mv = memoryview(pos_out)
-        cs_pos = cs(pos_len)
-        self.g_pos_start = cs_pos[grp_start]
-        self.g_pos_len = cs_pos[grp_end] - cs_pos[grp_start]
+        # tf/pos: the taken buffers are the streams; keep the arrays alive
+        # via the memoryview -> ndarray -> Arrow buffer chain
+        self._tf_mv = memoryview(tf_np[: int(tf_offs[-1]) if tf_offs.size else 0])
+        self.g_tf_start = tf_offs[grp_start]
+        self.g_tf_len = tf_offs[grp_end] - tf_offs[grp_start]
+        self._pos_mv = memoryview(pos_np[: int(pos_offs[-1]) if pos_offs.size else 0])
+        self.g_pos_start = pos_offs[grp_start]
+        self.g_pos_len = pos_offs[grp_end] - pos_offs[grp_start]
+        self.t_gather = time.perf_counter() - _t1
 
 
 
@@ -1358,6 +1408,12 @@ class WriteShard:
         self.shard_dir = shard_dir
         self.fingerprint = fingerprint
         self.block_size = block_size
+        # phase accounting for the merge tail (the one stage that cannot
+        # overlap ingest): view = lexsort + ragged gathers (DRAM-bound),
+        # write = blob O_DIRECT, dict = term-dictionary parquet
+        self.timings = {"view_s": 0.0, "view_sort_s": 0.0,
+                        "view_gather_s": 0.0, "meta_s": 0.0,
+                        "write_s": 0.0, "dict_s": 0.0}
 
     def __call__(self, group: pa.Table) -> pa.Table:
         empty = pa.table({"shard": pa.array([], pa.int64()),
@@ -1371,7 +1427,12 @@ class WriteShard:
             m = json.load(open(BuildCheckpoint.shard_manifest_path(self.shard_dir, shard_id)))
             return pa.table({"shard": [shard_id], "n_terms": [m["n_terms"]],
                              "bytes": [m["bytes"]], "skipped": [True]})
+        _t0 = time.perf_counter()
         v = _FineView(group, block_size=self.block_size)
+        _t1 = time.perf_counter()
+        self.timings["view_s"] += _t1 - _t0
+        self.timings["view_sort_s"] += v.t_sort
+        self.timings["view_gather_s"] += v.t_gather
         tg_s, tg_e = v.tg_start, v.tg_end
         nt = v.n_terms
 
@@ -1425,6 +1486,8 @@ class WriteShard:
             },
             schema=schema.TERM_DICT,
         )
+        _t2 = time.perf_counter()
+        self.timings["meta_s"] += _t2 - _t1
         # stream the blob file record by record — per-term memoryview slices
         # of the assembled doc stream and the (contiguous) tf/pos buffers
         doc_view = memoryview(v.doc_stream)
@@ -1445,10 +1508,13 @@ class WriteShard:
 
         direct_write(tmp_path, _RecordStream())
         os.replace(tmp_path, bin_path)
+        _t3 = time.perf_counter()
+        self.timings["write_s"] += _t3 - _t2
         total_bytes = int(rec.sum())
         tmp = os.path.join(self.shard_dir, f"shard_{shard_id:05d}.dict.parquet.tmp-{os.getpid()}")
         direct_write_table(tmp, dict_table, pq.write_table)
         os.replace(tmp, os.path.join(self.shard_dir, f"shard_{shard_id:05d}.dict.parquet"))
+        self.timings["dict_s"] += time.perf_counter() - _t3
         BuildCheckpoint.write_shard_manifest(
             self.shard_dir, shard_id, self.fingerprint,
             {"n_terms": int(nt), "bytes": total_bytes},
@@ -1506,8 +1572,11 @@ class _ShardMerger:
     Splice concurrency is still bounded by the ACTOR COUNT
     (= max_concurrent_merges, the per-node DRAM-bandwidth annotation)."""
 
+    _ARENA_SLAB = 32 << 20
+    _ARENA_CAP = 1 << 30
+
     def __init__(self, shard_dir: str, fingerprint: str, block_size: int,
-                 shard_ids: list[int]):
+                 shard_ids: list[int], prewarm_bytes: int = 0):
         self.shard_dir = shard_dir
         self.fingerprint = fingerprint
         self.block_size = block_size
@@ -1517,6 +1586,74 @@ class _ShardMerger:
         os.makedirs(shard_dir, exist_ok=True)
         self.parts: dict[int, list[pa.RecordBatch]] = {
             int(s): [] for s in shard_ids}
+        # Route Arrow allocations (the splice's ``take`` outputs) through
+        # malloc so they reuse the prefaulted heap below; Arrow's default
+        # pool returns pages to the OS, which would refault per shard.
+        pa.set_memory_pool(pa.system_memory_pool())
+        keep_heap_resident()
+        # Lazy-VM page-fault tax mitigation: on this class of host a fresh
+        # anonymous page costs ~0.1-0.5 ms at first touch.  The splice
+        # allocates ~3x a shard's blob bytes; touched cold on the build's
+        # critical tail, that tax dominated the merge (measured: cold view
+        # 1.13 s vs 0.15 s with a prewarmed heap, per 288k-row shard).
+        # A BACKGROUND thread pre-faults heap slabs and touches incoming
+        # spool pages via GIL-releasing libc calls, so the stalls overlap
+        # ingest without serializing behind the actor's method queue (an
+        # in-method arena touch backed up the feed stream by 40+ s at 200k
+        # docs).  MALLOC_TRIM_THRESHOLD_=-1 / keep_heap_resident() keeps
+        # the freed slab pages mapped for the splice to reuse.
+        self._slabs: list[np.ndarray] = []
+        import queue as _q
+        import threading as _th
+        self._touchq: "_q.Queue" = _q.Queue()
+        self._toucher = _th.Thread(target=self._touch_loop,
+                                   args=(int(prewarm_bytes),), daemon=True)
+        self._toucher.start()
+
+    def _touch_loop(self, prewarm_bytes: int) -> None:
+        try:
+            import ctypes
+            libc = ctypes.CDLL(None, use_errno=True)
+            libc.memset.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_size_t]
+            libc.memcmp.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_size_t]
+            libc.memcmp.restype = ctypes.c_int
+
+            def fault_slab(a: np.ndarray) -> None:
+                libc.memset(a.ctypes.data, 0, a.size)
+
+            def fault_batch(b: pa.RecordBatch) -> None:
+                for arr in b.columns:
+                    for buf in arr.buffers():
+                        if buf is not None and buf.size:
+                            libc.memcmp(buf.address, buf.address, buf.size)
+        except Exception:  # pragma: no cover - non-glibc fallback
+            def fault_slab(a: np.ndarray) -> None:
+                a[::4096] = 0
+
+            fault_batch = _touch_batch_pages
+        total = 0
+        target = min(prewarm_bytes, self._ARENA_CAP)
+        while total < target:
+            slab = np.empty(min(self._ARENA_SLAB, target - total), np.uint8)
+            try:
+                fault_slab(slab)
+            except Exception:
+                pass
+            self._slabs.append(slab)
+            total += slab.size
+        while True:
+            item = self._touchq.get()
+            try:
+                if item is not None:
+                    fault_batch(item)
+            except Exception:
+                pass
+            finally:
+                self._touchq.task_done()
+            if item is None:
+                return
 
     def add_spools(self, files: list[str]) -> None:
         for f in files:
@@ -1531,12 +1668,21 @@ class _ShardMerger:
                 sid = int(s)
                 if sid in self.parts:
                     b = reader.get_batch(i)
-                    _touch_batch_pages(b)
                     self.parts[sid].append(b)
+                    self._touchq.put(b)
 
-    def finish(self) -> list[dict]:
+    def finish(self) -> tuple[list[dict], dict]:
+        # wait for the toucher to finish warming spool pages + arena, then
+        # release the arena into the (trim-disabled) heap: the splice's
+        # allocations below land on its already-faulted pages
+        if self._toucher.is_alive():
+            self._touchq.put(None)
+            self._toucher.join(timeout=300.0)
+        self._slabs.clear()
+        t_start = time.perf_counter()
         out = []
         writer = WriteShard(self.shard_dir, self.fingerprint, self.block_size)
+        tbl_s = 0.0
         for sid in self.shard_ids:
             parts = self.parts.pop(sid, [])
             if BuildCheckpoint.shard_is_done(self.shard_dir, sid,
@@ -1550,12 +1696,17 @@ class _ShardMerger:
                 _write_empty_shard(self.shard_dir, sid, self.fingerprint)
                 out.append({"shard": sid, "n_terms": 0, "bytes": 0})
                 continue
+            t0 = time.perf_counter()
             t = pa.Table.from_batches(parts, schema=schema.POSTING_CHUNKS)
+            tbl_s += time.perf_counter() - t0
             r = writer(t)  # chunked ok — blobs gathered per chunk
             out.append({"shard": sid,
                         "n_terms": int(r["n_terms"][0].as_py()),
                         "bytes": int(r["bytes"][0].as_py())})
-        return out
+        timings = {"tbl_s": round(tbl_s, 3),
+                   "wall_s": round(time.perf_counter() - t_start, 3),
+                   **{k: round(s, 3) for k, s in writer.timings.items()}}
+        return out, timings
 
 
 class _MergePool:
@@ -1577,7 +1728,12 @@ class _MergePool:
     the doc-range keying supports splitting the shard into range sub-files
     without changing the dictionary format."""
 
-    def __init__(self, shard_dir: str, fingerprint: str, cfg: BuildConfig):
+    # spool bytes per doc on the synthetic code corpus (measured: 6.2 KB);
+    # only a prewarm HINT — an under/over-estimate degrades gracefully
+    _SPOOL_BYTES_PER_DOC = 6400
+
+    def __init__(self, shard_dir: str, fingerprint: str, cfg: BuildConfig,
+                 expected_spool_bytes: int = 0):
         # cap splice concurrency by the CLUSTER's CPU count too: the
         # num_cpus=0 merger actors bypass Ray's slot accounting, so
         # without this a 2-slot cluster would still run 8 concurrent
@@ -1586,9 +1742,13 @@ class _MergePool:
         # fixed-cluster-size scaling measurement
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         n = max(1, min(cfg.num_shards, cfg.max_concurrent_merges, ncpu))
+        # each actor splices one shard at a time; peak live allocations are
+        # ~3x that shard's spool bytes (taken streams + output + masks)
+        prewarm = 3 * expected_spool_bytes // max(cfg.num_shards, 1)
         self.actors = [
             _ShardMerger.remote(shard_dir, fingerprint, cfg.block_size,
-                                list(range(a, cfg.num_shards, n)))
+                                list(range(a, cfg.num_shards, n)),
+                                prewarm_bytes=prewarm)
             for a in range(n)
         ]
         self.num_shards = cfg.num_shards
@@ -1609,14 +1769,26 @@ class _MergePool:
 
     def finish(self) -> dict[str, Any]:
         self.begin_finish()
+        t0 = time.perf_counter()
         ray.get(self._pending)
+        feed_drain_s = time.perf_counter() - t0
         self._pending = []
-        stats = [s for part in ray.get(self._finish_refs) for s in part]
+        parts = ray.get(self._finish_refs)
+        stats = [s for part, _ in parts for s in part]
+        timings = [t for _, t in parts]
         self.shutdown()
         return {
             "n_terms": int(sum(s["n_terms"] for s in stats)),
             "index_bytes": int(sum(s["bytes"] for s in stats)),
             "shards": int(self.num_shards),
+            # merge-tail phase profile: sums are total actor-seconds across
+            # the pool; splice_crit_s is the slowest actor (critical path)
+            "splice_crit_s": round(max((t["wall_s"] for t in timings),
+                                       default=0.0), 3),
+            "splice_feed_drain_s": round(feed_drain_s, 3),
+            **{f"splice_{k}": round(sum(t[k] for t in timings), 3)
+               for k in ("tbl_s", "view_s", "view_sort_s", "view_gather_s",
+                         "meta_s", "write_s", "dict_s")},
         }
 
     def shutdown(self) -> None:
@@ -1633,8 +1805,11 @@ def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
     overlapped with ingest); without one — resume paths, exchange-path
     builds — a fresh pool is fed from a directory scan here."""
     if pool is None:
-        pool = _MergePool(shard_dir, fingerprint, cfg)
-        pool.feed(sorted(glob.glob(os.path.join(chunks_path, "*.arrow"))))
+        files = sorted(glob.glob(os.path.join(chunks_path, "*.arrow")))
+        total = sum(os.path.getsize(f) for f in files)
+        pool = _MergePool(shard_dir, fingerprint, cfg,
+                          expected_spool_bytes=total)
+        pool.feed(files)
     return pool.finish()
 
 

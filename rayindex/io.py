@@ -34,6 +34,26 @@ _ALIGN = 4096
 _tls = threading.local()
 
 
+def keep_heap_resident() -> bool:
+    """Tune glibc malloc so large allocations come from the main heap and
+    freed pages STAY mapped (no munmap / trim): a prefaulted arena then
+    keeps paying off across later allocations of similar size.  The
+    entrypoints set MALLOC_MMAP_THRESHOLD_/MALLOC_TRIM_THRESHOLD_ before
+    ``ray.init`` for the same effect; this is the in-process equivalent for
+    actors whose host process may lack those env vars.  Returns False when
+    glibc mallopt is unavailable (musl, non-Linux) — harmless, the arena
+    then degrades to a no-op warm-up."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None)
+        ok1 = libc.mallopt(-3, 1 << 30)        # M_MMAP_THRESHOLD: heap, not mmap
+        ok2 = libc.mallopt(-1, (1 << 31) - 1)  # M_TRIM_THRESHOLD: never trim
+        return bool(ok1 and ok2)
+    except Exception:
+        return False
+
+
 def _get_stage() -> mmap.mmap:
     stage = getattr(_tls, "stage", None)
     if stage is None:
