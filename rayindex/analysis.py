@@ -32,6 +32,8 @@ from functools import lru_cache
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from rayindex import porter
 from rayindex.config import AnalyzerConfig
@@ -134,8 +136,75 @@ def _analyzer_fn(cfg: AnalyzerConfig):
     return lambda text: tokenize_text(text, cfg)
 
 
+def _raw_tokens_arrow(content, cfg: AnalyzerConfig):
+    """Arrow fast path for step 1 of tokenize_docs_grouped: raw-token
+    extraction via RE2 split + dictionary-encode, entirely in C++.
+
+    Validity per mode (the Python regexes are the semantics oracle;
+    test_analysis pins fast path ≡ fallback on mixed corpora):
+
+    - ``code``: ALWAYS — the token class ``[A-Za-z0-9_]+`` is pure ASCII,
+      so every other codepoint is a separator in both engines.
+    - ``reference``: when each row's non-ASCII chars are only ¢£€ — over
+      that alphabet Python's ``[¢£€\\w]+`` reduces to the RE2-exact class
+      ``[¢£€0-9A-Za-z_]+`` (general-unicode ``\\w`` needs Python's engine).
+    - ``ascii``: all-ASCII rows only (``ascii_lower`` matches Python
+      ``str.lower`` only there — e.g. U+0130 lowers INTO ascii 'i').
+
+    Returns (codes int ndarray, uniques list[str], raw_counts int64
+    ndarray) in document order, or None — caller falls back to the Python
+    regex path."""
+    if not isinstance(content, (pa.Array, pa.ChunkedArray)):
+        return None
+    arr = (content.combine_chunks()
+           if isinstance(content, pa.ChunkedArray) else content)
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        return None
+    if len(arr) == 0:
+        return np.zeros(0, np.int64), [], np.zeros(0, np.int64)
+
+    def _all_ascii(a) -> bool:
+        # nulls tokenize to [] on both paths; exclude them from the test
+        return bool(pc.all(pc.fill_null(pc.string_is_ascii(a), True)).as_py())
+
+    if cfg.mode == "code":
+        pat = "[^0-9A-Za-z_]+"
+    elif cfg.mode == "reference":
+        if not _all_ascii(arr) and not _all_ascii(
+                pc.replace_substring_regex(arr, pattern="[¢£€]+",
+                                           replacement="")):
+            return None
+        pat = "[^¢£€0-9A-Za-z_]+"
+    elif cfg.mode == "ascii":
+        if not _all_ascii(arr):
+            return None
+        arr = pc.ascii_lower(arr)
+        pat = "[^a-z0-9_]+"
+    else:
+        return None
+    lists = pc.split_pattern_regex(arr, pattern=pat)
+    offs = np.asarray(lists.offsets)
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    vals = lists.flatten()
+    # split leaves empty pieces at row edges where separators touch them —
+    # drop them and fix the per-row counts
+    vlen = pc.binary_length(vals).to_numpy(zero_copy_only=False)
+    emt = vlen == 0
+    raw_counts = lens
+    if emt.any():
+        row_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        raw_counts = lens - np.bincount(row_of[emt], minlength=lens.size)
+        vals = vals.filter(pa.array(~emt))
+    if len(vals) == 0:
+        return np.zeros(0, np.int64), [], raw_counts
+    denc = vals.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False)
+    uniques = denc.dictionary.to_pylist()
+    return codes, uniques, raw_counts
+
+
 def tokenize_docs_grouped(
-    texts: list[str], cfg: AnalyzerConfig
+    texts, cfg: AnalyzerConfig
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Tokenize a batch of documents and group occurrences per (doc, term).
 
@@ -149,30 +218,41 @@ def tokenize_docs_grouped(
       ordered by (doc, term code) which is deterministic).
     """
     n_docs = len(texts)
-    # 1. RAW tokens per doc (C-level regex only) — per-token Python work
-    # (lower / stopword test / stem) runs below on the batch's UNIQUE
-    # surface forms instead of the full occurrence stream (~30-100x fewer
-    # Python-level operations; the stream is reconstructed by vectorized
-    # expansion).  Semantics stay token-for-token identical to
-    # tokenize_text (test_analysis asserts it).
-    if cfg.mode == "reference":
-        raw_lists = [_REFERENCE_RE.findall(t) if t else [] for t in texts]
-    elif cfg.mode == "ascii":
-        raw_lists = [_ASCII_RE.findall(t.lower()) if t else [] for t in texts]
-    elif cfg.mode == "code":
-        raw_lists = [_CODE_RAW_RE.findall(t) if t else [] for t in texts]
-    else:
-        raise ValueError(f"unknown analyzer mode {cfg.mode!r}")
-    raw_counts = np.fromiter((len(l) for l in raw_lists), np.int64, n_docs)
-    total_raw = int(raw_counts.sum())
     zcounts = np.zeros(n_docs, np.int64)
     z = np.zeros(0, np.int64)
-    if total_raw == 0:
-        return zcounts, z, np.zeros(0, object), z, z
-    flat: list[str] = []
-    for l in raw_lists:
-        flat.extend(l)
-    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    # 1. RAW tokens per doc.  All-ASCII Arrow batches take the C++ fast
+    # path (RE2 split + dictionary encode, no Python string ever built for
+    # a token occurrence); otherwise one C-level regex pass per document.
+    # Either way the per-token Python work (lower / stopword test / stem)
+    # runs below on the batch's UNIQUE surface forms instead of the full
+    # occurrence stream (~30-100x fewer Python-level operations; the
+    # stream is reconstructed by vectorized expansion).  Semantics stay
+    # token-for-token identical to tokenize_text (test_analysis asserts
+    # both paths).
+    fast = _raw_tokens_arrow(texts, cfg)
+    if fast is not None:
+        codes, uniques, raw_counts = fast
+        if int(raw_counts.sum()) == 0:
+            return zcounts, z, np.zeros(0, object), z, z
+    else:
+        if not isinstance(texts, list):
+            texts = texts.to_pylist()
+        if cfg.mode == "reference":
+            raw_lists = [_REFERENCE_RE.findall(t) if t else [] for t in texts]
+        elif cfg.mode == "ascii":
+            raw_lists = [_ASCII_RE.findall(t.lower()) if t else [] for t in texts]
+        elif cfg.mode == "code":
+            raw_lists = [_CODE_RAW_RE.findall(t) if t else [] for t in texts]
+        else:
+            raise ValueError(f"unknown analyzer mode {cfg.mode!r}")
+        raw_counts = np.fromiter((len(l) for l in raw_lists), np.int64, n_docs)
+        total_raw = int(raw_counts.sum())
+        if total_raw == 0:
+            return zcounts, z, np.zeros(0, object), z, z
+        flat: list[str] = []
+        for l in raw_lists:
+            flat.extend(l)
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
     # 2. expansion of each unique surface form → 0..k final tokens
     if cfg.mode == "reference":
         stop = stopword_set(cfg)

@@ -724,12 +724,14 @@ class TokenizeToChunks:
         order = pc.sort_indices(batch["doc_id"])
         batch = batch.take(order)
         doc_ids = batch["doc_id"].to_numpy()
-        texts = batch["content"].to_pylist()
-        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(texts)
-        repos = batch["repo"].to_pylist() if "repo" in batch.column_names else [None] * len(texts)
+        n_rows = batch.num_rows
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * n_rows
+        repos = batch["repo"].to_pylist() if "repo" in batch.column_names else [None] * n_rows
 
+        # the content column goes in AS ARROW: all-ASCII batches tokenize
+        # on the C++ fast path without materializing Python strings
         counts, g_doc, g_terms, g_tfs, pos_flat = analysis.tokenize_docs_grouped(
-            texts, cfg.analyzer
+            batch["content"], cfg.analyzer
         )
         if counts.size and int(counts.max()) >= (1 << 26):
             # positions must fit the query-time (doc, pos) composite key
@@ -1606,6 +1608,12 @@ class _ShardMerger:
         import queue as _q
         import threading as _th
         self._touchq: "_q.Queue" = _q.Queue()
+        # the prefault work is SPECULATIVE: it only pays off while it
+        # overlaps ingest.  finish() sets _stop so a toucher that didn't fit
+        # the ingest window (fast 32-CPU legs) abandons instead of
+        # serializing the merge tail behind arena memsets (measured: up to
+        # 55 s of join wait at 200k docs / 32 CPUs).
+        self._stop = False
         self._toucher = _th.Thread(target=self._touch_loop,
                                    args=(int(prewarm_bytes),), daemon=True)
         self._toucher.start()
@@ -1635,7 +1643,7 @@ class _ShardMerger:
             fault_batch = _touch_batch_pages
         total = 0
         target = min(prewarm_bytes, self._ARENA_CAP)
-        while total < target:
+        while total < target and not self._stop:
             slab = np.empty(min(self._ARENA_SLAB, target - total), np.uint8)
             try:
                 fault_slab(slab)
@@ -1646,7 +1654,7 @@ class _ShardMerger:
         while True:
             item = self._touchq.get()
             try:
-                if item is not None:
+                if item is not None and not self._stop:
                     fault_batch(item)
             except Exception:
                 pass
@@ -1672,9 +1680,12 @@ class _ShardMerger:
                     self._touchq.put(b)
 
     def finish(self) -> tuple[list[dict], dict]:
-        # wait for the toucher to finish warming spool pages + arena, then
-        # release the arena into the (trim-disabled) heap: the splice's
-        # allocations below land on its already-faulted pages
+        # Abandon any prefault work still in flight (it stopped being useful
+        # the moment splicing can start), then release whatever part of the
+        # arena DID get faulted into the (trim-disabled) heap: the splice's
+        # allocations below land on those already-faulted pages.  The join
+        # bounds at one in-flight slab/batch touch, not the whole backlog.
+        self._stop = True
         if self._toucher.is_alive():
             self._touchq.put(None)
             self._toucher.join(timeout=300.0)

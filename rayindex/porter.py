@@ -107,30 +107,64 @@ def _replace(word: str, suffix: str, repl: str, min_m: int) -> str | None:
     return word
 
 
+def _by_penult(pairs):
+    """Group suffix rules by the suffix's second-to-last character — for a
+    given word only the ``word[-2]`` bucket can match, so the per-word scan
+    shrinks from the full list to one small bucket (the 1980 paper's own
+    dispatch suggestion).  Rule order inside a bucket is preserved, which
+    keeps the longest-first semantics for overlapping suffixes
+    (ational/tional, ization/ation, ement/ment/ent)."""
+    d: dict[str, tuple] = {}
+    for suf, rep in pairs:
+        d.setdefault(suf[-2], []).append((suf, rep))
+    return {k: tuple(v) for k, v in d.items()}
+
+
+_STEP2_COMMON = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"),
+]
+_STEP2_TAIL = [
+    ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+    ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+    ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+    ("biliti", "ble"),
+]
+# 1980 text's DEPARTURES note: abli -> able is better served by
+# bli -> ble; NLTK adopts it, the original list does not
+_STEP2_RULES = {
+    True: _by_penult(_STEP2_COMMON + [("bli", "ble")] + _STEP2_TAIL
+                     + [("fulli", "ful")]),
+    False: _by_penult(_STEP2_COMMON + [("abli", "able")] + _STEP2_TAIL),
+}
+
+# every suffix in steps 3/4 is >= 2 chars, so a word can only match rules
+# in its word[-2] bucket (same dispatch argument as step 2); list order is
+# preserved inside each bucket
+_STEP3_RULES = _by_penult([
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+])
+_STEP4_RULES = _by_penult([
+    (s, "") for s in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    )
+])
+
+
 def _step2(w: str, nltk: bool) -> str:
     # NLTK applies ALLI -> AL before the ordered scan and, when it fires,
     # re-runs step 2 on the result (so e.g. y->i'd '-alli' adverbs reduce
     # through their '-al' adjective).
     if nltk and w.endswith("alli") and _measure(w[:-4]) > 0:
         return _step2(w[:-4] + "al", nltk)
-    rules = [
-        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
-        ("anci", "ance"), ("izer", "ize"),
-        # 1980 text's DEPARTURES note: abli -> able is better served by
-        # bli -> ble; NLTK adopts it, the original list does not
-        ("bli", "ble") if nltk else ("abli", "able"),
-        ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
-        ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
-        ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
-        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
-        ("biliti", "ble"),
-    ]
-    if nltk:
-        rules.append(("fulli", "ful"))
-    for suf, rep in rules:
-        res = _replace(w, suf, rep, 0)
-        if res is not None:
-            return res
+    if len(w) >= 2:
+        for suf, rep in _STEP2_RULES[nltk].get(w[-2], ()):
+            res = _replace(w, suf, rep, 0)
+            if res is not None:
+                return res
     # NLTK's extra LOGI -> LOG measures the stem WITH the 'l' kept, so
     # geo-/theo- work like archaeo-/philo-
     if nltk and w.endswith("logi") and _measure(w[:-3]) > 0:
@@ -196,28 +230,25 @@ def _stem_impl(word: str, nltk: bool) -> str:
     w = _step2(w, nltk)
 
     # --- step 3 (m > 0)
-    step3 = [
-        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
-        ("ical", "ic"), ("ful", ""), ("ness", ""),
-    ]
-    for suf, rep in step3:
-        res = _replace(w, suf, rep, 0)
-        if res is not None:
-            w = res
-            break
+    if len(w) >= 2:
+        for suf, rep in _STEP3_RULES.get(w[-2], ()):
+            res = _replace(w, suf, rep, 0)
+            if res is not None:
+                w = res
+                break
 
-    # --- step 4 (m > 1)
-    step4 = [
-        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
-        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
-    ]
-    for suf in step4:
-        if w.endswith(suf):
-            stem_ = w[: len(w) - len(suf)]
-            if _measure(stem_) > 1:
-                w = stem_
-            break
-    else:
+    # --- step 4 (m > 1): scanning stops at the FIRST suffix match, even
+    # when its measure condition fails (no later suffix is tried)
+    matched4 = False
+    if len(w) >= 2:
+        for suf, _ in _STEP4_RULES.get(w[-2], ()):
+            if w.endswith(suf):
+                matched4 = True
+                stem_ = w[: len(w) - len(suf)]
+                if _measure(stem_) > 1:
+                    w = stem_
+                break
+    if not matched4:
         if w.endswith("ion") and len(w) > 3 and w[-4] in "st" and _measure(w[:-3]) > 1:
             w = w[:-3]
 

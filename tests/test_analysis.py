@@ -92,6 +92,70 @@ def test_grouped_matches_scalar_path():
         assert got == want
 
 
+def test_grouped_arrow_fast_path_matches_python_path():
+    """The all-ASCII Arrow fast path (RE2 split + dictionary encode) must be
+    token-for-token identical to the Python regex path, for every mode,
+    across edge shapes: empty docs, nulls, separators at edges,
+    separator-only docs, underscores/digits, camelCase."""
+    import pyarrow as pa
+
+    from rayindex.config import AnalyzerConfig
+
+    texts = ["def foo(): return Bar", "--ab--cd-", "", None, "---",
+             "a_b 9 X", "snake_case camelCase URLParser2 __dunder__",
+             "the and of stopwords relational caresses ponies"]
+    for mode in ("reference", "ascii", "code"):
+        cfg = AnalyzerConfig(mode=mode)
+        want = analysis.tokenize_docs_grouped(list(texts), cfg)
+        for typ in (pa.string(), pa.large_string()):
+            arr = pa.array(texts, typ)
+            assert analysis._raw_tokens_arrow(arr, cfg) is not None
+            got = analysis.tokenize_docs_grouped(arr, cfg)
+            for g, w in zip(got, want):
+                assert g.tolist() == w.tolist(), (mode, typ)
+
+
+def test_grouped_arrow_currency_rows_take_fast_path():
+    """reference mode: rows whose only non-ASCII chars are ¢£€ (the bench
+    corpus shape — currency signs are IN the reference token class) must
+    ENGAGE the fast path and match the Python engine token-for-token,
+    including tokens containing/starting with the currency chars."""
+    import pyarrow as pa
+
+    from rayindex.config import AnalyzerConfig
+
+    texts = ["plain ascii row", "£5 and ¢99p cost€uro", "€€€", "a¢b £_x",
+             "", None]
+    cfg = AnalyzerConfig(mode="reference")
+    arr = pa.array(texts)
+    assert analysis._raw_tokens_arrow(arr, cfg) is not None
+    got = analysis.tokenize_docs_grouped(arr, cfg)
+    want = analysis.tokenize_docs_grouped(list(texts), cfg)
+    for g, w in zip(got, want):
+        assert g.tolist() == w.tolist()
+
+
+def test_grouped_arrow_non_ascii_gating():
+    """General unicode (é is word-char for Python \\w, not for the RE2
+    class) must reject the fast path in reference/ascii mode — and the
+    fallback must equal list input.  code mode never needs the gate: its
+    token class is pure ASCII, so é is a separator in both engines."""
+    import pyarrow as pa
+
+    from rayindex.config import AnalyzerConfig
+
+    texts = ["plain ascii row", "£5 and ¢99 café", "naïve_id splitCamelCase"]
+    for mode in ("reference", "ascii", "code"):
+        cfg = AnalyzerConfig(mode=mode)
+        arr = pa.array(texts)
+        fast = analysis._raw_tokens_arrow(arr, cfg)
+        assert (fast is not None) == (mode == "code")
+        got = analysis.tokenize_docs_grouped(arr, cfg)
+        want = analysis.tokenize_docs_grouped(texts, cfg)
+        for g, w in zip(got, want):
+            assert g.tolist() == w.tolist()
+
+
 def test_stem_cache_consistency():
     analysis._STEM_CACHE.clear()
     a = analysis.stem_cached("relational")
