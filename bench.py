@@ -565,6 +565,14 @@ def run_scaling() -> dict:
     weak = os.environ.get("RAYINDEX_BENCH_WEAK") == "1"
     base_files = int(os.environ.get("RAYINDEX_BENCH_FILES", "50000"))
     load_at_start = float(open("/proc/loadavg").read().split()[0])
+    try:  # code provenance: lets the sample census split by revision
+        import subprocess
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)),
+                             timeout=10).stdout.strip() or None
+    except Exception:
+        rev = None
     results = {}
     # INTERLEAVE the levels (lo, hi, lo, hi, ...) rather than grouping them:
     # later runs are systematically slower on this host (writeback pressure,
@@ -623,6 +631,7 @@ def run_scaling() -> dict:
         # (at pair end the 1-minute average is dominated by our own legs)
         "outdir": os.environ.get("RAYINDEX_BENCH_OUTDIR", "/tmp"),
         "loadavg_1m": load_at_start,
+        "rev": rev,
     }
 
 

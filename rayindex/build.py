@@ -622,9 +622,7 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
                     cfg, doc_stats_dir, chunks_out)
                 for i in range(0, len(metas), per_task)]
         if shard_dir is not None and fingerprint is not None:
-            pool = _MergePool(shard_dir, fingerprint, cfg,
-                              expected_spool_bytes=n_docs
-                              * _MergePool._SPOOL_BYTES_PER_DOC)
+            pool = _MergePool(shard_dir, fingerprint, cfg)
         pending = list(refs)
         rows_sum = 0
         while pending:
@@ -1574,11 +1572,8 @@ class _ShardMerger:
     Splice concurrency is still bounded by the ACTOR COUNT
     (= max_concurrent_merges, the per-node DRAM-bandwidth annotation)."""
 
-    _ARENA_SLAB = 32 << 20
-    _ARENA_CAP = 1 << 30
-
     def __init__(self, shard_dir: str, fingerprint: str, block_size: int,
-                 shard_ids: list[int], prewarm_bytes: int = 0):
+                 shard_ids: list[int]):
         self.shard_dir = shard_dir
         self.fingerprint = fingerprint
         self.block_size = block_size
@@ -1593,43 +1588,33 @@ class _ShardMerger:
         # pool returns pages to the OS, which would refault per shard.
         pa.set_memory_pool(pa.system_memory_pool())
         keep_heap_resident()
-        # Lazy-VM page-fault tax mitigation: on this class of host a fresh
-        # anonymous page costs ~0.1-0.5 ms at first touch.  The splice
-        # allocates ~3x a shard's blob bytes; touched cold on the build's
-        # critical tail, that tax dominated the merge (measured: cold view
-        # 1.13 s vs 0.15 s with a prewarmed heap, per 288k-row shard).
-        # A BACKGROUND thread pre-faults heap slabs and touches incoming
-        # spool pages via GIL-releasing libc calls, so the stalls overlap
-        # ingest without serializing behind the actor's method queue (an
-        # in-method arena touch backed up the feed stream by 40+ s at 200k
-        # docs).  MALLOC_TRIM_THRESHOLD_=-1 / keep_heap_resident() keeps
-        # the freed slab pages mapped for the splice to reuse.
-        self._slabs: list[np.ndarray] = []
+        # A BACKGROUND thread touches incoming spool pages (GIL-releasing
+        # libc memcmp) so the mmap'd file reads + first-touch page tax land
+        # in the ingest window instead of on the splice's critical tail.
+        # The work is SPECULATIVE: finish() sets _stop so a toucher that
+        # didn't fit the ingest window (fast 32-CPU legs) abandons instead
+        # of serializing the merge tail — the splice then faults the
+        # untouched remainder lazily (zero-sum, just later).  NOTE: an
+        # earlier variant also pre-memset'ed a heap arena sized to the
+        # splice's allocations; measured on the 200k corpus it cost ~180
+        # asymmetric cpu-seconds at an 8-CPU leg (the memset completes only
+        # where ingest is slow) for ~2 s of 32-leg tail — removed.
+        # keep_heap_resident() still makes the FIRST shard's splice pages
+        # serve every later shard on the actor.
         import queue as _q
         import threading as _th
         self._touchq: "_q.Queue" = _q.Queue()
-        # the prefault work is SPECULATIVE: it only pays off while it
-        # overlaps ingest.  finish() sets _stop so a toucher that didn't fit
-        # the ingest window (fast 32-CPU legs) abandons instead of
-        # serializing the merge tail behind arena memsets (measured: up to
-        # 55 s of join wait at 200k docs / 32 CPUs).
         self._stop = False
-        self._toucher = _th.Thread(target=self._touch_loop,
-                                   args=(int(prewarm_bytes),), daemon=True)
+        self._toucher = _th.Thread(target=self._touch_loop, daemon=True)
         self._toucher.start()
 
-    def _touch_loop(self, prewarm_bytes: int) -> None:
+    def _touch_loop(self) -> None:
         try:
             import ctypes
             libc = ctypes.CDLL(None, use_errno=True)
-            libc.memset.argtypes = [ctypes.c_void_p, ctypes.c_int,
-                                    ctypes.c_size_t]
             libc.memcmp.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_size_t]
             libc.memcmp.restype = ctypes.c_int
-
-            def fault_slab(a: np.ndarray) -> None:
-                libc.memset(a.ctypes.data, 0, a.size)
 
             def fault_batch(b: pa.RecordBatch) -> None:
                 for arr in b.columns:
@@ -1637,20 +1622,7 @@ class _ShardMerger:
                         if buf is not None and buf.size:
                             libc.memcmp(buf.address, buf.address, buf.size)
         except Exception:  # pragma: no cover - non-glibc fallback
-            def fault_slab(a: np.ndarray) -> None:
-                a[::4096] = 0
-
             fault_batch = _touch_batch_pages
-        total = 0
-        target = min(prewarm_bytes, self._ARENA_CAP)
-        while total < target and not self._stop:
-            slab = np.empty(min(self._ARENA_SLAB, target - total), np.uint8)
-            try:
-                fault_slab(slab)
-            except Exception:
-                pass
-            self._slabs.append(slab)
-            total += slab.size
         while True:
             item = self._touchq.get()
             try:
@@ -1680,16 +1652,13 @@ class _ShardMerger:
                     self._touchq.put(b)
 
     def finish(self) -> tuple[list[dict], dict]:
-        # Abandon any prefault work still in flight (it stopped being useful
-        # the moment splicing can start), then release whatever part of the
-        # arena DID get faulted into the (trim-disabled) heap: the splice's
-        # allocations below land on those already-faulted pages.  The join
-        # bounds at one in-flight slab/batch touch, not the whole backlog.
+        # Abandon any spool-touch work still in flight (it stopped being
+        # useful the moment splicing can start).  The join bounds at one
+        # in-flight batch touch, not the whole backlog.
         self._stop = True
         if self._toucher.is_alive():
             self._touchq.put(None)
             self._toucher.join(timeout=300.0)
-        self._slabs.clear()
         t_start = time.perf_counter()
         out = []
         writer = WriteShard(self.shard_dir, self.fingerprint, self.block_size)
@@ -1739,12 +1708,7 @@ class _MergePool:
     the doc-range keying supports splitting the shard into range sub-files
     without changing the dictionary format."""
 
-    # spool bytes per doc on the synthetic code corpus (measured: 6.2 KB);
-    # only a prewarm HINT — an under/over-estimate degrades gracefully
-    _SPOOL_BYTES_PER_DOC = 6400
-
-    def __init__(self, shard_dir: str, fingerprint: str, cfg: BuildConfig,
-                 expected_spool_bytes: int = 0):
+    def __init__(self, shard_dir: str, fingerprint: str, cfg: BuildConfig):
         # cap splice concurrency by the CLUSTER's CPU count too: the
         # num_cpus=0 merger actors bypass Ray's slot accounting, so
         # without this a 2-slot cluster would still run 8 concurrent
@@ -1753,13 +1717,9 @@ class _MergePool:
         # fixed-cluster-size scaling measurement
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         n = max(1, min(cfg.num_shards, cfg.max_concurrent_merges, ncpu))
-        # each actor splices one shard at a time; peak live allocations are
-        # ~3x that shard's spool bytes (taken streams + output + masks)
-        prewarm = 3 * expected_spool_bytes // max(cfg.num_shards, 1)
         self.actors = [
             _ShardMerger.remote(shard_dir, fingerprint, cfg.block_size,
-                                list(range(a, cfg.num_shards, n)),
-                                prewarm_bytes=prewarm)
+                                list(range(a, cfg.num_shards, n)))
             for a in range(n)
         ]
         self.num_shards = cfg.num_shards
@@ -1817,9 +1777,7 @@ def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
     builds — a fresh pool is fed from a directory scan here."""
     if pool is None:
         files = sorted(glob.glob(os.path.join(chunks_path, "*.arrow")))
-        total = sum(os.path.getsize(f) for f in files)
-        pool = _MergePool(shard_dir, fingerprint, cfg,
-                          expected_spool_bytes=total)
+        pool = _MergePool(shard_dir, fingerprint, cfg)
         pool.feed(files)
     return pool.finish()
 
