@@ -427,8 +427,19 @@ class IndexReader(MiniIndexProvider):
                 bin_path = os.path.join(self.index_dir, "shards", name)
                 if size:
                     f = open(bin_path, "rb")
-                    self._files.append(mmap.mmap(f.fileno(), 0,
-                                                 access=mmap.ACCESS_READ))
+                    m = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                    # advise-only readahead (Lucene MMapDirectory setPreload
+                    # analog): one syscall starts ASYNC population of the
+                    # mapping, so a cold query finds pages mid-flight
+                    # instead of faulting them serially (O_DIRECT writes
+                    # leave nothing in the page cache).  Unlike prefault()
+                    # this touches no pages — init stays O(1).
+                    if hasattr(m, "madvise"):
+                        try:
+                            m.madvise(mmap.MADV_WILLNEED)
+                        except OSError:  # pragma: no cover
+                            pass
+                    self._files.append(m)
                 else:
                     self._files.append(b"")
         meta_dir = state.get("doc_meta_dir")
