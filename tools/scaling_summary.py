@@ -8,7 +8,12 @@ measures WHICH leg was robbed, not how the pipeline scales.  For weak
 mode (4x corpus on the big leg) the ideal ratio is 4.0; clean band
 [3.6, 4.6].
 
-Usage: python tools/scaling_summary.py [path.jsonl]
+Usage: python tools/scaling_summary.py [path.jsonl] [--markdown] [--rev PREFIX...]
+
+--markdown prints the clean-pair rows as the BASELINE.md table body
+(one row per clean sample, best first).  --rev restricts to samples
+whose recorded git revision is one of the given prefixes (samples
+predating the rev field never match an explicit --rev filter).
 """
 
 from __future__ import annotations
@@ -22,7 +27,7 @@ def clean_band(mode: str) -> tuple[float, float]:
     return (3.6, 4.6) if mode == "weak" else (0.90, 1.15)
 
 
-def summarize(path: str) -> dict:
+def load_groups(path: str, revs: list[str] | None = None) -> dict:
     groups: dict[tuple, list[dict]] = defaultdict(list)
     with open(path) as f:
         for line in f:
@@ -30,7 +35,35 @@ def summarize(path: str) -> dict:
             if not line:
                 continue
             r = json.loads(line)
+            if revs is not None and not any(
+                    str(r.get("rev", "")).startswith(p) for p in revs):
+                continue
             groups[(r["mode"], tuple(r["levels"]), tuple(r["n_files"]))].append(r)
+    return groups
+
+
+def markdown(path: str, revs: list[str] | None = None) -> str:
+    rows_out = ["| mode | levels | corpus | eff. | cpu work ratio | "
+                "effective-core scaling | files/s big leg | rev |",
+                "|---|---|---|---|---|---|---|---|"]
+    for key, rows in sorted(load_groups(path, revs).items()):
+        mode, levels, n_files = key
+        lo_b, hi_b = clean_band(mode)
+        clean = [r for r in rows
+                 if r.get("cpu_work_ratio") and lo_b <= r["cpu_work_ratio"] <= hi_b]
+        for r in sorted(clean, key=lambda r: -r["scaling_efficiency"]):
+            fps = r.get(f"files_per_sec_{levels[1]}cpu")
+            rows_out.append(
+                f"| {mode} | {levels[0]} → {levels[1]} | "
+                f"{n_files[0]//1000}k/{n_files[1]//1000}k | "
+                f"**{r['scaling_efficiency']:.3f}** | {r['cpu_work_ratio']:.3f} | "
+                f"{r.get('effective_core_scaling', '')} | "
+                f"{fps:,.0f} | {r.get('rev') or '—'} |")
+    return "\n".join(rows_out)
+
+
+def summarize(path: str, revs: list[str] | None = None) -> dict:
+    groups = load_groups(path, revs)
     out = {}
     for key, rows in sorted(groups.items()):
         mode, levels, n_files = key
@@ -50,5 +83,16 @@ def summarize(path: str) -> dict:
 
 
 if __name__ == "__main__":
-    path = sys.argv[1] if len(sys.argv) > 1 else "BENCH/scaling_runs_r3.jsonl"
-    print(json.dumps(summarize(path), indent=2))
+    args = sys.argv[1:]
+    revs = None
+    if "--rev" in args:
+        i = args.index("--rev")
+        revs = [a for a in args[i + 1:] if not a.startswith("--")]
+        args = args[:i] + [a for a in args[i + 1:] if a.startswith("--")]
+    md = "--markdown" in args
+    args = [a for a in args if a != "--markdown"]
+    path = args[0] if args else "BENCH/scaling_runs_r3.jsonl"
+    if md:
+        print(markdown(path, revs))
+    else:
+        print(json.dumps(summarize(path, revs), indent=2))
