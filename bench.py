@@ -587,8 +587,19 @@ def run_scaling() -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        RAYINDEX_BENCH_BUILD_ONLY="1",
                        RAYINDEX_BENCH_FILES=str(n_files))
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True, check=True)
+            cmd = [sys.executable, os.path.abspath(__file__)]
+            # RAYINDEX_BENCH_PIN=1 → pin the ENTIRE leg (driver, raylet,
+            # workers, num_cpus=0 actors, idle workers) to exactly `ncpu`
+            # logical CPUs.  Without it, a "num_cpus=8" leg runs its
+            # unaccounted threads (merger actors, raylet, driver) on FREE
+            # host cores and measures 9-13 effective cores — a machine
+            # ~1.5x its nominal size, which systematically understates
+            # lo→hi efficiency.  Pinning makes "parallelism level N" mean
+            # an N-core machine, the thing the N-node proxy claims.
+            if os.environ.get("RAYINDEX_BENCH_PIN") == "1":
+                cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+            out = subprocess.run(cmd, env=env, capture_output=True,
+                                 text=True, check=True)
             r = json.loads(out.stdout.strip().splitlines()[-1])
             best = results.get(ncpu)
             if best is None or r["queries"]["build_sec"] < best["queries"]["build_sec"]:
@@ -632,6 +643,7 @@ def run_scaling() -> dict:
         "outdir": os.environ.get("RAYINDEX_BENCH_OUTDIR", "/tmp"),
         "loadavg_1m": load_at_start,
         "rev": rev,
+        "pinned": os.environ.get("RAYINDEX_BENCH_PIN") == "1",
     }
 
 
