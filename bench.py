@@ -515,9 +515,11 @@ def run_scaling_query() -> dict:
             os.sync()
             time.sleep(5)
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--query-bench"],
-                env=env, capture_output=True, text=True, check=True)
+            qcmd = [sys.executable, os.path.abspath(__file__), "--query-bench"]
+            if os.environ.get("RAYINDEX_BENCH_PIN") == "1":  # see run_scaling
+                qcmd = ["taskset", "-c", f"0-{ncpu - 1}"] + qcmd
+            out = subprocess.run(qcmd, env=env, capture_output=True,
+                                 text=True, check=True)
             r = json.loads(out.stdout.strip().splitlines()[-1])
             best = results.get(ncpu)
             if best is None or r["qps"] > best["qps"]:
@@ -546,6 +548,7 @@ def run_scaling_query() -> dict:
         "effective_core_scaling": (round(ec_hi / (factor * ec_lo), 3)
                                    if ec_lo else None),
         "rows_equal": r_lo["n_result_rows"] == r_hi["n_result_rows"],
+        "pinned": os.environ.get("RAYINDEX_BENCH_PIN") == "1",
     }
 
 
