@@ -503,6 +503,20 @@ def _q_neardup_verified(sf_dir: str) -> pa.Table:
                            batch_format="pyarrow")
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard self-join (prefix-filtered AllPairs shape, no
+    LSH false negatives) — the oracle is the full O(N^2)-complete DuckDB
+    shingle join, so a hash match proves candidate completeness."""
+    import ray.data
+
+    from rayindex.datapipe.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, min_jaccard=0.4, shingle_k=5)
+    return out.map_batches(lambda t: _micro_cols(t, ("jaccard",)),
+                           batch_format="pyarrow")
+
+
 def _q_simhash_pairs(sf_dir: str):
     """Exact SimHash near-dup pairs (hamming <= t via 64-bit banding +
     in-group popcount filter) — the banded candidate→verify shape closed
@@ -803,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "minhash_pairs": _q_minhash_pairs,
         "neardup_verified": _q_neardup_verified,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "knn_cosine": _q_knn_cosine,
@@ -852,21 +867,11 @@ th AS (SELECT doc_id, generate_subscripts(tl, 1) AS i,
 """
 
 
-def _minhash_cte(num_perm: int = 64, bands: int = 16, shingle_k: int = 5) -> str:
-    """Shared CTE chain reproducing rayindex.datapipe.dedup's MinHash-LSH
-    in pure DuckDB: FNV-1a token hashes → k-token rolling shingles (uint64
-    Horner, wrap at 2^64) → 32-bit fold → the SEEDED universal-hash
-    permutations (a·x+b mod 2^31−1; the rng-derived (a, b) constants are
-    inlined as VALUES — data, not logic) → per-doc signature lists → banded
-    candidate pairs (any of ``bands`` equal slices).  Ends with ``cand``
-    (doc_a, doc_b, sa, sb) and exposes ``shs`` (exact shingle sets) for
-    the verification oracle."""
-    from rayindex.datapipe.dedup import _minhash_params
-
-    a, b, _ = _minhash_params(num_perm)
-    perm_vals = ", ".join(f"({i}, {int(ai)}, {int(bi)})"
-                          for i, (ai, bi) in enumerate(zip(a, b)))
-    rows = num_perm // bands
+def _shingle_cte(shingle_k: int = 5) -> str:
+    """CTE chain reproducing rayindex.datapipe.dedup._shingles in pure
+    DuckDB: FNV-1a token hashes → k-token rolling shingles (uint64 Horner,
+    wrap at 2^64; short docs hash their joined tokens).  Ends with ``shs``
+    (doc_id, sh) — the exact per-doc shingle set."""
     k = shingle_k
     return f"""
             {_FNV_CTE},
@@ -892,7 +897,26 @@ def _minhash_cte(num_perm: int = 64, bands: int = 16, shingle_k: int = 5) -> str
                                               % 18446744073709551616))) AS sh
                        FROM hl WHERE len(hs) >= {k}),
             shs AS (SELECT DISTINCT doc_id, sh FROM
-                    (SELECT * FROM rolled UNION ALL SELECT * FROM jh)),
+                    (SELECT * FROM rolled UNION ALL SELECT * FROM jh))
+    """
+
+
+def _minhash_cte(num_perm: int = 64, bands: int = 16, shingle_k: int = 5) -> str:
+    """Shared CTE chain reproducing rayindex.datapipe.dedup's MinHash-LSH
+    in pure DuckDB: the exact shingle sets (``_shingle_cte``) → 32-bit
+    fold → the SEEDED universal-hash permutations (a·x+b mod 2^31−1; the
+    rng-derived (a, b) constants are inlined as VALUES — data, not logic)
+    → per-doc signature lists → banded candidate pairs (any of ``bands``
+    equal slices).  Ends with ``cand`` (doc_a, doc_b, sa, sb) and exposes
+    ``shs`` for the verification oracle."""
+    from rayindex.datapipe.dedup import _minhash_params
+
+    a, b, _ = _minhash_params(num_perm)
+    perm_vals = ", ".join(f"({i}, {int(ai)}, {int(bi)})"
+                          for i, (ai, bi) in enumerate(zip(a, b)))
+    rows = num_perm // bands
+    return f"""
+            {_shingle_cte(shingle_k)},
             folded AS (SELECT doc_id,
                          xor(CAST(sh % 4294967296 AS BIGINT),
                              CAST(sh // 4294967296 AS BIGINT)) AS x
@@ -1368,5 +1392,24 @@ def oracle_sql() -> dict[str, str]:
                      AS jaccard_micro
             FROM j
             WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i::DOUBLE / u END) >= 0.5
+        """,
+        # the COMPLETE all-pairs shingle join (docs sharing >= 1 shingle,
+        # exact Jaccard >= t) — the Ray side must find every pair despite
+        # its prefix filter, so a hash match proves AllPairs completeness
+        "ngram_jaccard": f"""
+            WITH {_shingle_cte(5)},
+            cnt AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                             count(*) AS i
+                      FROM shs x JOIN shs y ON y.sh = x.sh
+                                           AND y.doc_id > x.doc_id
+                      GROUP BY 1, 2),
+            j AS (SELECT i.doc_a, i.doc_b, i.i,
+                         ca.n + cb.n - i.i AS u
+                  FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+                               JOIN cnt cb ON cb.doc_id = i.doc_b)
+            SELECT doc_a, doc_b,
+                   CAST(round(i::DOUBLE / u * 1e6) AS BIGINT) AS jaccard_micro
+            FROM j WHERE i::DOUBLE / u >= 0.4
         """,
     }

@@ -356,6 +356,106 @@ def verify_candidates(ds, pairs_ds, shingle_k: int = 5, text_col: str = "text",
     return j.map_batches(jac, batch_format="pyarrow")
 
 
+def ngram_jaccard_pairs(ds, min_jaccard: float = 0.5, shingle_k: int = 5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        pair_buckets: int = 64):
+    """EXACT n-gram Jaccard similarity self-join: every pair of docs with
+    shingle-set Jaccard >= ``min_jaccard`` (no LSH false negatives).
+
+    Scale shape is the AllPairs/PPJoin prefix filter (Bayardo et al.,
+    WWW'07), not an O(N^2) cross join:
+
+    - Shingles carry a GLOBAL total order (their uint64 hash value;
+      ``_shingles`` returns them sorted).  A doc with ``n`` shingles
+      indexes only its first ``floor((1 - t) * n) + 1`` of them: if
+      J(A, B) >= t, the intersection has > (1 - t)·|A| elements outside
+      no prefix — i.e. both prefixes are guaranteed to share at least one
+      shingle, so grouping prefix rows by shingle yields a COMPLETE
+      candidate set while indexing only a (1 - t) fraction of the corpus'
+      shingle mass.
+    - Inside each shingle group, the standard length filter
+      (min_size >= t * max_size, a necessary condition for J >= t) prunes
+      pairs vectorized (triu matrix compare, no per-pair Python).
+    - Candidate pairs dedup DISTRIBUTED (hash-partitioned groupby,
+      ``_dedup_pairs``), then exact Jaccard runs through the same
+      broadcast-filter + shingle hash-join used for LSH verification
+      (``verify_candidates``) — texts never reach the driver.
+
+    Returns a Dataset of (doc_a, doc_b, jaccard), doc_a < doc_b.
+    Docs whose shingle set is empty (no tokens) never pair — matching the
+    SQL oracle's shs-join semantics.
+    """
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        ids_out, sh_out, n_out = [], [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            s = _shingles(txt, shingle_k)
+            if s.size == 0:
+                continue
+            # required overlap alpha = ceil(t*n); prefix = n - alpha + 1.
+            # The epsilon biases float error toward a LONGER prefix (extra
+            # candidates are filtered later; a short prefix loses pairs).
+            alpha = int(np.ceil(min_jaccard * s.size - 1e-9))
+            p = s.size - max(alpha, 1) + 1
+            pref = s[:p]
+            ids_out.append(np.full(pref.size, i, np.int64))
+            sh_out.append(pref)
+            n_out.append(np.full(pref.size, s.size, np.int64))
+        if not ids_out:
+            return pa.table({"sh": pa.array([], pa.uint64()),
+                             id_col: pa.array([], pa.int64()),
+                             "n_sh": pa.array([], pa.int64())})
+        return pa.table({"sh": pa.array(np.concatenate(sh_out)),
+                         id_col: pa.array(np.concatenate(ids_out)),
+                         "n_sh": pa.array(np.concatenate(n_out))})
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
+        if len(g) < 2 or id_col not in g.columns:
+            return empty
+        a_out, b_out = [], []
+        for _, grp in g.groupby("sh", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy(np.int64)
+            sizes = grp["n_sh"].to_numpy(np.int64)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            # length filter: J(A,B) <= min/max sizes, so require
+            # min >= t * max (strictly necessary for J >= t)
+            lo = np.minimum(sizes[ii], sizes[jj])
+            hi = np.maximum(sizes[ii], sizes[jj])
+            keep = lo >= min_jaccard * hi
+            if keep.any():
+                a_out.append(ids[ii][keep])
+                b_out.append(ids[jj][keep])
+        if not a_out:
+            return empty
+        return pd.DataFrame({"doc_a": np.concatenate(a_out),
+                             "doc_b": np.concatenate(b_out)})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # reducer parallelism: shingle-hash mod pair_buckets (a group per
+        # shingle would be millions of tiny groups; a single group would
+        # funnel).  Equal shingles share a bucket by construction; the
+        # group kernel still pairs only within equal ``sh``.
+        if t.num_rows == 0:
+            return t.append_column("bucket", pa.array([], pa.int32()))
+        sh = t["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (sh % np.uint64(pair_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    cand = (ds.map_batches(prefix_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(group_pairs, batch_format="pandas"))
+    cand = _dedup_pairs(cand, pair_buckets, extra_cols=())
+    return verify_candidates(ds, cand, shingle_k=shingle_k,
+                             text_col=text_col, id_col=id_col,
+                             min_jaccard=min_jaccard)
+
+
 def exact_jaccard(text_a: str, text_b: str, shingle_k: int = 5) -> float:
     a, b = _shingles(text_a, shingle_k), _shingles(text_b, shingle_k)
     if a.size == 0 and b.size == 0:

@@ -104,6 +104,47 @@ def test_simhash_pairs_exact_vs_bruteforce(docs_ds):
         assert got_df.duplicated(["doc_a", "doc_b"]).sum() == 0
 
 
+def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
+    """Prefix-filtered AllPairs join must equal brute-force all-pairs
+    exact Jaccard at every threshold — the prefix filter may only prune
+    pairs that provably cannot reach the threshold."""
+    import ray.data
+
+    from rayindex.datapipe.dedup import exact_jaccard, ngram_jaccard_pairs
+
+    # a corpus with a spread of overlap levels: jittered copies of a few
+    # base sentences at varying edit fractions, plus unrelated docs
+    rng = np.random.default_rng(3)
+    words = [f"w{i:02d}" for i in range(40)]
+    texts = []
+    for b in range(6):
+        base = list(rng.choice(words, size=20))
+        texts.append(" ".join(base))
+        for frac in (0.05, 0.2, 0.5):
+            mut = list(base)
+            for j in rng.choice(20, size=max(1, int(frac * 20)), replace=False):
+                mut[j] = str(rng.choice(words))
+            texts.append(" ".join(mut))
+    texts += ["", "xyz"]  # empty / too-short shingle edge cases
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+    for t in (0.3, 0.6, 0.9):
+        want = {}
+        for a in ids:
+            for b in ids:
+                if a < b and texts[a] and texts[b]:
+                    j = exact_jaccard(texts[a], texts[b], 4)
+                    if j >= t:
+                        want[(a, b)] = j
+        got_df = ngram_jaccard_pairs(ds, min_jaccard=t, shingle_k=4).to_pandas()
+        got = dict(zip(zip(got_df.doc_a, got_df.doc_b), got_df.jaccard))
+        assert got.keys() == want.keys(), f"t={t}"
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v), f"t={t} pair={k}"
+        assert got_df.duplicated(["doc_a", "doc_b"]).sum() == 0
+
+
 @pytest.fixture(scope="module")
 def vec_ds(ray_session):
     import ray.data
