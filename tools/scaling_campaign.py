@@ -1,0 +1,96 @@
+"""Load-gated loop of OFFICIAL ``bench.py --scaling`` runs.
+
+Each iteration runs one full official pair (interleaved legs,
+min-of-reps — exactly what the driver would run) and appends the result
+to BENCH/scaling_runs_r3.jsonl.  Shapes rotate so the census
+(tools/scaling_summary.py) accumulates evidence across the whole
+(level, corpus, mode) grid rather than over-sampling one cell.
+
+Runs are skipped while the 1-minute load average exceeds --max-load:
+on this co-tenanted host a pair started under load is almost always
+censored by the cpu_work_ratio cleanliness filter anyway, so waiting
+is cheaper than sampling noise.
+
+    python tools/scaling_campaign.py [--iters N] [--max-load 4.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "BENCH", "scaling_runs_r3.jsonl")
+STATE = os.path.join(REPO, "BENCH", ".campaign_state")
+
+# (levels, files, weak, outdir) — the rotation.  4->16 pinned on tmpfs is
+# the shape where the host can actually deliver the 4x core factor;
+# 8->32 at 200k is the headline shape the verdict tracks; weak 8->32
+# models "4x nodes ingest 4x corpus".
+SHAPES = [
+    ("4,16", 400000, False, "/dev/shm/rayindex_bench"),
+    ("8,32", 200000, False, "/dev/shm/rayindex_bench"),
+    ("4,16", 400000, False, "/dev/shm/rayindex_bench"),
+    ("8,32", 200000, True, "/dev/shm/rayindex_bench"),
+    ("2,8", 200000, False, "/dev/shm/rayindex_bench"),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--max-load", type=float, default=4.0)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+    try:
+        idx = int(open(STATE).read().strip())
+    except Exception:
+        idx = 0
+    done = 0
+    while done < args.iters:
+        load1 = os.getloadavg()[0]
+        if load1 >= args.max_load:
+            time.sleep(60)
+            continue
+        levels, files, weak, outdir = SHAPES[idx % len(SHAPES)]
+        idx += 1
+        with open(STATE, "w") as f:
+            f.write(str(idx))
+        env = dict(os.environ,
+                   RAYINDEX_BENCH_LEVELS=levels,
+                   RAYINDEX_BENCH_FILES=str(files),
+                   RAYINDEX_BENCH_REPS=str(args.reps),
+                   RAYINDEX_BENCH_PIN="1",
+                   RAYINDEX_BENCH_OUTDIR=outdir)
+        if weak:
+            env["RAYINDEX_BENCH_WEAK"] = "1"
+        else:
+            env.pop("RAYINDEX_BENCH_WEAK", None)
+        os.makedirs(outdir, exist_ok=True)
+        run = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+            env=env, capture_output=True, text=True, cwd=REPO)
+        try:
+            rec = json.loads(run.stdout.strip().splitlines()[-1])
+        except Exception:
+            rec = {"metric": "rayindex_build_scaling", "error": True,
+                   "stderr": run.stderr[-800:], "levels": levels,
+                   "n_files": files}
+        rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        rec["campaign"] = True
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps({k: rec.get(k) for k in (
+            "ts", "mode", "levels", "n_files", "scaling_efficiency",
+            "cpu_work_ratio", "error")}), flush=True)
+        done += 1
+        time.sleep(20)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
