@@ -517,6 +517,36 @@ def _q_ngram_jaccard(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_neardup_clusters(sf_dir: str):
+    """Near-dup pairs → connected components (node, comp=min reachable
+    id): iterative min-label contraction in pure Ray Data groupbys +
+    hash-bucketed label joins — the fuzzy-dedup clustering step the
+    reference stops short of.  Oracle: DuckDB recursive CTE transitive
+    closure over the same exact-Jaccard pair graph."""
+    import ray.data
+
+    from rayindex.datapipe.clusters import connected_components
+    from rayindex.datapipe.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, min_jaccard=0.4, shingle_k=5)
+    return connected_components(pairs)
+
+
+def _q_dedup_keep_canonical(sf_dir: str):
+    """Surviving doc ids after near-dup clustering: drop every doc in a
+    pair-graph component except the component's minimum id (broadcast
+    victim anti-filter; no corpus shuffle)."""
+    import ray.data
+
+    from rayindex.datapipe.clusters import dedup_keep_canonical
+    from rayindex.datapipe.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, min_jaccard=0.4, shingle_k=5)
+    return dedup_keep_canonical(ds, pairs).select_columns(["doc_id"])
+
+
 def _q_simhash_pairs(sf_dir: str):
     """Exact SimHash near-dup pairs (hamming <= t via 64-bit banding +
     in-group popcount filter) — the banded candidate→verify shape closed
@@ -818,6 +848,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "neardup_verified": _q_neardup_verified,
         "ngram_jaccard": _q_ngram_jaccard,
+        "neardup_clusters": _q_neardup_clusters,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "knn_cosine": _q_knn_cosine,
@@ -1411,5 +1443,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(round(i::DOUBLE / u * 1e6) AS BIGINT) AS jaccard_micro
             FROM j WHERE i::DOUBLE / u >= 0.4
+        """,
+        # connected components of the exact-Jaccard pair graph: recursive
+        # transitive closure, comp = min reachable id (the Ray side's
+        # iterative min-label contraction must converge to the same table)
+        "neardup_clusters": f"""
+            WITH RECURSIVE {_shingle_cte(5)},
+            cnt AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                             count(*) AS i
+                      FROM shs x JOIN shs y ON y.sh = x.sh
+                                           AND y.doc_id > x.doc_id
+                      GROUP BY 1, 2),
+            jp AS (SELECT i.doc_a, i.doc_b
+                   FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+                                JOIN cnt cb ON cb.doc_id = i.doc_b
+                   WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= 0.4),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+                  UNION SELECT doc_b, doc_a FROM jp),
+            walk(node, comp) AS (
+                SELECT u, u FROM e
+                UNION
+                SELECT w.node, e.v FROM walk w JOIN e ON e.u = w.comp
+            )
+            SELECT node, min(comp) AS comp FROM walk GROUP BY node
+        """,
+        # canonical-doc dedup: keep every doc except non-minimum members
+        # of a pair-graph component
+        "dedup_keep_canonical": f"""
+            WITH RECURSIVE {_shingle_cte(5)},
+            cnt AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                             count(*) AS i
+                      FROM shs x JOIN shs y ON y.sh = x.sh
+                                           AND y.doc_id > x.doc_id
+                      GROUP BY 1, 2),
+            jp AS (SELECT i.doc_a, i.doc_b
+                   FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+                                JOIN cnt cb ON cb.doc_id = i.doc_b
+                   WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= 0.4),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+                  UNION SELECT doc_b, doc_a FROM jp),
+            walk(node, comp) AS (
+                SELECT u, u FROM e
+                UNION
+                SELECT w.node, e.v FROM walk w JOIN e ON e.u = w.comp
+            ),
+            victims AS (SELECT node FROM walk GROUP BY node
+                        HAVING node <> min(comp))
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM victims)
         """,
     }

@@ -450,3 +450,43 @@ def test_html_unescape_roundtrip_and_nesting():
         "text": pa.array(["&amp;lt;x&gt; &quot;q&quot; &#39;s&#39;"], pa.string()),
     }))
     assert u["text"].to_pylist() == ['&lt;x> "q" \'s\'']
+
+
+def test_connected_components_min_label(ray_session):
+    import ray.data
+
+    from rayindex.datapipe.clusters import connected_components
+
+    # path 1-2-3-4 (diameter 3), clique {10,11,12}, self-loop 20-20,
+    # duplicate + reversed edges — all must resolve to component minima
+    pairs = pa.table({"doc_a": pa.array([2, 1, 3, 11, 10, 12, 20, 3, 4], pa.int64()),
+                      "doc_b": pa.array([1, 2, 4, 10, 11, 10, 20, 2, 3], pa.int64())})
+    cc = connected_components(pairs).to_pandas()
+    got = dict(zip(cc["node"], cc["comp"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    # empty pair graph -> empty dataset with stable schema
+    empty = connected_components(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64())}))
+    assert empty.count() == 0
+    assert empty.schema().names == ["node", "comp"]
+
+
+def test_dedup_keep_canonical(ray_session):
+    import ray.data
+
+    from rayindex.datapipe.clusters import dedup_keep_canonical
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 10, 11, 12], pa.int64()),
+        "text": pa.array([str(i) for i in range(8)], pa.string())}))
+    pairs = pa.table({"doc_a": pa.array([2, 3, 4, 11, 12], pa.int64()),
+                      "doc_b": pa.array([1, 2, 3, 10, 10], pa.int64())})
+    kept = sorted(dedup_keep_canonical(docs, pairs).to_pandas()["doc_id"])
+    # component {1,2,3,4} keeps 1; {10,11,12} keeps 10; 5 untouched
+    assert kept == [1, 5, 10]
+    # no pairs -> identity
+    nop = dedup_keep_canonical(docs, pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64())}))
+    assert sorted(nop.to_pandas()["doc_id"]) == [1, 2, 3, 4, 5, 10, 11, 12]
