@@ -547,6 +547,34 @@ def _q_dedup_keep_canonical(sf_dir: str):
     return dedup_keep_canonical(ds, pairs).select_columns(["doc_id"])
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 25% corpus sample: keep iff fnv1a64(doc_id) % 1e6
+    < 250000 — stateless map_batches filter, no shuffle, resume-safe
+    (the keep/drop decision is a pure function of the row)."""
+    import ray.data
+
+    from rayindex.datapipe.sampling import hash_sample
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+    return hash_sample(ds, rate=0.25)
+
+
+_STRAT_RATES = {"en": 0.1, "zh": 1.0, "fr": 0.5}
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-language mixture weighting: downsample en to 10%, keep all
+    zh, halve fr, default 30% — the training-mixture knob, same
+    deterministic key-hash rule per stratum."""
+    import ray.data
+
+    from rayindex.datapipe.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+    return stratified_sample(ds, _STRAT_RATES, strata_col="lang",
+                             default_rate=0.3)
+
+
 def _q_simhash_pairs(sf_dir: str):
     """Exact SimHash near-dup pairs (hamming <= t via 64-bit banding +
     in-group popcount filter) — the banded candidate→verify shape closed
@@ -850,6 +878,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "neardup_clusters": _q_neardup_clusters,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "knn_cosine": _q_knn_cosine,
@@ -897,6 +927,18 @@ th AS (SELECT doc_id, generate_subscripts(tl, 1) AS i,
               ) AS h
        FROM tokl)
 """
+
+
+def _fnv64_id_sql(col: str) -> str:
+    """FNV-1a over an int64's 8 little-endian bytes, as a DuckDB scalar
+    expression — the exact twin of rayindex.datapipe.sampling.fnv1a_u64
+    (verified bit-identical)."""
+    expr = "CAST(14695981039346656037 AS UBIGINT)"
+    for i in range(8):
+        b = f"((CAST({col} AS UBIGINT) >> {8 * i}) & 255)"
+        expr = (f"CAST((CAST(xor({expr}, {b}) AS HUGEINT) * 1099511628211)"
+                f" % 18446744073709551616 AS UBIGINT)")
+    return expr
 
 
 def _shingle_cte(shingle_k: int = 5) -> str:
@@ -1493,5 +1535,16 @@ def oracle_sql() -> dict[str, str]:
                         HAVING node <> min(comp))
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id NOT IN (SELECT node FROM victims)
+        """,
+        # deterministic key-hash sampling (keep iff fnv1a64(id) %% 1e6 < t)
+        "hash_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_fnv64_id_sql('doc_id')} % 1000000 < 250000
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_fnv64_id_sql('doc_id')} % 1000000 <
+                  CASE lang WHEN 'en' THEN 100000 WHEN 'zh' THEN 1000000
+                            WHEN 'fr' THEN 500000 ELSE 300000 END
         """,
     }

@@ -490,3 +490,36 @@ def test_dedup_keep_canonical(ray_session):
         "doc_a": pa.array([], pa.int64()),
         "doc_b": pa.array([], pa.int64())}))
     assert sorted(nop.to_pandas()["doc_id"]) == [1, 2, 3, 4, 5, 10, 11, 12]
+
+
+def test_hash_sampling_deterministic(ray_session):
+    import numpy as np
+    import ray.data
+
+    from rayindex.datapipe.sampling import fnv1a_u64, hash_sample, stratified_sample
+
+    ids = np.arange(4000, dtype=np.int64)
+    langs = np.array(["en", "zh", "fr", "de"])[ids % 4]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "lang": pa.array(langs)}))
+
+    s1 = sorted(hash_sample(docs, 0.25).to_pandas()["doc_id"])
+    s2 = sorted(hash_sample(docs, 0.25).to_pandas()["doc_id"])
+    assert s1 == s2  # pure function of the row
+    # rate accuracy: FNV is uniform; 4000 draws at p=.25 stay within 5 sigma
+    assert abs(len(s1) - 1000) < 5 * (4000 * 0.25 * 0.75) ** 0.5
+    # exact rule
+    keep = fnv1a_u64(ids) % np.uint64(1_000_000) < np.uint64(250_000)
+    assert s1 == sorted(ids[keep].tolist())
+    # rate 0 / 1 edge cases
+    assert hash_sample(docs, 0.0).count() == 0
+    assert hash_sample(docs, 1.0).count() == 4000
+
+    st = stratified_sample(docs, {"en": 0.0, "zh": 1.0}, "lang",
+                           default_rate=0.5).to_pandas()
+    assert (st["lang"] != "en").all()
+    assert (st["lang"] == "zh").sum() == 1000
+    got_fr = set(st[st["lang"] == "fr"]["doc_id"])
+    exp_fr = {i for i in ids[langs == "fr"]
+              if fnv1a_u64(np.array([i]))[0] % 1_000_000 < 500_000}
+    assert got_fr == exp_fr
