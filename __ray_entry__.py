@@ -575,6 +575,34 @@ def _q_stratified_sample(sf_dir: str):
                              default_rate=0.3)
 
 
+def _q_redact_pii(sf_dir: str):
+    """Vectorized PII redaction (email / IPv4 / phone → typed
+    placeholders): one RE2 pass per pattern via
+    pc.replace_substring_regex, no Python per row.  The oracle runs the
+    SAME RE2 patterns through DuckDB regexp_replace(..., 'g')."""
+    import ray.data
+
+    from rayindex.datapipe.text import redact_pii_batch
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(redact_pii_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _q_normalize_text(sf_dir: str):
+    """Canonical text form (NFC → lower → collapse whitespace → trim);
+    ASCII rows stay entirely in Arrow kernels, non-ASCII rows take the
+    unicodedata NFC path (pyarrow 16.1's utf8_normalize mis-implements
+    NFC)."""
+    import ray.data
+
+    from rayindex.datapipe.text import normalize_text_batch
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(normalize_text_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _q_simhash_pairs(sf_dir: str):
     """Exact SimHash near-dup pairs (hamming <= t via 64-bit banding +
     in-group popcount filter) — the banded candidate→verify shape closed
@@ -880,6 +908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
+        "redact_pii": _q_redact_pii,
+        "normalize_text": _q_normalize_text,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "knn_cosine": _q_knn_cosine,
@@ -939,6 +969,18 @@ def _fnv64_id_sql(col: str) -> str:
         expr = (f"CAST((CAST(xor({expr}, {b}) AS HUGEINT) * 1099511628211)"
                 f" % 18446744073709551616 AS UBIGINT)")
     return expr
+
+
+def _redact_pii_sql() -> str:
+    """DuckDB twin of rayindex.datapipe.text.redact_pii_batch: the SAME
+    RE2 pattern strings (single source of truth), same order, global
+    replacement."""
+    from rayindex.datapipe.text import PII_PATTERNS
+
+    expr = "text"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, $re${pat}$re$, '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM documents"
 
 
 def _shingle_cte(shingle_k: int = 5) -> str:
@@ -1546,5 +1588,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_fnv64_id_sql('doc_id')} % 1000000 <
                   CASE lang WHEN 'en' THEN 100000 WHEN 'zh' THEN 1000000
                             WHEN 'fr' THEN 500000 ELSE 300000 END
+        """,
+        # identical RE2 patterns through DuckDB's RE2 (dollar-quoted to
+        # keep backslashes literal), same application order
+        "redact_pii": _redact_pii_sql(),
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\s+', ' ', 'g')) AS text
+            FROM documents
         """,
     }

@@ -190,3 +190,58 @@ def hash_token(tok: str) -> np.uint64:
         if len(_HASH_CACHE) < (1 << 20):
             _HASH_CACHE[tok] = h
     return np.uint64(h)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + normalization (vectorized Arrow RE2 kernels)
+# ---------------------------------------------------------------------------
+
+# fixed application order (phone last: its class has no '.', so emails/IPs
+# are consumed before digit runs).  Both Arrow and DuckDB run RE2, so the
+# oracle uses the SAME pattern strings (see __ray_entry__.oracle_sql).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\-\s()]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Replace emails / IPv4s / phone-number runs with typed placeholders
+    — one ``pc.replace_substring_regex`` (RE2, all occurrences) per
+    pattern, zero Python-per-row."""
+    col = batch[text_col].combine_chunks()
+    for pat, repl in PII_PATTERNS:
+        col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+    return batch.set_column(batch.schema.get_field_index(text_col),
+                            text_col, col)
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonical text form: NFC unicode normalization, unicode lowercase,
+    whitespace runs collapsed to one space, trimmed.  Matches the DuckDB
+    ``nfc_normalize → lower → regexp_replace('\\s+', ' ', 'g') → trim``
+    chain exactly.
+
+    NFC cannot use ``pc.utf8_normalize`` — pyarrow 16.1's kernel applies
+    decomposition under every form (NFC of a composed 'Å' returns
+    A+U+030A, unlike unicodedata/DuckDB).  ASCII strings are NFC-fixed
+    points, so the pass detects non-ASCII rows vectorized (one RE2 scan)
+    and runs Python ``unicodedata.normalize`` ONLY on those — for
+    code/web corpora that's a small minority of rows; everything else
+    stays in Arrow kernels."""
+    import unicodedata
+
+    col = batch[text_col].combine_chunks()
+    mask = pc.match_substring_regex(col, r"[^\x00-\x7F]")
+    mask = pc.fill_null(mask, False)
+    if pc.any(mask).as_py():
+        fixed = pa.array(
+            [unicodedata.normalize("NFC", s)
+             for s in col.filter(mask).to_pylist()], pa.string())
+        col = pc.replace_with_mask(col, mask, fixed)
+    col = pc.utf8_lower(col)
+    col = pc.replace_substring_regex(col, pattern=r"\s+", replacement=" ")
+    col = pc.utf8_trim_whitespace(col)
+    return batch.set_column(batch.schema.get_field_index(text_col),
+                            text_col, col)

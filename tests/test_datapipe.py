@@ -523,3 +523,28 @@ def test_hash_sampling_deterministic(ray_session):
     exp_fr = {i for i in ids[langs == "fr"]
               if fnv1a_u64(np.array([i]))[0] % 1_000_000 < 500_000}
     assert got_fr == exp_fr
+
+
+def test_redact_pii_and_normalize():
+    from rayindex.datapipe.text import normalize_text_batch, redact_pii_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail a@b.co or x.y+z@sub.example.org, call +44 20-7946 0958",
+            "server at 10.0.0.1 port 80; not-an-ip 999.999.999.999.9",
+            "no pii here",
+        ]),
+    })
+    out = redact_pii_batch(t)["text"].to_pylist()
+    assert out[0] == "mail <EMAIL> or <EMAIL>, call <PHONE>"
+    assert "<IP>" in out[1] and out[2] == "no pii here"
+
+    # NFC: decomposed A+ring composes; case folds; whitespace collapses
+    dec_a_ring = "Å"
+    t2 = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([f"  {dec_a_ring}ngström\tUnit  ", "PLAIN ascii\n\n x"]),
+    })
+    got = normalize_text_batch(t2)["text"].to_pylist()
+    assert got == ["ångström unit", "plain ascii x"]
