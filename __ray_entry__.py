@@ -603,6 +603,20 @@ def _q_normalize_text(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def _q_top_k_per_group(sf_dir: str):
+    """Top-3 longest docs per language — per-batch partial top-k (only
+    k rows per group per batch ever shuffle) then a small final cut;
+    ties break on ascending doc_id, matching the oracle's row_number
+    window."""
+    import ray.data
+
+    from rayindex.datapipe.select import top_k_per_group
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "lang", "n_chars"])
+    return top_k_per_group(ds, group_col="lang", order_col="n_chars", k=3)
+
+
 def _q_simhash_pairs(sf_dir: str):
     """Exact SimHash near-dup pairs (hamming <= t via 64-bit banding +
     in-group popcount filter) — the banded candidate→verify shape closed
@@ -910,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "redact_pii": _q_redact_pii,
         "normalize_text": _q_normalize_text,
+        "top_k_per_group": _q_top_k_per_group,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "knn_cosine": _q_knn_cosine,
@@ -1592,6 +1607,14 @@ def oracle_sql() -> dict[str, str]:
         # identical RE2 patterns through DuckDB's RE2 (dollar-quoted to
         # keep backslashes literal), same application order
         "redact_pii": _redact_pii_sql(),
+        "top_k_per_group": """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id)
+                           AS rn
+                FROM documents) WHERE rn <= 3
+        """,
         "normalize_text": r"""
             SELECT doc_id,
                    trim(regexp_replace(lower(nfc_normalize(text)),

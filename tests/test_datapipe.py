@@ -548,3 +548,30 @@ def test_redact_pii_and_normalize():
     })
     got = normalize_text_batch(t2)["text"].to_pylist()
     assert got == ["ångström unit", "plain ascii x"]
+
+
+def test_top_k_per_group(ray_session):
+    import ray.data
+
+    from rayindex.datapipe.select import top_k_per_group
+
+    rng = np.random.default_rng(5)
+    n = 500
+    langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, n)]
+    vals = rng.integers(0, 50, n)  # many ties
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "lang": pa.array(langs),
+                  "n_chars": pa.array(vals.astype(np.int64))})
+    # spread over partitions so the partial/final combiner is exercised
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = (top_k_per_group(ds, "lang", "n_chars", k=4).to_pandas()
+           .sort_values(["lang", "n_chars", "doc_id"],
+                        ascending=[True, False, True]).reset_index(drop=True))
+    df = t.to_pandas()
+    want = (df.sort_values(["lang", "n_chars", "doc_id"],
+                           ascending=[True, False, True])
+              .groupby("lang", sort=False).head(4)
+              .sort_values(["lang", "n_chars", "doc_id"],
+                           ascending=[True, False, True])
+              .reset_index(drop=True)[["lang", "doc_id", "n_chars"]])
+    assert got[["lang", "doc_id", "n_chars"]].equals(want)
