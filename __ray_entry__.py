@@ -617,6 +617,19 @@ def _q_top_k_per_group(sf_dir: str):
     return top_k_per_group(ds, group_col="lang", order_col="n_chars", k=3)
 
 
+def _q_length_quantiles(sf_dir: str):
+    """Exact doc-length quantiles via the distinct-value histogram
+    combiner — per-batch (value, count) partials, native groupby sum,
+    driver sees one row per DISTINCT length (corpus-size independent)."""
+    import ray.data
+
+    from rayindex.datapipe.stats import value_quantiles
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["n_chars"])
+    return value_quantiles(ds, "n_chars",
+                           qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+
+
 def _q_simhash_pairs(sf_dir: str):
     """Exact SimHash near-dup pairs (hamming <= t via 64-bit banding +
     in-group popcount filter) — the banded candidate→verify shape closed
@@ -925,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "normalize_text": _q_normalize_text,
         "top_k_per_group": _q_top_k_per_group,
+        "length_quantiles": _q_length_quantiles,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "knn_cosine": _q_knn_cosine,
@@ -1620,5 +1634,16 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(nfc_normalize(text)),
                                        '\s+', ' ', 'g')) AS text
             FROM documents
+        """,
+        # quantile_disc = element at sorted index max(ceil(q*N)-1, 0),
+        # the exact rule value_quantiles implements over the histogram
+        "length_quantiles": """
+            WITH qv AS (SELECT quantile_disc(n_chars,
+                            [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS v
+                        FROM documents)
+            SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+                               AS DOUBLE[])) AS q,
+                   CAST(unnest(v) AS BIGINT) AS value
+            FROM qv
         """,
     }

@@ -575,3 +575,30 @@ def test_top_k_per_group(ray_session):
                            ascending=[True, False, True])
               .reset_index(drop=True)[["lang", "doc_id", "n_chars"]])
     assert got[["lang", "doc_id", "n_chars"]].equals(want)
+
+def test_value_quantiles_matches_numpy_rule(ray_session):
+    import ray.data
+
+    from rayindex.datapipe.stats import value_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 40, 2000).astype(np.int64)  # heavy ties
+    t = pa.table({"n_chars": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(9)
+    qs = (0.0, 0.1, 0.5, 0.9, 0.999, 1.0)
+    got = value_quantiles(ds, "n_chars", qs)
+    s = np.sort(vals)
+    want = [int(s[max(int(np.ceil(q * len(s))) - 1, 0)]) for q in qs]
+    assert got["value"].tolist() == want
+    assert got["q"].tolist() == list(qs)
+
+
+def test_value_quantiles_empty(ray_session):
+    import ray.data
+
+    from rayindex.datapipe.stats import value_quantiles
+
+    t = pa.table({"n_chars": pa.array([], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    got = value_quantiles(ds, "n_chars", (0.5,))
+    assert len(got) == 0
