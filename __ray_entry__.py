@@ -905,6 +905,127 @@ def _q_db_metadata(sf_dir: str) -> pa.Table:
     return t.sort_by("doc_id")
 
 
+def _events(sf_dir: str, etype: str | None = None, cols=None):
+    """events.parquet projected to ``cols``, optionally filtered to one
+    event_type inside map_batches (vectorized, zero-copy)."""
+    import ray.data
+
+    cols = list(cols or ["event_id", "ts", "user_id", "value"])
+    read_cols = cols + (["event_type"] if etype else [])
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=read_cols)
+    if etype is None:
+        return ds
+
+    def filt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["event_type"], etype)).select(cols)
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_asof_join(sf_dir: str):
+    """Distributed as-of join: every click event picks the same user's
+    most recent prior purchase (one groupby(key) shuffle + vectorized
+    per-group searchsorted; inner ASOF semantics)."""
+    from rayindex.datapipe.joins import asof_join
+
+    clicks = _events(sf_dir, "click", ["user_id", "event_id", "ts"])
+    purchases = _events(sf_dir, "purchase", ["user_id", "ts", "value"])
+    out = asof_join(clicks, purchases, key_col="user_id",
+                    left_ts_col="ts", right_ts_col="ts",
+                    left_cols=("event_id",), right_cols=("value",))
+    return out.map_batches(lambda t: _micro_cols(t, ("value",)),
+                           batch_format="pyarrow")
+
+
+def _q_interval_join(sf_dir: str):
+    """Bucketed interval join: (purchase, click) pairs where the click
+    lands in the hour before the purchase — time-bucket explode (≤2×)
+    + distributed hash join on the fused (key, bucket) id + exact
+    vectorized filter; hot keys spread across buckets."""
+    import pyarrow.compute as pc
+
+    from rayindex.datapipe.joins import interval_join
+
+    purchases = _events(sf_dir, "purchase", ["user_id", "event_id", "ts"])
+    clicks = _events(sf_dir, "click", ["user_id", "event_id", "ts"]).map_batches(
+        lambda t: t.rename_columns(["user_id", "click_id", "ts"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return interval_join(purchases, clicks, key_col="user_id",
+                         left_ts_col="ts", right_ts_col="ts",
+                         lo_us=-3_600_000_000, hi_us=0,
+                         left_id_col="event_id", right_id_col="click_id",
+                         num_partitions=4)
+
+
+def _q_semi_join(sf_dir: str):
+    """Broadcast semi-join: lineitem rows of URGENT orders — the order
+    key set is ray.put once; lineitem streams through an is_in filter
+    and never shuffles."""
+    import ray.data
+
+    from rayindex.datapipe.joins import semi_join
+
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_linenumber",
+                                        "l_quantity"])
+    urgent = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pa.compute.equal(t["o_orderpriority"],
+                                            "1-URGENT")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = semi_join(li, urgent, big_col="l_orderkey",
+                    small_col="o_orderkey")
+    return out.map_batches(lambda t: _micro_cols(t, ("l_quantity",)),
+                           batch_format="pyarrow")
+
+
+def _q_anti_join(sf_dir: str):
+    """Broadcast anti-join: customers with no URGENT order."""
+    import ray.data
+
+    from rayindex.datapipe.joins import anti_join
+
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_name"])
+    urgent = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pa.compute.equal(t["o_orderpriority"],
+                                            "1-URGENT")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return anti_join(cust, urgent, big_col="c_custkey",
+                     small_col="o_custkey")
+
+
+def _q_events_hopping(sf_dir: str):
+    """Per-key hopping window (1 h window, 15 min hop): bounded 4×
+    vectorized expansion inside map_batches, then the native combiner
+    aggregate — raw events shuffle once, pre-grouped."""
+    from rayindex.datapipe.windows import hopping_window
+
+    ds = _events(sf_dir, None, ["user_id", "ts", "value"])
+    out = hopping_window(ds, window_s=3600, hop_s=900)
+    return out.map_batches(lambda t: _micro_cols(t, ("sum_value",)),
+                           batch_format="pyarrow")
+
+
+def _q_token_count_bpe(sf_dir: str):
+    """BPE-ish pretokenizer token counts (LLM token budgeting) — a pure
+    Arrow RE2 kernel; DuckDB's regexp_extract_all runs the same RE2
+    pattern, so counts match exactly."""
+    import ray.data
+
+    from rayindex.datapipe.text import token_count_bpe_batch
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return ds.map_batches(token_count_bpe_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_stats": _q_term_stats,
@@ -951,6 +1072,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "db_metadata": _q_db_metadata,
         "date_parse": _q_date_parse,
         "html_unescape": _q_html_unescape,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
+        "events_hopping": _q_events_hopping,
+        "token_count_bpe": _q_token_count_bpe,
     }
 
 
@@ -1092,6 +1219,8 @@ def _minhash_cte(num_perm: int = 64, bands: int = 16, shingle_k: int = 5) -> str
 
 
 def oracle_sql() -> dict[str, str]:
+    from rayindex.datapipe.text import BPE_PATTERN as _BPE_PATTERN
+
     probe = ", ".join(f"'{t}'" for t in PROBE_TERMS)
     qvals = ", ".join(
         f"({qid}, '{term}')"
@@ -1645,5 +1774,56 @@ def oracle_sql() -> dict[str, str]:
                                AS DOUBLE[])) AS q,
                    CAST(unnest(v) AS BIGINT) AS value
             FROM qv
+        """,
+        # DuckDB's native ASOF JOIN: greatest purchase ts <= click ts per
+        # user, inner semantics — the exact contract of datapipe.joins
+        "asof_join": """
+            SELECT c.user_id, c.event_id,
+                   epoch_us(c.ts) AS left_ts, epoch_us(p.ts) AS right_ts,
+                   CAST(round(p.value * 1e6) AS BIGINT) AS value_micro
+            FROM (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF JOIN (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "interval_join": """
+            SELECT p.user_id, p.event_id, c.event_id AS click_id,
+                   epoch_us(c.ts) AS right_ts
+            FROM events p JOIN events c ON p.user_id = c.user_id
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+              AND epoch_us(c.ts)
+                  BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+        """,
+        "semi_join": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_quantity * 1e6) AS BIGINT) AS l_quantity_micro
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+        """,
+        # each event lands in exactly window_s/hop_s = 4 hopping windows:
+        # the windows starting at (hop_bucket(ts) - j) * hop for j in 0..3
+        "events_hopping": """
+            WITH e AS (SELECT user_id, epoch_us(ts) // 900000000 AS hb, value
+                       FROM events),
+            x AS (SELECT user_id, (hb - j.j) * 900 AS window_start, value
+                  FROM e CROSS JOIN (SELECT unnest(range(4)) AS j) j)
+            SELECT user_id, window_start, count(*)::BIGINT AS n_events,
+                   CAST(round(sum(value) * 1e6) AS BIGINT) AS sum_value_micro
+            FROM x GROUP BY user_id, window_start
+        """,
+        # the SAME RE2 pattern string (single source of truth) through
+        # DuckDB's RE2 — non-overlapping left-to-right match counts agree
+        "token_count_bpe": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, $bpe${_BPE_PATTERN}$bpe$))
+                       ::BIGINT AS n_bpe_tokens
+            FROM documents
         """,
     }

@@ -46,6 +46,26 @@ def token_count_batch(batch: pa.Table, text_col: str = "text",
     })
 
 
+# GPT-2-style pretokenizer, RE2-safe subset (no unicode categories or
+# lookarounds): contractions, letter runs, digit runs, punct runs, spaces.
+# Arrow's count_substring_regex and DuckDB's regexp_extract_all both run
+# RE2, so counts agree bit-for-bit across engine and oracle.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count_bpe_batch(batch: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """(id, n_bpe_tokens) — token count under a BPE-ish pretokenizer
+    regex, the standard first pass of an LLM training-data token
+    budgeter.  Pure Arrow RE2 kernel: zero Python per row."""
+    return pa.table({
+        id_col: batch[id_col],
+        "n_bpe_tokens": pc.cast(
+            pc.count_substring_regex(pc.cast(batch[text_col], pa.string()),
+                                     BPE_PATTERN), pa.int64()),
+    })
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
     """Per-doc quality signals: token stats + stopword/digit ratios.

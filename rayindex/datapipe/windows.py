@@ -48,6 +48,42 @@ def tumbling_window(ds, window_s: int = 3600, key_col: str = "user_id",
     )
 
 
+def hopping_window(ds, window_s: int = 3600, hop_s: int = 900,
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   val_col: str = "value"):
+    """Per-key hopping (sliding) window: each event belongs to exactly
+    ``window_s // hop_s`` overlapping windows; the expansion is a
+    vectorized ``np.repeat`` inside ``map_batches`` (factor k, bounded
+    and known), then the same native combiner aggregate as the tumbling
+    window.  Requires ``window_s % hop_s == 0``.  Returns
+    (key, window_start, n_events, sum_value)."""
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    k = window_s // hop_s
+
+    def expand(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        base = epoch.to_numpy() // (hop_s * 1_000_000)  # hop bucket of ts
+        n = t.num_rows
+        # windows containing ts start at (base - j) * hop for j in 0..k-1
+        j = np.tile(np.arange(k, dtype=np.int64), n)
+        starts = (np.repeat(base, k) - j) * hop_s
+        return pa.table({
+            key_col: pc.take(t[key_col], pa.array(np.repeat(np.arange(n), k), pa.int64())).combine_chunks(),
+            "window_start": pa.array(starts, pa.int64()),
+            val_col: pc.take(t[val_col], pa.array(np.repeat(np.arange(n), k), pa.int64())).combine_chunks(),
+        })
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(val_col, alias_name="sum_value"),
+        )
+    )
+
+
 def sessionize(ds, gap_s: int = 1800, key_col: str = "user_id", ts_col: str = "ts"):
     """Session windows (gap-based): requires per-key ordering, so this IS a
     shuffle — groupby(key) then a sorted pandas pass per group.  Returns
