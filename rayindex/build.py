@@ -1410,10 +1410,16 @@ class WriteShard:
         self.block_size = block_size
         # phase accounting for the merge tail (the one stage that cannot
         # overlap ingest): view = lexsort + ragged gathers (DRAM-bound),
-        # write = blob O_DIRECT, dict = term-dictionary parquet
+        # write = blob O_DIRECT, dict = term-dictionary parquet.
+        # *_st_s / *_mf siblings split out kernel time and minor faults
+        # per phase (getrusage deltas) — the host charges ~0.1 ms per
+        # first-touch page, so kernel time is where scale bugs surface.
         self.timings = {"view_s": 0.0, "view_sort_s": 0.0,
                         "view_gather_s": 0.0, "meta_s": 0.0,
-                        "write_s": 0.0, "dict_s": 0.0}
+                        "write_s": 0.0, "dict_s": 0.0,
+                        "view_st_s": 0.0, "write_st_s": 0.0,
+                        "dict_st_s": 0.0, "view_mf": 0.0,
+                        "write_mf": 0.0, "dict_mf": 0.0}
 
     def __call__(self, group: pa.Table) -> pa.Table:
         empty = pa.table({"shard": pa.array([], pa.int64()),
@@ -1427,12 +1433,22 @@ class WriteShard:
             m = json.load(open(BuildCheckpoint.shard_manifest_path(self.shard_dir, shard_id)))
             return pa.table({"shard": [shard_id], "n_terms": [m["n_terms"]],
                              "bytes": [m["bytes"]], "skipped": [True]})
+        import resource as _res
+
+        def _ru() -> tuple[float, float]:
+            r = _res.getrusage(_res.RUSAGE_SELF)
+            return r.ru_stime, r.ru_minflt
+
+        _r0 = _ru()
         _t0 = time.perf_counter()
         v = _FineView(group, block_size=self.block_size)
         _t1 = time.perf_counter()
+        _r1 = _ru()
         self.timings["view_s"] += _t1 - _t0
         self.timings["view_sort_s"] += v.t_sort
         self.timings["view_gather_s"] += v.t_gather
+        self.timings["view_st_s"] += _r1[0] - _r0[0]
+        self.timings["view_mf"] += _r1[1] - _r0[1]
         tg_s, tg_e = v.tg_start, v.tg_end
         nt = v.n_terms
 
@@ -1506,15 +1522,22 @@ class WriteShard:
                     yield v._tf_mv[ttf_start[t]:ttf_start[t] + tlen[t]]
                     yield v._pos_mv[tpos_start[t]:tpos_start[t] + plen[t]]
 
+        _r2 = _ru()
         direct_write(tmp_path, _RecordStream())
         os.replace(tmp_path, bin_path)
         _t3 = time.perf_counter()
+        _r3 = _ru()
         self.timings["write_s"] += _t3 - _t2
+        self.timings["write_st_s"] += _r3[0] - _r2[0]
+        self.timings["write_mf"] += _r3[1] - _r2[1]
         total_bytes = int(rec.sum())
         tmp = os.path.join(self.shard_dir, f"shard_{shard_id:05d}.dict.parquet.tmp-{os.getpid()}")
         direct_write_table(tmp, dict_table, pq.write_table)
         os.replace(tmp, os.path.join(self.shard_dir, f"shard_{shard_id:05d}.dict.parquet"))
+        _r4 = _ru()
         self.timings["dict_s"] += time.perf_counter() - _t3
+        self.timings["dict_st_s"] += _r4[0] - _r3[0]
+        self.timings["dict_mf"] += _r4[1] - _r3[1]
         BuildCheckpoint.write_shard_manifest(
             self.shard_dir, shard_id, self.fingerprint,
             {"n_terms": int(nt), "bytes": total_bytes},
@@ -1637,6 +1660,24 @@ class _ShardMerger:
 
     def add_spools(self, files: list[str]) -> None:
         for f in files:
+            # Queue ASYNC readahead for the whole spool before mapping it.
+            # Spools are written O_DIRECT (no page cache), so without this
+            # every later access — the toucher's memcmp AND the splice's
+            # take() — faults 4 KiB at a time through a synchronous disk
+            # read; measured on this host that path moves ~40 MB/s while
+            # fadvise(WILLNEED) + warm faults move the same bytes 26x
+            # faster (0.39 s vs 10.0 s for a cold 400 MB file).  This was
+            # the dominant superlinearity in the 800k-doc weak-scaling leg
+            # (splice_view kernel time 2.3 s -> 157 s from 200k to 800k).
+            if os.environ.get("RAYINDEX_SPOOL_FADVISE", "1") != "0":
+                try:
+                    _fd = os.open(f, os.O_RDONLY)
+                    try:
+                        os.posix_fadvise(_fd, 0, 0, os.POSIX_FADV_WILLNEED)
+                    finally:
+                        os.close(_fd)
+                except OSError:
+                    pass
             # no context manager: the returned batches are zero-copy views
             # into the mapping, which must outlive this call (the reader /
             # batches hold the reference; GC unmaps when dropped)
@@ -1757,9 +1798,11 @@ class _MergePool:
             "splice_crit_s": round(max((t["wall_s"] for t in timings),
                                        default=0.0), 3),
             "splice_feed_drain_s": round(feed_drain_s, 3),
-            **{f"splice_{k}": round(sum(t[k] for t in timings), 3)
+            **{f"splice_{k}": round(sum(t.get(k, 0.0) for t in timings), 3)
                for k in ("tbl_s", "view_s", "view_sort_s", "view_gather_s",
-                         "meta_s", "write_s", "dict_s")},
+                         "meta_s", "write_s", "dict_s",
+                         "view_st_s", "write_st_s", "dict_st_s",
+                         "view_mf", "write_mf", "dict_mf")},
         }
 
     def shutdown(self) -> None:
