@@ -1013,6 +1013,73 @@ def _q_events_hopping(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_broadcast_join(sf_dir: str):
+    """Broadcast enrich join: customers gain their nation name — the
+    dimension table is sorted + ray.put once, the fact side streams
+    through a vectorized searchsorted lookup with no shuffle."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from rayindex.datapipe.joins import broadcast_join
+
+    nation = pq_.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"])
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"])
+    return broadcast_join(cust, nation, big_col="c_nationkey",
+                          small_col="n_nationkey", payload_cols=("n_name",))
+
+
+def _q_lineitem_rollup(sf_dir: str):
+    """TPC-H-Q1-style multi-aggregate rollup over lineitem: native
+    combiner-based groupby (partial per block, small final exchange).
+    Money is summed in exact integer ten-thousandths (price and
+    discount carry 2 decimals each, so price*(1-disc) is exact at 4
+    decimals) — float sums would be summation-order-dependent and
+    could not hash-match the oracle."""
+    import ray.data
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": pa.array(np.rint(qty).astype(np.int64)),
+            "qty_f": pc.cast(t["l_quantity"], pa.float64()),
+            "disc_price_c": pa.array(
+                np.rint(price * (1.0 - disc) * 1e4).astype(np.int64)),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty", alias_name="sum_qty"),
+                      Sum("disc_price_c", alias_name="sum_disc_price_c"),
+                      Mean("qty_f", alias_name="avg_qty"),
+                      Count(alias_name="n_rows")))
+
+    def post(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for c in ("sum_qty", "sum_disc_price_c", "n_rows"):
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.cast(t[c], pa.int64()))
+        return _micro_cols(t, ("avg_qty",))
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
 def _q_token_count_bpe(sf_dir: str):
     """BPE-ish pretokenizer token counts (LLM token budgeting) — a pure
     Arrow RE2 kernel; DuckDB's regexp_extract_all runs the same RE2
@@ -1078,6 +1145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": _q_anti_join,
         "events_hopping": _q_events_hopping,
         "token_count_bpe": _q_token_count_bpe,
+        "broadcast_join": _q_broadcast_join,
+        "lineitem_rollup": _q_lineitem_rollup,
     }
 
 
@@ -1817,6 +1886,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, window_start, count(*)::BIGINT AS n_events,
                    CAST(round(sum(value) * 1e6) AS BIGINT) AS sum_value_micro
             FROM x GROUP BY user_id, window_start
+        """,
+        "broadcast_join": """
+            SELECT c_custkey, c_name, c_nationkey, n_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        # money summed in exact integer ten-thousandths on both sides —
+        # order-independent, so the value hash is engine-portable
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 1e4) AS BIGINT)) AS BIGINT)
+                       AS sum_disc_price_c,
+                   CAST(round(avg(round(l_quantity)) * 1e6) AS BIGINT)
+                       AS avg_qty_micro,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         # the SAME RE2 pattern string (single source of truth) through
         # DuckDB's RE2 — non-overlapping left-to-right match counts agree

@@ -264,3 +264,37 @@ def semi_join(big_ds, small, big_col: str, small_col: str | None = None,
 def anti_join(big_ds, small, big_col: str, small_col: str | None = None):
     """Broadcast anti-join; see :func:`semi_join`."""
     return semi_join(big_ds, small, big_col, small_col, anti=True)
+
+
+def broadcast_join(big_ds, small: pa.Table, big_col: str, small_col: str,
+                   payload_cols: tuple[str, ...]):
+    """Broadcast enrich (lookup) join: append the small side's payload
+    columns to every matching big-side row; non-matching rows drop
+    (inner semantics).  The dimension-table pattern — the small side
+    (unique on ``small_col``) is sorted driver-side and ``ray.put``
+    ONCE; every task binary-searches its batch keys against the shared
+    ref.  The big side never shuffles and never materializes.
+    """
+    import ray
+
+    order = pc.sort_indices(small[small_col])
+    small = small.take(order).combine_chunks()
+    keys = small[small_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if keys.size > 1 and (keys[1:] == keys[:-1]).any():
+        raise ValueError(f"small side is not unique on {small_col}")
+    ref = ray.put((keys, {c: small[c] for c in payload_cols}))
+
+    def enrich(t: pa.Table) -> pa.Table:
+        k, payload = ray.get(ref)
+        big = pc.cast(t[big_col], pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, big)
+        idx_c = np.minimum(idx, k.size - 1)
+        hit = (k[idx_c] == big) if k.size else np.zeros(big.size, bool)
+        t = t.filter(pa.array(hit))
+        take = pa.array(idx_c[hit], pa.int64())
+        for c in payload_cols:
+            t = t.append_column(c, pc.take(payload[c], take))
+        return t
+
+    return big_ds.map_batches(enrich, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -137,6 +137,27 @@ def test_semi_and_anti_join_partition(ray_session):
     assert sorted(keep2.v) == sorted(keep.v)
 
 
+def test_broadcast_join_enrich(ray_session):
+    import ray.data
+
+    from rayindex.datapipe.joins import broadcast_join
+
+    big = pa.table({"k": pa.array(np.arange(200) % 7, pa.int64()),
+                    "v": pa.array(np.arange(200), pa.int64())})
+    dim = pa.table({"dk": pa.array([0, 2, 4, 6], pa.int64()),
+                    "name": pa.array(["a", "b", "c", "d"])})
+    out = broadcast_join(ray.data.from_arrow(big), dim, "k", "dk",
+                         ("name",)).to_pandas()
+    assert set(out.k) == {0, 2, 4, 6}
+    assert (out.name == out.k.map({0: "a", 2: "b", 4: "c", 6: "d"})).all()
+    assert len(out) == len(big.to_pandas().query("k in (0, 2, 4, 6)"))
+    dup = pa.table({"dk": pa.array([1, 1], pa.int64()),
+                    "name": pa.array(["x", "y"])})
+    with pytest.raises(ValueError):
+        broadcast_join(ray.data.from_arrow(big), dup, "k", "dk",
+                       ("name",)).to_pandas()
+
+
 def test_hopping_window_matches_pandas(ray_session):
     import ray.data
 
