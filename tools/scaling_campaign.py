@@ -45,7 +45,16 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--max-load", type=float, default=4.0)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--shape", default=None,
+                    help="pin one shape instead of rotating: "
+                         "LEVELS:FILES[:weak], e.g. 8,32:200000 or "
+                         "8,32:200000:weak")
     args = ap.parse_args()
+    pinned = None
+    if args.shape:
+        parts = args.shape.split(":")
+        pinned = (parts[0], int(parts[1]), len(parts) > 2 and
+                  parts[2] == "weak", "/dev/shm/rayindex_bench")
     try:
         idx = int(open(STATE).read().strip())
     except Exception:
@@ -56,10 +65,13 @@ def main() -> int:
         if load1 >= args.max_load:
             time.sleep(60)
             continue
-        levels, files, weak, outdir = SHAPES[idx % len(SHAPES)]
-        idx += 1
-        with open(STATE, "w") as f:
-            f.write(str(idx))
+        if pinned is not None:
+            levels, files, weak, outdir = pinned
+        else:
+            levels, files, weak, outdir = SHAPES[idx % len(SHAPES)]
+            idx += 1
+            with open(STATE, "w") as f:
+                f.write(str(idx))
         env = dict(os.environ,
                    RAYINDEX_BENCH_LEVELS=levels,
                    RAYINDEX_BENCH_FILES=str(files),
