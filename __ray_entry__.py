@@ -1093,6 +1093,36 @@ def _q_token_count_bpe(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def _q_distinct_users(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT user_id) per event_type — the
+    pair-dedup combiner (unique pairs per batch, one multi-key groupby,
+    tiny per-group count); no per-group value set is ever held in heap."""
+    import ray.data
+
+    from rayindex.datapipe.sketch import distinct_per_group
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    return distinct_per_group(ds, group_col="event_type",
+                              value_col="user_id")
+
+
+def _q_hll_sketch(sf_dir: str):
+    """HyperLogLog registers of events.user_id (p=12): per-batch
+    vectorized FNV-1a + register fold, native groupby(bucket).max merge.
+    The register table is integer-exact and SQL-reproducible (the hash
+    and the smear+popcount bit-length have DuckDB twins), so a SKETCH
+    gets a full rows+schema+hash oracle; the float estimate derived from
+    it is pytest-gated (tests/test_sketch.py) at the theoretical error."""
+    import ray.data
+
+    from rayindex.datapipe.sketch import hll_register_table
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    return hll_register_table(ds, "user_id", p=12)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_stats": _q_term_stats,
@@ -1147,6 +1177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": _q_token_count_bpe,
         "broadcast_join": _q_broadcast_join,
         "lineitem_rollup": _q_lineitem_rollup,
+        "distinct_users": _q_distinct_users,
+        "hll_sketch": _q_hll_sketch,
     }
 
 
@@ -1194,6 +1226,20 @@ def _fnv64_id_sql(col: str) -> str:
         expr = (f"CAST((CAST(xor({expr}, {b}) AS HUGEINT) * 1099511628211)"
                 f" % 18446744073709551616 AS UBIGINT)")
     return expr
+
+
+def _mulmod64_sql(x: str, c: int) -> str:
+    """``x * c mod 2**64`` in DuckDB for a full-width constant: the
+    64×64 product is decomposed into 32-bit halves so no intermediate
+    exceeds INT128 (a direct HUGEINT multiply overflows for c ≥ 2^63).
+    Exact twin of numpy uint64 wraparound multiply (verified
+    bit-identical incl. int64 max)."""
+    c_lo, c_hi = c & 0xFFFFFFFF, c >> 32
+    xl = f"(CAST({x} AS HUGEINT) % 4294967296)"
+    xh = f"(CAST({x} AS HUGEINT) // 4294967296)"
+    mid = f"(({xl} * {c_hi} + {xh} * {c_lo}) % 4294967296)"
+    return (f"CAST((({xl} * {c_lo} + {mid} * 4294967296) "
+            f"% 18446744073709551616) AS UBIGINT)")
 
 
 def _redact_pii_sql() -> str:
@@ -1912,5 +1958,37 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, $bpe${_BPE_PATTERN}$bpe$))
                        ::BIGINT AS n_bpe_tokens
             FROM documents
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events GROUP BY event_type
+        """,
+        # HyperLogLog register table, bit-for-bit: FNV-1a over user_id's 8
+        # LE bytes (the fnv1a_u64 twin) + splitmix64 finalizer (the mix64
+        # twin; FNV alone is not avalanche-grade — sketch.py:mix64),
+        # bucket = h >> 52, and rho from an INTEGER-ONLY bit-length
+        # (smear + bit_count) — float log2 would round across exact
+        # power-of-two boundaries.
+        "hll_sketch": f"""
+            WITH h0 AS (SELECT {_fnv64_id_sql('user_id')} AS h
+                        FROM events WHERE user_id IS NOT NULL),
+            f1 AS (SELECT xor(h, h >> 30) AS h FROM h0),
+            f2 AS (SELECT {_mulmod64_sql('h', 0xBF58476D1CE4E5B9)} AS h
+                   FROM f1),
+            f3 AS (SELECT xor(h, h >> 27) AS h FROM f2),
+            f4 AS (SELECT {_mulmod64_sql('h', 0x94D049BB133111EB)} AS h
+                   FROM f3),
+            f5 AS (SELECT xor(h, h >> 31) AS h FROM f4),
+            bw AS (SELECT CAST(h >> 52 AS BIGINT) AS bucket,
+                          h & ((CAST(1 AS UBIGINT) << 52) - 1) AS w
+                   FROM f5),
+            s1 AS (SELECT bucket, w | (w >> 1) AS s FROM bw),
+            s2 AS (SELECT bucket, s | (s >> 2) AS s FROM s1),
+            s3 AS (SELECT bucket, s | (s >> 4) AS s FROM s2),
+            s4 AS (SELECT bucket, s | (s >> 8) AS s FROM s3),
+            s5 AS (SELECT bucket, s | (s >> 16) AS s FROM s4),
+            s6 AS (SELECT bucket, s | (s >> 32) AS s FROM s5)
+            SELECT bucket, MAX(CAST(52 - bit_count(s) + 1 AS BIGINT)) AS rho
+            FROM s6 GROUP BY bucket
         """,
     }

@@ -1,0 +1,143 @@
+"""Distinct-count operators: exact grouped COUNT(DISTINCT), the HLL
+register pipeline (vs a single-pass reference and vs its DuckDB oracle
+twin), sketch mergeability, and the estimate's accuracy gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _events_table(n: int = 4000, n_users: int = 700, seed: int = 7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "event_type": pa.array(rng.choice(["click", "view", "buy"], n)),
+        "user_id": pa.array(rng.integers(1, n_users + 1, n, dtype=np.int64)),
+    })
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data
+
+    t = _events_table()
+    return ray.data.from_arrow(t), t
+
+
+def test_distinct_per_group_matches_duckdb(events_ds):
+    import duckdb
+
+    from rayindex.datapipe.sketch import distinct_per_group
+
+    ds, t = events_ds
+    got = (distinct_per_group(ds, "event_type", "user_id")
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.execute(
+        "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct "
+        "FROM events GROUP BY event_type ORDER BY event_type").df()
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["n_distinct"].tolist() == exp["n_distinct"].tolist()
+    assert str(got["n_distinct"].dtype) == "int64"
+
+
+def test_distinct_count_scalar(events_ds):
+    from rayindex.datapipe.sketch import distinct_count
+
+    ds, t = events_ds
+    assert distinct_count(ds, "user_id") == len(set(t["user_id"].to_pylist()))
+
+
+def _reference_registers(vals: np.ndarray, p: int) -> np.ndarray:
+    """Single-pass scalar-Python HLL — the executable spec."""
+    from rayindex.datapipe.sampling import fnv1a_u64
+    from rayindex.datapipe.sketch import mix64
+
+    width = 64 - p
+    regs = np.zeros(1 << p, np.int64)
+    for h in mix64(fnv1a_u64(vals.astype(np.int64))):
+        h = int(h)
+        b = h >> width
+        w = h & ((1 << width) - 1)
+        rho = width - w.bit_length() + 1
+        if rho > regs[b]:
+            regs[b] = rho
+    return regs
+
+
+def test_hll_registers_match_reference(events_ds):
+    from rayindex.datapipe.sketch import hll_register_table
+
+    ds, t = events_ds
+    got = (hll_register_table(ds, "user_id", p=12)
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    regs = _reference_registers(
+        t["user_id"].to_numpy(zero_copy_only=False), 12)
+    nz = np.flatnonzero(regs)
+    assert got["bucket"].tolist() == nz.tolist()
+    assert got["rho"].tolist() == regs[nz].tolist()
+
+
+def test_hll_merge_is_elementwise_max(ray_session):
+    """Registers of A ∪ B == elementwise max of A's and B's registers —
+    the property that makes per-shard sketches mergeable."""
+    import ray.data
+
+    from rayindex.datapipe.sketch import hll_register_table
+
+    a = _events_table(n=1500, n_users=400, seed=1)
+    b = _events_table(n=1500, n_users=400, seed=2)
+
+    def regs_of(tbl) -> np.ndarray:
+        out = hll_register_table(
+            ray.data.from_arrow(tbl), "user_id", p=10).to_pandas()
+        r = np.zeros(1 << 10, np.int64)
+        r[out["bucket"].to_numpy()] = out["rho"].to_numpy()
+        return r
+
+    merged = np.maximum(regs_of(a), regs_of(b))
+    union = regs_of(pa.concat_tables([a, b]))
+    assert (merged == union).all()
+
+
+def test_hll_estimate_accuracy(ray_session):
+    """Relative error within ~3 sigma of the regime's theoretical bound
+    (linear counting ~1.1% sigma at this occupancy; harmonic-mean HLL
+    1.04/sqrt(4096) ~ 1.6%): both regimes gated at 5%."""
+    import ray.data
+
+    from rayindex.datapipe.sketch import hll_distinct
+
+    small = _events_table(n=4000, n_users=700, seed=7)
+    exact = len(set(small["user_id"].to_pylist()))
+    est = hll_distinct(ray.data.from_arrow(small), "user_id", p=12)
+    assert abs(est - exact) / exact < 0.05
+
+    rng = np.random.default_rng(42)
+    big = pa.table({"user_id": pa.array(
+        rng.integers(1, 40_001, 120_000, dtype=np.int64))})
+    exact = len(set(big["user_id"].to_pylist()))
+    est = hll_distinct(ray.data.from_arrow(big), "user_id", p=12)
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_hll_oracle_twin(events_ds):
+    """The shipped DuckDB oracle reproduces the pipeline's register table
+    bit-for-bit on a synthetic events table (catches SQL drift before the
+    driver does)."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from rayindex.datapipe.sketch import hll_register_table
+
+    ds, t = events_ds
+    got = (hll_register_table(ds, "user_id", p=12)
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", t)
+    sql = entrymod.oracle_sql()["hll_sketch"]
+    exp = con.execute(f"SELECT * FROM ({sql}) ORDER BY bucket").df()
+    assert got["bucket"].tolist() == exp["bucket"].tolist()
+    assert got["rho"].tolist() == exp["rho"].tolist()
