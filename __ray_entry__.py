@@ -1123,6 +1123,37 @@ def _q_hll_sketch(sf_dir: str):
     return hll_register_table(ds, "user_id", p=12)
 
 
+def _q_bloom_filter_events(sf_dir: str):
+    """Bloom-filter blocklist anti-join: drop every event by a user who
+    ever produced a severe (value > 200) 'error' event — a strict
+    subset of users at every SF.  The blocklist side is folded into a
+    4096-bit Bloom bitset (k=3) and broadcast once; the big side streams
+    through a map_batches probe — no shuffle, and the bitset (not the
+    key set) is the only driver/plasma state.  False positives are
+    DETERMINISTIC given the hash chain, so the oracle reproduces the
+    exact surviving row set bit-for-bit (including which innocent users
+    were collaterally dropped)."""
+    import ray.data
+
+    from rayindex.datapipe.bloom import bloom_filter
+
+    def severe(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.equal(t["event_type"], "error"),
+                       pc.greater(t["value"], 200.0))
+        return t.filter(keep).select(["user_id"])
+
+    small = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value"]).map_batches(
+            severe, batch_format="pyarrow", zero_copy_batch=True)
+    big = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                columns=["event_id", "user_id"])
+    return bloom_filter(big, small, big_col="user_id",
+                        m_bits=1 << 12, k=3, anti=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_stats": _q_term_stats,
@@ -1179,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": _q_lineitem_rollup,
         "distinct_users": _q_distinct_users,
         "hll_sketch": _q_hll_sketch,
+        "bloom_filter_events": _q_bloom_filter_events,
     }
 
 
@@ -1240,6 +1272,21 @@ def _mulmod64_sql(x: str, c: int) -> str:
     mid = f"(({xl} * {c_hi} + {xh} * {c_lo}) % 4294967296)"
     return (f"CAST((({xl} * {c_lo} + {mid} * 4294967296) "
             f"% 18446744073709551616) AS UBIGINT)")
+
+
+def _mix64_sql_ctes(prefix: str, src: str, cols: str = "") -> str:
+    """CTE chain applying the splitmix64 finalizer (the exact twin of
+    ``rayindex.datapipe.sketch.mix64``) to column ``h`` of CTE ``src``,
+    carrying ``cols`` through; the result lands in CTE ``{prefix}5``."""
+    cc = (cols + ", ") if cols else ""
+    return f"""
+            {prefix}1 AS (SELECT {cc}xor(h, h >> 30) AS h FROM {src}),
+            {prefix}2 AS (SELECT {cc}{_mulmod64_sql('h', 0xBF58476D1CE4E5B9)}
+                          AS h FROM {prefix}1),
+            {prefix}3 AS (SELECT {cc}xor(h, h >> 27) AS h FROM {prefix}2),
+            {prefix}4 AS (SELECT {cc}{_mulmod64_sql('h', 0x94D049BB133111EB)}
+                          AS h FROM {prefix}3),
+            {prefix}5 AS (SELECT {cc}xor(h, h >> 31) AS h FROM {prefix}4)"""
 
 
 def _redact_pii_sql() -> str:
@@ -1972,13 +2019,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_sketch": f"""
             WITH h0 AS (SELECT {_fnv64_id_sql('user_id')} AS h
                         FROM events WHERE user_id IS NOT NULL),
-            f1 AS (SELECT xor(h, h >> 30) AS h FROM h0),
-            f2 AS (SELECT {_mulmod64_sql('h', 0xBF58476D1CE4E5B9)} AS h
-                   FROM f1),
-            f3 AS (SELECT xor(h, h >> 27) AS h FROM f2),
-            f4 AS (SELECT {_mulmod64_sql('h', 0x94D049BB133111EB)} AS h
-                   FROM f3),
-            f5 AS (SELECT xor(h, h >> 31) AS h FROM f4),
+            {_mix64_sql_ctes('f', 'h0')},
             bw AS (SELECT CAST(h >> 52 AS BIGINT) AS bucket,
                           h & ((CAST(1 AS UBIGINT) << 52) - 1) AS w
                    FROM f5),
@@ -1990,5 +2031,42 @@ def oracle_sql() -> dict[str, str]:
             s6 AS (SELECT bucket, s | (s >> 32) AS s FROM s5)
             SELECT bucket, MAX(CAST(52 - bit_count(s) + 1 AS BIGINT)) AS rho
             FROM s6 GROUP BY bucket
+        """,
+        # Bloom anti-filter, bit-for-bit: h1 = mix64(fnv(user_id)),
+        # h2 = mix64(h1 xor GOLDEN) | 1, probes (h1 + i*h2) mod 2^64
+        # masked to m-1 (m=4096, k=3); a row is a member iff ALL its
+        # probe positions appear in the blocklist's position set.
+        "bloom_filter_events": f"""
+            WITH bl0 AS (SELECT DISTINCT user_id AS v FROM events
+                         WHERE event_type = 'error' AND value > 200.0
+                           AND user_id IS NOT NULL),
+            bh0 AS (SELECT {_fnv64_id_sql('v')} AS h FROM bl0),
+            {_mix64_sql_ctes('ba', 'bh0')},
+            bg0 AS (SELECT h AS h1,
+                           xor(h, CAST(11400714819323198485 AS UBIGINT)) AS h
+                    FROM ba5),
+            {_mix64_sql_ctes('bb', 'bg0', cols='h1')},
+            bset AS (SELECT h1, h | CAST(1 AS UBIGINT) AS h2 FROM bb5),
+            bpos AS (SELECT DISTINCT
+                       CAST(((CAST(h1 AS HUGEINT) + r.i * CAST(h2 AS HUGEINT))
+                             % 18446744073709551616) AS UBIGINT) & 4095 AS p
+                     FROM bset, range(3) r(i)),
+            eh0 AS (SELECT event_id, user_id,
+                           {_fnv64_id_sql('user_id')} AS h FROM events),
+            {_mix64_sql_ctes('ea', 'eh0', cols='event_id, user_id')},
+            eg0 AS (SELECT event_id, user_id, h AS h1,
+                           xor(h, CAST(11400714819323198485 AS UBIGINT)) AS h
+                    FROM ea5),
+            {_mix64_sql_ctes('eb', 'eg0', cols='event_id, user_id, h1')},
+            eset AS (SELECT event_id, user_id, h1,
+                            h | CAST(1 AS UBIGINT) AS h2 FROM eb5),
+            epos AS (SELECT event_id,
+                       CAST(((CAST(h1 AS HUGEINT) + r.i * CAST(h2 AS HUGEINT))
+                             % 18446744073709551616) AS UBIGINT) & 4095 AS p
+                     FROM eset, range(3) r(i)),
+            memb AS (SELECT event_id FROM epos JOIN bpos USING (p)
+                     GROUP BY event_id HAVING count(*) = 3)
+            SELECT event_id, user_id FROM events
+            WHERE event_id NOT IN (SELECT event_id FROM memb)
         """,
     }
