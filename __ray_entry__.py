@@ -1154,6 +1154,22 @@ def _q_bloom_filter_events(sf_dir: str):
                         m_bits=1 << 12, k=3, anti=True)
 
 
+def _q_cms_sketch(sf_dir: str):
+    """Count-min sketch of events.user_id (depth=4, width=512): per-batch
+    partial count grids merged by a native groupby sum.  Cell counts are
+    exact integer sums over deterministic double-hash cell assignments,
+    so the sketch itself is rows+schema+hash oracle-checked; the min-over-
+    depth estimates and their one-sided error guarantee are pytest-gated
+    (tests/test_sketch.py)."""
+    import ray.data
+
+    from rayindex.datapipe.sketch import cms_cell_table
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    return cms_cell_table(ds, "user_id", depth=4, width=512)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_stats": _q_term_stats,
@@ -1211,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "hll_sketch": _q_hll_sketch,
         "bloom_filter_events": _q_bloom_filter_events,
+        "cms_sketch": _q_cms_sketch,
     }
 
 
@@ -2068,5 +2085,25 @@ def oracle_sql() -> dict[str, str]:
                      GROUP BY event_id HAVING count(*) = 3)
             SELECT event_id, user_id FROM events
             WHERE event_id NOT IN (SELECT event_id FROM memb)
+        """,
+        # Count-min cell table, bit-for-bit: same double-hash chain as the
+        # bloom oracle, cell_i = (h1 + i*h2) mod 2^64 masked to width-1,
+        # exact integer counts per (depth, cell).
+        "cms_sketch": f"""
+            WITH eh0 AS (SELECT {_fnv64_id_sql('user_id')} AS h
+                         FROM events WHERE user_id IS NOT NULL),
+            {_mix64_sql_ctes('ca', 'eh0')},
+            cg0 AS (SELECT h AS h1,
+                           xor(h, CAST(11400714819323198485 AS UBIGINT)) AS h
+                    FROM ca5),
+            {_mix64_sql_ctes('cb', 'cg0', cols='h1')},
+            cset AS (SELECT h1, h | CAST(1 AS UBIGINT) AS h2 FROM cb5),
+            cpos AS (SELECT r.i AS depth,
+                       CAST(((CAST(h1 AS HUGEINT) + r.i * CAST(h2 AS HUGEINT))
+                             % 18446744073709551616) AS UBIGINT) & 511 AS cell
+                     FROM cset, range(4) r(i))
+            SELECT depth, CAST(cell AS BIGINT) AS cell,
+                   count(*)::BIGINT AS cnt
+            FROM cpos GROUP BY depth, cell
         """,
     }

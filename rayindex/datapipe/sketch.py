@@ -181,3 +181,73 @@ def _collect(reg_ds) -> pa.Table:
         return _pa.table({"bucket": _pa.array([], _pa.int64()),
                           "rho": _pa.array([], _pa.int64())})
     return _pa.concat_tables(parts)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): approximate per-key
+# frequency in fixed space — the heavy-hitter / frequency-capping
+# primitive of a training-data pipeline (cap over-represented domains,
+# boilerplate n-grams) when the exact value_counts histogram would be
+# vocabulary-sized.  Combiner shape: per-batch partial (depth, cell)
+# count grids (np.add.at — one d×w array per batch), merged by a native
+# groupby sum; counts are exact integer sums over deterministic cell
+# assignments, so the CELL TABLE gets a full rows+schema+hash DuckDB
+# oracle (same double-hash probe scheme as bloom.py, same SQL twins).
+# Estimates (min over depth rows) are derived driver-side from the tiny
+# cell table and carry the classic one-sided guarantee:
+# true <= est <= true + eps*N with eps = e/width w.h.p.
+# ---------------------------------------------------------------------------
+
+
+def cms_cell_table(ds, col: str, depth: int = 4, width: int = 512):
+    """Count-min cell table of ``col``: Dataset of (depth, cell, cnt)
+    for the nonzero cells; all int64.  ``width`` must be a power of two
+    (cells are hash-masked, not mod'd — the SQL twin uses ``&``)."""
+    if width & (width - 1):
+        raise ValueError(f"width={width} must be a power of two")
+
+    def partial(t: pa.Table) -> pa.Table:
+        from rayindex.datapipe.bloom import probe_positions
+
+        empty = pa.table({"depth": pa.array([], pa.int64()),
+                          "cell": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        vals = t[col].combine_chunks().drop_null()
+        if len(vals) == 0:
+            return empty
+        pos = probe_positions(
+            vals.cast(pa.int64()).to_numpy(zero_copy_only=False),
+            k=depth, m_bits=width)                      # (n, depth)
+        grid = np.zeros((depth, width), np.int64)
+        d_idx = np.broadcast_to(np.arange(depth), pos.shape)
+        np.add.at(grid, (d_idx.ravel(), pos.astype(np.int64).ravel()), 1)
+        dd, cc = np.nonzero(grid)
+        return pa.table({"depth": pa.array(dd.astype(np.int64)),
+                         "cell": pa.array(cc.astype(np.int64)),
+                         "cnt": pa.array(grid[dd, cc])})
+
+    from ray.data.aggregate import Sum
+
+    return (ds.select_columns([col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["depth", "cell"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def cms_estimate(cells: pa.Table, keys: np.ndarray, depth: int = 4,
+                 width: int = 512) -> np.ndarray:
+    """Frequency estimates (min over depth rows) for ``keys`` from a
+    (depth, cell, cnt) table — driver-side over ≤depth×width cells."""
+    from rayindex.datapipe.bloom import probe_positions
+
+    grid = np.zeros((depth, width), np.int64)
+    if cells.num_rows:
+        grid[cells["depth"].to_numpy(zero_copy_only=False),
+             cells["cell"].to_numpy(zero_copy_only=False)] = \
+            cells["cnt"].to_numpy(zero_copy_only=False)
+    pos = probe_positions(np.asarray(keys, np.int64), k=depth,
+                          m_bits=width).astype(np.int64)
+    return grid[np.arange(depth)[None, :], pos].min(axis=1)

@@ -123,6 +123,66 @@ def test_hll_estimate_accuracy(ray_session):
     assert abs(est - exact) / exact < 0.05
 
 
+def test_cms_overestimates_never_under(events_ds):
+    """CMS guarantee: est >= true count for every key, and est bounded
+    by true + eps*N (eps = e/width) for most keys — gated loosely."""
+    from rayindex.datapipe.sketch import cms_cell_table, cms_estimate
+
+    ds, t = events_ds
+    cells = _collect_pa(cms_cell_table(ds, "user_id", depth=4, width=512))
+    vals = t["user_id"].to_numpy(zero_copy_only=False)
+    keys, true = np.unique(vals, return_counts=True)
+    est = cms_estimate(cells, keys, depth=4, width=512)
+    assert (est >= true).all()
+    n_total = vals.size
+    assert (est - true <= np.e / 512 * n_total * 3).all()
+
+
+def test_cms_merge_is_sum(ray_session):
+    """CMS cells of A ∪ B == cellwise sum — the mergeability property."""
+    import ray.data
+
+    from rayindex.datapipe.sketch import cms_cell_table
+
+    a = _events_table(n=1200, n_users=300, seed=3)
+    b = _events_table(n=1300, n_users=300, seed=4)
+
+    def grid_of(tbl) -> np.ndarray:
+        cells = _collect_pa(cms_cell_table(
+            ray.data.from_arrow(tbl), "user_id", depth=4, width=256))
+        g = np.zeros((4, 256), np.int64)
+        g[cells["depth"].to_numpy(), cells["cell"].to_numpy()] = \
+            cells["cnt"].to_numpy()
+        return g
+
+    assert (grid_of(a) + grid_of(b) == grid_of(pa.concat_tables([a, b]))).all()
+
+
+def test_cms_oracle_twin(events_ds):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from rayindex.datapipe.sketch import cms_cell_table
+
+    ds, t = events_ds
+    got = (cms_cell_table(ds, "user_id", depth=4, width=512)
+           .to_pandas().sort_values(["depth", "cell"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", t)
+    sql = entrymod.oracle_sql()["cms_sketch"]
+    exp = con.execute(f"SELECT * FROM ({sql}) ORDER BY depth, cell").df()
+    assert got["depth"].tolist() == exp["depth"].tolist()
+    assert got["cell"].tolist() == exp["cell"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+
+
+def _collect_pa(ds) -> "pa.Table":
+    import pandas as pd  # noqa: F401
+
+    df = ds.to_pandas()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def test_hll_oracle_twin(events_ds):
     """The shipped DuckDB oracle reproduces the pipeline's register table
     bit-for-bit on a synthetic events table (catches SQL drift before the
