@@ -176,6 +176,51 @@ def test_cms_oracle_twin(events_ds):
     assert got["cnt"].tolist() == exp["cnt"].tolist()
 
 
+def test_hash_chain_twin_boundaries():
+    """numpy vs DuckDB equality of the full fnv→mix64→double-hash probe
+    chain at integer boundaries (powers of two, int64 max, 0) and seeded
+    random keys — one round-trip, no Ray.  Guards the _mulmod64_sql
+    half-word decomposition and the smear/bit_count bit-length against
+    overflow/ulp drift anywhere in the domain."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from rayindex.datapipe.bloom import probe_positions
+    from rayindex.datapipe.sampling import fnv1a_u64
+    from rayindex.datapipe.sketch import mix64
+
+    rng = np.random.default_rng(99)
+    keys = np.unique(np.concatenate([
+        np.array([0, 1, 2, (1 << 31) - 1, 1 << 31, 1 << 32,
+                  (1 << 52) - 1, 1 << 52, (1 << 52) + 1,
+                  (1 << 63) - 1], np.int64),
+        rng.integers(0, 1 << 62, 1000).astype(np.int64)]))
+    h_np = mix64(fnv1a_u64(keys)).tolist()
+    pos_np = probe_positions(keys, k=3, m_bits=1 << 12)
+
+    con = duckdb.connect()
+    con.register("v0", pa.table({"v": pa.array(keys)}))
+    fnv = entrymod._fnv64_id_sql("v")
+    sql = f"""
+        WITH h0 AS (SELECT v, {fnv} AS h FROM v0),
+        {entrymod._mix64_sql_ctes('m', 'h0', cols='v')},
+        g0 AS (SELECT v, h AS h1,
+                      xor(h, CAST(11400714819323198485 AS UBIGINT)) AS h
+               FROM m5),
+        {entrymod._mix64_sql_ctes('n', 'g0', cols='v, h1')},
+        fin AS (SELECT v, h1, h | CAST(1 AS UBIGINT) AS h2 FROM n5)
+        SELECT v, h1,
+               CAST(((CAST(h1 AS HUGEINT) + r.i * CAST(h2 AS HUGEINT))
+                     % 18446744073709551616) AS UBIGINT) & 4095 AS p, r.i
+        FROM fin, range(3) r(i) ORDER BY v, r.i
+    """
+    rows = con.execute(sql).fetchall()
+    got_h1 = [int(r[1]) for r in rows[::3]]
+    assert got_h1 == h_np
+    got_pos = np.array([int(r[2]) for r in rows]).reshape(-1, 3)
+    assert (got_pos == pos_np).all()
+
+
 def _collect_pa(ds) -> "pa.Table":
     import pandas as pd  # noqa: F401
 
