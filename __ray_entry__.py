@@ -150,6 +150,49 @@ def _q_term_stats(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def _q_merged_term_stats(sf_dir: str) -> pa.Table:
+    """Incremental ingest: build TWO half-corpus indexes independently,
+    fold them with merge_indexes (decode-free shard splice + doc-id
+    rebase; reference parity for its standalone two-index merge tool,
+    /root/reference/indexing/index_merging/index_merging.py), and read
+    term stats off the MERGED index.  Oracle: the term_stats SQL over the
+    full corpus — merge(build(A), build(B)) must carry exactly the full
+    corpus's vocabulary, df and cf."""
+    import glob
+
+    import ray.data
+
+    from rayindex.engine import adapt_documents, build_index
+    from rayindex.merge import merge_indexes
+
+    _, build_cfg, _ = _ascii_cfgs()
+    base = os.path.join(
+        "/tmp/rayindex_entry",
+        os.path.basename(os.path.normpath(sf_dir)) + "_merge_"
+        + build_cfg.fingerprint())
+    merged = os.path.join(base, "merged")
+    if not os.path.exists(os.path.join(merged, "stats",
+                                       "collection_stats.parquet")):
+        full = pq.read_table(_docs_path(sf_dir),
+                             columns=["doc_id", "text", "lang", "source"])
+        mid = full.num_rows // 2
+        halves = {"a": full.slice(0, mid), "b": full.slice(mid)}
+        for name, tbl in halves.items():
+            ds = adapt_documents(ray.data.from_arrow(tbl), repo_col="source",
+                                 path_col="doc_id", lang_col="lang",
+                                 content_col="text")
+            build_index(ds, os.path.join(base, name), build_cfg,
+                        input_token=f"testdata:{_docs_path(sf_dir)}#{name}")
+        merge_indexes(os.path.join(base, "a"), os.path.join(base, "b"),
+                      merged)
+    parts = [
+        pq.read_table(f, columns=["term", "df", "cf"])
+        for f in sorted(glob.glob(os.path.join(merged, "shards",
+                                               "*.dict.parquet")))
+    ]
+    return pa.concat_tables(parts)
+
+
 def _q_collection_stats(sf_dir: str) -> pa.Table:
     index_dir, _ = _ensure_index(sf_dir)
     t = pq.read_table(os.path.join(index_dir, "stats", "collection_stats.parquet"))
@@ -1173,6 +1216,7 @@ def _q_cms_sketch(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_stats": _q_term_stats,
+        "merged_term_stats": _q_merged_term_stats,
         "collection_stats": _q_collection_stats,
         "postings_probe": _q_postings_probe,
         "bm25_topk": _q_bm25_topk,
@@ -1410,6 +1454,11 @@ def oracle_sql() -> dict[str, str]:
         "the", "and", "of", "a", "to", "in", "is", "it", "that", "for"))
     return {
         "term_stats": f"""
+            WITH {_TOKS_CTE}
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
+            FROM tf GROUP BY term
+        """,
+        "merged_term_stats": f"""
             WITH {_TOKS_CTE}
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
             FROM tf GROUP BY term

@@ -1933,7 +1933,8 @@ def _write_doc_meta_bins(stats_dir: str) -> dict[str, Any]:
 
 def _stage_finalize(stats_dir: str, out: str, n_docs: int, total_tokens: int,
                     n_terms: int,
-                    bins_meta: dict[str, Any] | None = None) -> dict[str, Any]:
+                    bins_meta: dict[str, Any] | None = None,
+                    doc_space: int | None = None) -> dict[str, Any]:
     cs = pa.table(
         {
             "n_docs": pa.array([n_docs], pa.int64()),
@@ -1943,6 +1944,13 @@ def _stage_finalize(stats_dir: str, out: str, n_docs: int, total_tokens: int,
         },
         schema=schema.COLLECTION_STATS,
     )
+    if doc_space is not None:
+        # doc-space size = count of ASSIGNED doc ids (1..doc_space), holes
+        # from the oversize filter included — what an appended increment's
+        # ids must be rebased by (merge.py).  Footer metadata, not a column:
+        # the collection_stats row stays oracle-comparable.
+        cs = cs.replace_schema_metadata(
+            {b"rayindex_doc_space": str(int(doc_space)).encode()})
     pq.write_table(cs, os.path.join(stats_dir, "collection_stats.parquet"))
     # bins_meta: already written concurrently with the shard merge
     meta = bins_meta if bins_meta is not None else _write_doc_meta_bins(stats_dir)
@@ -2089,6 +2097,9 @@ def build_index(
             r3.metrics.get("n_docs", 0), r3.metrics.get("total_tokens", 0),
             r4.metrics.get("n_terms", 0),
             bins_meta=bins_box.get("meta"),
+            # ingest-stage count = rows BEFORE the oversize filter (ids are
+            # assigned over all rows), i.e. the assigned doc-id space
+            doc_space=r1.metrics.get("n_docs"),
         )
 
     r5 = ckpt.run_stage("finalize", finalize)

@@ -69,6 +69,27 @@ def main_build(argv: list[str] | None = None) -> int:
     return 0
 
 
+def main_merge(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="rayindex.merge",
+        description="Fold index B into index A (incremental ingest): "
+                    "B's doc ids are rebased past A's doc space; postings "
+                    "splice decode-free.  Both inputs are left untouched.")
+    p.add_argument("--a", required=True, help="base index directory")
+    p.add_argument("--b", required=True, help="increment index directory")
+    p.add_argument("--out", required=True, help="merged index directory")
+    p.add_argument("--num-shards", type=int, default=None,
+                   help="output shard count (default: A's)")
+    args = p.parse_args(argv)
+
+    _ensure_ray()
+    from rayindex.merge import merge_indexes
+
+    print(json.dumps(merge_indexes(args.a, args.b, args.out,
+                                   num_shards=args.num_shards), indent=1))
+    return 0
+
+
 def main_search(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rayindex.search",
                                 description="Query a built index")
