@@ -193,6 +193,37 @@ def _q_merged_term_stats(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def _q_deleted_term_stats(sf_dir: str) -> pa.Table:
+    """Index-lifecycle delete: remove every lang='de' doc (metadata filter
+    path) plus every source doc_id % 97 == 0 doc (explicit-id path) from
+    the built index via rayindex.delete.delete_docs — untouched fine
+    blocks byte-splice, hit blocks re-encode — then read term stats off
+    the SURVIVING index.  Oracle: term-stats SQL over documents WHERE NOT
+    deleted."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    from rayindex.delete import delete_docs
+
+    index_dir, _ = _ensure_index(sf_dir)
+    out = index_dir + "_deleted"
+    if not os.path.exists(os.path.join(out, "stats",
+                                       "collection_stats.parquet")):
+        src_ids = pq.read_table(_docs_path(sf_dir),
+                                columns=["doc_id"])["doc_id"].to_numpy()
+        # adapt_documents zero-pads numeric path keys to width 12
+        mod_paths = [f"{int(i):012d}" for i in src_ids if int(i) % 97 == 0]
+        expr = (pads.field("lang") == "de") | pads.field("path").isin(mod_paths)
+        delete_docs(index_dir, out, filter_expr=expr)
+    parts = [
+        pq.read_table(f, columns=["term", "df", "cf"])
+        for f in sorted(glob.glob(os.path.join(out, "shards",
+                                               "*.dict.parquet")))
+    ]
+    return pa.concat_tables(parts)
+
+
 def _q_collection_stats(sf_dir: str) -> pa.Table:
     index_dir, _ = _ensure_index(sf_dir)
     t = pq.read_table(os.path.join(index_dir, "stats", "collection_stats.parquet"))
@@ -1217,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
+        "deleted_term_stats": _q_deleted_term_stats,
         "collection_stats": _q_collection_stats,
         "postings_probe": _q_postings_probe,
         "bm25_topk": _q_bm25_topk,
@@ -1460,6 +1492,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "merged_term_stats": f"""
             WITH {_TOKS_CTE}
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
+            FROM tf GROUP BY term
+        """,
+        "deleted_term_stats": f"""
+            WITH docs AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), {TOKEN_RE_SQL}) AS toks
+              FROM documents
+              WHERE NOT (lang = 'de' OR doc_id % 97 = 0)),
+            toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term)
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
             FROM tf GROUP BY term
         """,

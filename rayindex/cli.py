@@ -90,6 +90,41 @@ def main_merge(argv: list[str] | None = None) -> int:
     return 0
 
 
+def main_delete(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="rayindex.delete",
+        description="Delete documents from an index (GDPR/takedown path): "
+                    "ids become holes, postings drop the docs block-wise, "
+                    "all stats recompute.  The input is left untouched.")
+    p.add_argument("--index", required=True, help="input index directory")
+    p.add_argument("--out", required=True, help="output index directory")
+    p.add_argument("--doc-ids", default=None,
+                   help="comma-separated engine doc ids")
+    p.add_argument("--where", default=None, metavar="COL=VALUE",
+                   help="doc-store metadata equality filter, e.g. "
+                        "repo=org1/proj1 or lang=py (repeatable)",
+                   action="append")
+    args = p.parse_args(argv)
+    if not args.doc_ids and not args.where:
+        p.error("one of --doc-ids / --where is required")
+
+    _ensure_ray()
+    from rayindex.delete import delete_docs
+
+    expr = None
+    if args.where:
+        import pyarrow.dataset as pads
+
+        for w in args.where:
+            col, _, val = w.partition("=")
+            e = pads.field(col) == val
+            expr = e if expr is None else (expr | e)
+    ids = [int(x) for x in args.doc_ids.split(",")] if args.doc_ids else None
+    print(json.dumps(delete_docs(args.index, args.out, doc_ids=ids,
+                                 filter_expr=expr), indent=1))
+    return 0
+
+
 def main_search(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rayindex.search",
                                 description="Query a built index")
