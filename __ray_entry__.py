@@ -224,6 +224,52 @@ def _q_deleted_term_stats(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def _q_compacted_postings_probe(sf_dir: str) -> pa.Table:
+    """Full index lifecycle: delete docs (lang='de' ∪ doc_id%97==0) then
+    COMPACT — dense doc-id renumber + canonical shard rewrite through the
+    build's own fine-block machinery (rayindex/compact.py; byte-identical
+    to a fresh build of the filtered corpus, pytest-gated).  Probes
+    posting positions off the compacted index.  Oracle: the
+    postings_probe SQL over documents WHERE NOT deleted."""
+    from rayindex.compact import compact_index
+    from rayindex.searcher import IndexReader
+
+    _q_deleted_term_stats(sf_dir)  # ensures the deleted index exists
+    index_dir, _ = _ensure_index(sf_dir)
+    out = index_dir + "_compacted"
+    if not os.path.exists(os.path.join(out, "stats",
+                                       "collection_stats.parquet")):
+        _, build_cfg, _ = _ascii_cfgs()
+        compact_index(index_dir + "_deleted", out, build_cfg)
+    store = pq.read_table(os.path.join(out, "doc_store"),
+                          columns=["doc_id", "path"])
+    eng = store["doc_id"].to_numpy()
+    orig = np.asarray([int(p) for p in store["path"].to_pylist()], np.int64)
+    id_map = np.zeros(int(eng.max()) + 1, np.int64)
+    id_map[eng] = orig
+    r = IndexReader(out)
+    terms, docs, tfs, minp, maxp = [], [], [], [], []
+    for term in PROBE_TERMS:
+        p = r.lookup(term, need_positions=True)
+        if p is None:
+            continue
+        starts = p.pos_slices()
+        for i in range(p.df):
+            terms.append(term)
+            docs.append(int(id_map[p.docs[i]]))
+            tfs.append(int(p.tfs[i]))
+            seg = p.positions[int(starts[i]):int(starts[i]) + int(p.tfs[i])]
+            minp.append(int(seg.min()))
+            maxp.append(int(seg.max()))
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "tf": pa.array(tfs, pa.int64()),
+        "min_pos": pa.array(minp, pa.int64()),
+        "max_pos": pa.array(maxp, pa.int64()),
+    })
+
+
 def _q_collection_stats(sf_dir: str) -> pa.Table:
     index_dir, _ = _ensure_index(sf_dir)
     t = pq.read_table(os.path.join(index_dir, "stats", "collection_stats.parquet"))
@@ -1249,6 +1295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
         "deleted_term_stats": _q_deleted_term_stats,
+        "compacted_postings_probe": _q_compacted_postings_probe,
         "collection_stats": _q_collection_stats,
         "postings_probe": _q_postings_probe,
         "bm25_topk": _q_bm25_topk,
@@ -1517,6 +1564,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "postings_probe": f"""
             WITH {_TOKS_CTE}
+            SELECT term, doc_id, count(*)::BIGINT AS tf,
+                   min(p)::BIGINT AS min_pos, max(p)::BIGINT AS max_pos
+            FROM pos WHERE term IN ({probe})
+            GROUP BY term, doc_id
+        """,
+        "compacted_postings_probe": f"""
+            WITH docs AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), {TOKEN_RE_SQL}) AS toks
+              FROM documents
+              WHERE NOT (lang = 'de' OR doc_id % 97 = 0)),
+            pos AS (SELECT doc_id, unnest(toks) AS term,
+                           generate_subscripts(toks, 1) AS p
+                    FROM docs)
             SELECT term, doc_id, count(*)::BIGINT AS tf,
                    min(p)::BIGINT AS min_pos, max(p)::BIGINT AS max_pos
             FROM pos WHERE term IN ({probe})

@@ -125,6 +125,27 @@ def main_delete(argv: list[str] | None = None) -> int:
     return 0
 
 
+def main_compact(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="rayindex.compact",
+        description="Renumber doc ids densely (close delete/filter holes) "
+                    "and rewrite shards canonically; --num-shards re-shards "
+                    "without re-tokenizing.  The input is left untouched.")
+    p.add_argument("--index", required=True, help="input index directory")
+    p.add_argument("--out", required=True, help="output index directory")
+    p.add_argument("--num-shards", type=int, default=16)
+    p.add_argument("--block-size", type=int, default=128)
+    args = p.parse_args(argv)
+
+    _ensure_ray()
+    from rayindex.compact import compact_index
+    from rayindex.config import BuildConfig
+
+    cfg = BuildConfig(num_shards=args.num_shards, block_size=args.block_size)
+    print(json.dumps(compact_index(args.index, args.out, cfg), indent=1))
+    return 0
+
+
 def main_search(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rayindex.search",
                                 description="Query a built index")
