@@ -270,6 +270,31 @@ def _q_compacted_postings_probe(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_ranker_agreement(sf_dir: str):
+    """Results-diff parity (reference compare_results.py): per-query
+    agreement between the standard BM25 ranking and the reference
+    BM25-variant ranking (F1/F2 scorer) over the same query set —
+    same-rank matches plus position-independent overlap, computed
+    distributed (groupby(query_id).map_groups, rayindex/evaluate.py).
+    Oracle: both scoring formulas and the agreement join in SQL."""
+    from rayindex.evaluate import compare_rankings
+    from rayindex.searcher import IndexReader
+
+    analyzer, _, _ = _ascii_cfgs()
+    index_dir, id_map = _ensure_index(sf_dir)
+    bm = _q_bm25_topk(sf_dir)
+    r = IndexReader(index_dir)
+    rows = {"query_id": [], "doc_id": [], "score_micro": []}
+    for qid, qtext in BM25_QUERIES:
+        for doc, score in r.search(qtext, k=18, analyzer=analyzer,
+                                   scorer="reference"):
+            rows["query_id"].append(qid)
+            rows["doc_id"].append(int(id_map[doc]))
+            rows["score_micro"].append(int(np.rint(score * 1e6)))
+    ref = _micro_rank(rows, 10)
+    return compare_rankings(bm, ref)
+
+
 def _q_collection_stats(sf_dir: str) -> pa.Table:
     index_dir, _ = _ensure_index(sf_dir)
     t = pq.read_table(os.path.join(index_dir, "stats", "collection_stats.parquet"))
@@ -1296,6 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merged_term_stats": _q_merged_term_stats,
         "deleted_term_stats": _q_deleted_term_stats,
         "compacted_postings_probe": _q_compacted_postings_probe,
+        "ranker_agreement": _q_ranker_agreement,
         "collection_stats": _q_collection_stats,
         "postings_probe": _q_postings_probe,
         "bm25_topk": _q_bm25_topk,
@@ -1603,6 +1629,59 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
             FROM micro
             QUALIFY rank <= 10
+        """,
+        "ranker_agreement": f"""
+            WITH {_TOKS_CTE},
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            q(query_id, term) AS (VALUES {qvals}),
+            bs AS (
+              SELECT q.query_id, tf.doc_id,
+                sum( ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                   ) AS s
+              FROM q JOIN tf USING (term) JOIN dfq USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+              GROUP BY q.query_id, tf.doc_id),
+            bm AS (
+              SELECT query_id, doc_id,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY CAST(round(s * 1e6) AS BIGINT) DESC,
+                                   doc_id ASC) AS INT) AS rank
+              FROM bs QUALIFY rank <= 10),
+            rs AS (
+              SELECT q.query_id, tf.doc_id,
+                sum( ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                     * tf.tf
+                     / (1.5 * dl.dl / stats.avgdl + tf.tf + 0.5)
+                   ) AS s
+              FROM q JOIN tf USING (term) JOIN dfq USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+              GROUP BY q.query_id, tf.doc_id),
+            rf AS (
+              SELECT query_id, doc_id,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY CAST(round(s * 1e6) AS BIGINT) DESC,
+                                   doc_id ASC) AS INT) AS rank
+              FROM rs QUALIFY rank <= 10),
+            base AS (
+              SELECT DISTINCT query_id FROM (
+                SELECT query_id FROM bm
+                UNION ALL SELECT query_id FROM rf)),
+            same AS (
+              SELECT bm.query_id, count(*) AS c
+              FROM bm JOIN rf USING (query_id, rank)
+              WHERE bm.doc_id = rf.doc_id GROUP BY bm.query_id),
+            ov AS (
+              SELECT bm.query_id, count(*) AS c
+              FROM bm JOIN rf ON bm.query_id = rf.query_id
+                             AND bm.doc_id = rf.doc_id
+              GROUP BY bm.query_id)
+            SELECT base.query_id,
+                   coalesce(same.c, 0)::BIGINT AS same_position_count,
+                   coalesce(ov.c, 0)::BIGINT AS overlap_count
+            FROM base LEFT JOIN same USING (query_id)
+                      LEFT JOIN ov USING (query_id)
         """,
         "bm25_topk_lang": f"""
             WITH {_TOKS_CTE},

@@ -146,6 +146,23 @@ def main_compact(argv: list[str] | None = None) -> int:
     return 0
 
 
+def main_convert(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="rayindex.convert",
+        description="Convert a positional index to TF-only (drop position "
+                    "streams; phrase/proximity stop working, scorers keep "
+                    "working).  The input is left untouched.")
+    p.add_argument("--index", required=True, help="input index directory")
+    p.add_argument("--out", required=True, help="output index directory")
+    args = p.parse_args(argv)
+
+    _ensure_ray()
+    from rayindex.convert import strip_positions
+
+    print(json.dumps(strip_positions(args.index, args.out), indent=1))
+    return 0
+
+
 def main_search(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rayindex.search",
                                 description="Query a built index")
