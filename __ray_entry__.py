@@ -295,6 +295,22 @@ def _q_ranker_agreement(sf_dir: str):
     return compare_rankings(bm, ref)
 
 
+def _q_sequence_pack(sf_dir: str):
+    """GPT-style sequence packing: concatenate all docs' token streams in
+    id order, cut into 128-token training sequences, report which span of
+    which doc lands in which sequence.  Distributed global prefix sum:
+    per-range partial sums → O(ranges) driver prefix → broadcast bases →
+    per-range vectorized span cut (rayindex/datapipe/pack.py).  Oracle:
+    window cumsum + generate_series in SQL."""
+    import ray.data
+
+    from rayindex.datapipe.pack import pack_sequences
+
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
+                               columns=["doc_id", "text"])
+    return pack_sequences(ds, 128)
+
+
 def _q_collection_stats(sf_dir: str) -> pa.Table:
     index_dir, _ = _ensure_index(sf_dir)
     t = pq.read_table(os.path.join(index_dir, "stats", "collection_stats.parquet"))
@@ -1322,6 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deleted_term_stats": _q_deleted_term_stats,
         "compacted_postings_probe": _q_compacted_postings_probe,
         "ranker_agreement": _q_ranker_agreement,
+        "sequence_pack": _q_sequence_pack,
         "collection_stats": _q_collection_stats,
         "postings_probe": _q_postings_probe,
         "bm25_topk": _q_bm25_topk,
@@ -1629,6 +1646,30 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
             FROM micro
             QUALIFY rank <= 10
+        """,
+        "sequence_pack": f"""
+            WITH dl AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), {TOKEN_RE_SQL}))
+                       AS n
+              FROM documents),
+            off AS (
+              SELECT doc_id, n,
+                     CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS base
+              FROM dl),
+            segs AS (
+              SELECT doc_id, n, base,
+                     unnest(generate_series(base // 128,
+                                            (base + n - 1) // 128))
+                       AS chunk_id
+              FROM off WHERE n > 0)
+            SELECT chunk_id, doc_id,
+                   greatest(chunk_id * 128 - base, 0) AS tok_start,
+                   least((chunk_id + 1) * 128 - base, n)
+                     - greatest(chunk_id * 128 - base, 0) AS tok_len
+            FROM segs
         """,
         "ranker_agreement": f"""
             WITH {_TOKS_CTE},

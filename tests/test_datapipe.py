@@ -602,3 +602,65 @@ def test_value_quantiles_empty(ray_session):
     ds = ray.data.from_arrow(t)
     got = value_quantiles(ds, "n_chars", (0.5,))
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+def _pack_oracle(ids, counts, L):
+    """Per-doc span cut over the concatenated stream, straight-line."""
+    rows = []
+    base = 0
+    for d, n in zip(ids, counts):
+        for c in range(base // L, (base + n - 1) // L + 1) if n else []:
+            s = max(c * L - base, 0)
+            e = min((c + 1) * L - base, n)
+            rows.append((c, d, s, e - s))
+        base += n
+    return sorted(rows)
+
+
+def test_pack_sequences_spans(ray_session):
+    import ray.data
+
+    from rayindex.datapipe.pack import pack_sequences
+
+    # token counts: 5, 0 (empty doc), 3, 4 (exact boundary), 10 (spans 3)
+    texts = ["a b c d e", "", "x y z", "p q r s",
+             " ".join(f"t{i}" for i in range(10))]
+    ids = [3, 7, 9, 12, 20]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = sorted(
+        (r["chunk_id"], r["doc_id"], r["tok_start"], r["tok_len"])
+        for r in pack_sequences(ds, 4, range_docs=8).take_all())
+    assert got == _pack_oracle(ids, [5, 0, 3, 4, 10], 4)
+    # every chunk but the last is exactly full
+    per_chunk = {}
+    for c, _, _, ln in got:
+        per_chunk[c] = per_chunk.get(c, 0) + ln
+    last = max(per_chunk)
+    assert all(v == 4 for c, v in per_chunk.items() if c != last)
+
+
+def test_pack_sequences_multirange_prefix_sum(ray_session):
+    """Ids straddling many prefix-sum ranges still produce the single
+    global concatenation order."""
+    import ray.data
+
+    from rayindex.datapipe.pack import pack_sequences
+
+    rng = np.random.RandomState(5)
+    counts = rng.randint(0, 9, size=40)
+    ids = (np.arange(40) * 3 + 1).tolist()  # spread across range_docs=16
+    texts = [" ".join(f"w{j}" for j in range(c)) for c in counts]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = sorted(
+        (r["chunk_id"], r["doc_id"], r["tok_start"], r["tok_len"])
+        for r in pack_sequences(ds, 16, range_docs=16).take_all())
+    assert got == _pack_oracle(ids, counts.tolist(), 16)
