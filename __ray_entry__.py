@@ -311,6 +311,31 @@ def _q_sequence_pack(sf_dir: str):
     return pack_sequences(ds, 128)
 
 
+def _q_facet_lang_counts(sf_dir: str) -> pa.Table:
+    """Faceted search, serving path: boolean-AND match set → per-lang doc
+    counts via a bincount over the mmap'd lang_codes.bin (O(matches), no
+    table scan; rayindex/facet.py)."""
+    from rayindex.facet import facet_counts
+
+    index_dir, _ = _ensure_index(sf_dir)
+    analyzer, _, _ = _ascii_cfgs()
+    return facet_counts(index_dir, "scan AND customer", "lang",
+                        analyzer=analyzer)
+
+
+def _q_facet_repo_counts(sf_dir: str) -> pa.Table:
+    """Faceted search, generic-column path: the match-id set broadcasts
+    via ray.put and one Ray Data pass over doc-store parts emits per-batch
+    (value, count) partials combined by a tiny groupby — matching rows
+    never leave the object store."""
+    from rayindex.facet import facet_counts
+
+    index_dir, _ = _ensure_index(sf_dir)
+    analyzer, _, _ = _ascii_cfgs()
+    return facet_counts(index_dir, "scan AND customer", "repo",
+                        analyzer=analyzer)
+
+
 def _q_collection_stats(sf_dir: str) -> pa.Table:
     index_dir, _ = _ensure_index(sf_dir)
     t = pq.read_table(os.path.join(index_dir, "stats", "collection_stats.parquet"))
@@ -1339,6 +1364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compacted_postings_probe": _q_compacted_postings_probe,
         "ranker_agreement": _q_ranker_agreement,
         "sequence_pack": _q_sequence_pack,
+        "facet_lang_counts": _q_facet_lang_counts,
+        "facet_repo_counts": _q_facet_repo_counts,
         "collection_stats": _q_collection_stats,
         "postings_probe": _q_postings_probe,
         "bm25_topk": _q_bm25_topk,
@@ -1646,6 +1673,26 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
             FROM micro
             QUALIFY rank <= 10
+        """,
+        "facet_lang_counts": f"""
+            WITH {_TOKS_CTE},
+            sel AS (
+              SELECT doc_id FROM tf WHERE term = 'scan'
+              INTERSECT
+              SELECT doc_id FROM tf WHERE term = 'customer')
+            SELECT d.lang, count(*)::BIGINT AS n_docs
+            FROM documents d JOIN sel USING (doc_id)
+            GROUP BY d.lang
+        """,
+        "facet_repo_counts": f"""
+            WITH {_TOKS_CTE},
+            sel AS (
+              SELECT doc_id FROM tf WHERE term = 'scan'
+              INTERSECT
+              SELECT doc_id FROM tf WHERE term = 'customer')
+            SELECT d.source AS repo, count(*)::BIGINT AS n_docs
+            FROM documents d JOIN sel USING (doc_id)
+            GROUP BY d.source
         """,
         "sequence_pack": f"""
             WITH dl AS (
