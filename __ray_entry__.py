@@ -24,6 +24,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 # fixed probe terms present in the driver's synthetic documents vocabulary
@@ -334,6 +335,52 @@ def _q_facet_repo_counts(sf_dir: str) -> pa.Table:
     analyzer, _, _ = _ascii_cfgs()
     return facet_counts(index_dir, "scan AND customer", "repo",
                         analyzer=analyzer)
+
+
+def _q_search_snippets(sf_dir: str) -> pa.Table:
+    """Result-page snippets: for each BM25 top-10 result, the ±2-token
+    window around the first occurrence of any query term — positions from
+    the lazy candidate-restricted fetch, content from the top-k broadcast
+    semi-join (rayindex/snippet.py).  Oracle: DuckDB list slicing over
+    the same token rule."""
+    from rayindex.searcher import IndexReader
+    from rayindex.snippet import doc_snippets
+
+    index_dir, _ = _ensure_index(sf_dir)
+    bm = _q_bm25_topk(sf_dir)
+    store = pq.read_table(os.path.join(index_dir, "doc_store"),
+                          columns=["doc_id", "path"])
+    rev = {int(p): d for d, p in zip(store["doc_id"].to_pylist(),
+                                     store["path"].to_pylist())}
+    reader = IndexReader(index_dir)
+    rows = {"query_id": [], "doc_id": [], "snippet": []}
+    for qid, qtext in BM25_QUERIES:
+        sel = bm.filter(pc.equal(bm["query_id"], qid))
+        src = sel["doc_id"].to_pylist()
+        if not src:
+            continue
+        eng = np.asarray([rev[d] for d in src], np.int64)
+        sn = doc_snippets(index_dir, reader, sorted(set(qtext.split())), eng)
+        for s_id, e_id in zip(src, eng):
+            rows["query_id"].append(qid)
+            rows["doc_id"].append(s_id)
+            rows["snippet"].append(sn[int(e_id)])
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "snippet": pa.array(rows["snippet"], pa.string()),
+    })
+
+
+def _q_suggest_terms(sf_dir: str) -> pa.Table:
+    """Search-box autocomplete: top-10 vocabulary terms with prefix 's',
+    by collection frequency (term-asc tie-break) — predicate-pushdown
+    range reads of the term-sorted shard dicts, one task per shard, k-way
+    driver merge (rayindex/spell.py::suggest_terms)."""
+    from rayindex.spell import suggest_terms
+
+    index_dir, _ = _ensure_index(sf_dir)
+    return suggest_terms(index_dir, "s", k=10)
 
 
 def _q_collection_stats(sf_dir: str) -> pa.Table:
@@ -1365,6 +1412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranker_agreement": _q_ranker_agreement,
         "sequence_pack": _q_sequence_pack,
         "facet_lang_counts": _q_facet_lang_counts,
+        "search_snippets": _q_search_snippets,
+        "suggest_terms": _q_suggest_terms,
         "facet_repo_counts": _q_facet_repo_counts,
         "collection_stats": _q_collection_stats,
         "postings_probe": _q_postings_probe,
@@ -1673,6 +1722,44 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
             FROM micro
             QUALIFY rank <= 10
+        """,
+        "suggest_terms": f"""
+            WITH {_TOKS_CTE},
+            cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term)
+            SELECT CAST(row_number() OVER (
+                     ORDER BY cf DESC, term ASC) AS INT) AS rank, term, cf
+            FROM cf WHERE term LIKE 's%'
+            ORDER BY rank LIMIT 10
+        """,
+        "search_snippets": f"""
+            WITH {_TOKS_CTE},
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            q(query_id, term) AS (VALUES {qvals}),
+            bs AS (
+              SELECT q.query_id, tf.doc_id,
+                sum( ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                   ) AS s
+              FROM q JOIN tf USING (term) JOIN dfq USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+              GROUP BY q.query_id, tf.doc_id),
+            bm AS (
+              SELECT query_id, doc_id,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY CAST(round(s * 1e6) AS BIGINT) DESC,
+                                   doc_id ASC) AS INT) AS rank
+              FROM bs QUALIFY rank <= 10),
+            pmin AS (
+              SELECT q.query_id, pos.doc_id, min(pos.p) AS p
+              FROM q JOIN pos USING (term)
+              GROUP BY q.query_id, pos.doc_id)
+            SELECT bm.query_id, bm.doc_id,
+                   array_to_string(
+                     d.toks[greatest(pmin.p - 2, 1):
+                            least(pmin.p + 2, len(d.toks))], ' ') AS snippet
+            FROM bm JOIN pmin USING (query_id, doc_id)
+                 JOIN docs d ON d.doc_id = bm.doc_id
         """,
         "facet_lang_counts": f"""
             WITH {_TOKS_CTE},

@@ -92,3 +92,56 @@ class SpellChecker:
                 out.append(self.correction(tok))
         corrected = " ".join(out)
         return corrected, corrected != " ".join(query.split())
+
+
+def suggest_terms(index_dir: str, prefix: str, k: int = 10):
+    """Prefix autocomplete over the index vocabulary: top-k terms with
+    ``prefix``, most-frequent (cf) first, ties broken by term — the
+    search-box suggest the reference's UI would want next to its
+    spellchecker.  Shard dicts are term-sorted parquet, so each shard
+    contributes only its prefix RANGE (predicate-pushdown read of the
+    term/cf columns: row groups outside the range never load); one Ray
+    task per shard, the driver merges k-per-shard candidates.  Returns a
+    pyarrow Table (rank, term, cf)."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix else None
+
+    def shard_prefix(path: str):
+        flt = (pads.field("term") >= prefix)
+        if hi is not None:
+            flt = flt & (pads.field("term") < hi)
+        t = pads.dataset(path).to_table(columns=["term", "cf"], filter=flt)
+        if t.num_rows == 0:
+            return None
+        # k best per shard is enough for a global top-k merge
+        order = pc.sort_indices(t, sort_keys=[("cf", "descending"),
+                                              ("term", "ascending")])
+        return t.take(order.slice(0, k))
+
+    task = ray.remote(num_cpus=1)(shard_prefix)
+    parts = [p for p in ray.get([
+        task.remote(f) for f in sorted(glob.glob(
+            os.path.join(index_dir, "shards", "*.dict.parquet")))])
+        if p is not None]
+    if not parts:
+        return pa.table({"rank": pa.array([], pa.int32()),
+                         "term": pa.array([], pa.string()),
+                         "cf": pa.array([], pa.int64())})
+    t = pa.concat_tables(parts)
+    order = pc.sort_indices(t, sort_keys=[("cf", "descending"),
+                                          ("term", "ascending")])
+    t = t.take(order.slice(0, k))
+    return pa.table({
+        "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int32)),
+        "term": t["term"],
+        "cf": t["cf"],
+    })

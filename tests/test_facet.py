@@ -67,3 +67,26 @@ def test_facet_empty_match(facet_index):
     got = facet_counts(facet_index, "zzznope AND data", "lang",
                        analyzer=AnalyzerConfig())
     assert got.num_rows == 0
+
+
+def test_suggest_terms(facet_index):
+    import glob
+
+    from rayindex.spell import suggest_terms
+
+    got = suggest_terms(facet_index, "re", k=5)
+    allt: dict[str, int] = {}
+    for p in glob.glob(os.path.join(facet_index, "shards",
+                                    "*.dict.parquet")):
+        for r in pq.read_table(p, columns=["term", "cf"]).to_pylist():
+            allt[r["term"]] = r["cf"]
+    want = sorted(((t, c) for t, c in allt.items() if t.startswith("re")),
+                  key=lambda x: (-x[1], x[0]))[:5]
+    assert [(r["term"], r["cf"]) for r in got.to_pylist()] == want
+    assert got["rank"].to_pylist() == list(range(1, got.num_rows + 1))
+
+
+def test_suggest_terms_no_match(facet_index):
+    from rayindex.spell import suggest_terms
+
+    assert suggest_terms(facet_index, "zzzzz", k=5).num_rows == 0
