@@ -34,3 +34,16 @@ def test_compare_rankings_unequal_lengths(ray_session):
     b = _tbl([(0, 1, 5)])
     [row] = compare_rankings(a, b).take_all()
     assert (row["same_position_count"], row["overlap_count"]) == (1, 1)
+
+
+def test_compare_rankings_dataset_inputs(ray_session):
+    import ray.data
+
+    from rayindex.evaluate import compare_rankings
+
+    a = _tbl([(0, 1, 10), (0, 2, 11)])
+    b = _tbl([(0, 1, 10), (0, 2, 12)])
+    got = compare_rankings(ray.data.from_arrow(a),
+                           ray.data.from_arrow(b)).take_all()
+    assert got == [{"query_id": 0, "same_position_count": 1,
+                    "overlap_count": 1}]
