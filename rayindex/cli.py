@@ -76,17 +76,19 @@ def main_merge(argv: list[str] | None = None) -> int:
                     "B's doc ids are rebased past A's doc space; postings "
                     "splice decode-free.  Both inputs are left untouched.")
     p.add_argument("--a", required=True, help="base index directory")
-    p.add_argument("--b", required=True, help="increment index directory")
+    p.add_argument("--b", required=True, action="append",
+                   help="increment index directory (repeat for an N-way "
+                        "one-pass merge, in ingest order)")
     p.add_argument("--out", required=True, help="merged index directory")
     p.add_argument("--num-shards", type=int, default=None,
                    help="output shard count (default: A's)")
     args = p.parse_args(argv)
 
     _ensure_ray()
-    from rayindex.merge import merge_indexes
+    from rayindex.merge import merge_many
 
-    print(json.dumps(merge_indexes(args.a, args.b, args.out,
-                                   num_shards=args.num_shards), indent=1))
+    print(json.dumps(merge_many([args.a] + args.b, args.out,
+                                num_shards=args.num_shards), indent=1))
     return 0
 
 

@@ -24,6 +24,7 @@ decisions.
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 from typing import Any
 
@@ -57,9 +58,16 @@ def _hit_mask(first: np.ndarray, last: np.ndarray,
 
 
 def _delete_shard(out_dir: str, dict_path: str, deleted: np.ndarray,
-                  doc_len_path: str) -> int:
+                  doc_len_path: str, fp: str) -> int:
     """Rewrite one shard dropping ``deleted`` docs; returns the surviving
-    term count.  Untouched blocks byte-copy; touched blocks re-encode."""
+    term count.  Untouched blocks byte-copy; touched blocks re-encode.
+    A matching ``.maint.json`` manifest skips the shard (resume)."""
+    from rayindex.merge import _maint_done, _maint_skip
+
+    sid0 = int(os.path.basename(dict_path)[len("shard_"):len("shard_") + 5])
+    done = _maint_skip(out_dir, sid0, fp)
+    if done is not None:
+        return done
     t = pq.read_table(dict_path)
     with open(_bin_of(dict_path), "rb") as f:
         buf = memoryview(f.read())
@@ -171,8 +179,9 @@ def _delete_shard(out_dir: str, dict_path: str, deleted: np.ndarray,
             "boff_tf": np.asarray(nbt, np.int64),
             "boff_pos": np.asarray(nbp, np.int64),
         }
-    sid = int(os.path.basename(dict_path)[len("shard_"):len("shard_") + 5])
-    return _write_shard_records(out_dir, sid, recs)
+    n = _write_shard_records(out_dir, sid0, recs)
+    _maint_done(out_dir, sid0, fp, n)
+    return n
 
 
 def _delete_doc_part(part: str, out_path: str, deleted: np.ndarray,
@@ -218,6 +227,11 @@ def delete_docs(index_dir: str, out_dir: str,
     if filter_expr is not None:
         ids = np.concatenate([ids, select_doc_ids(index_dir, filter_expr)])
     deleted = np.unique(ids)
+    from rayindex.merge import _inputs_fingerprint
+
+    fp = _inputs_fingerprint(
+        "delete", [index_dir],
+        hashlib.sha256(deleted.tobytes()).hexdigest())
     os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
     out_store = os.path.join(out_dir, "doc_store")
     out_stats_dir = os.path.join(out_dir, "stats")
@@ -228,7 +242,7 @@ def delete_docs(index_dir: str, out_dir: str,
     del_ref = ray.put(deleted)
     dl_path = os.path.join(index_dir, "stats", "doc_len.bin")
     shard_task = ray.remote(num_cpus=1)(_delete_shard)
-    futs = [shard_task.remote(out_dir, p, del_ref, dl_path)
+    futs = [shard_task.remote(out_dir, p, del_ref, dl_path, fp)
             for p in _shard_paths(index_dir)]
 
     part_task = ray.remote(num_cpus=1)(_delete_doc_part)

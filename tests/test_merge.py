@@ -190,3 +190,100 @@ def test_merge_deterministic(merge_setup, tmp_path):
     for f1 in sorted(glob.glob(os.path.join(merge_setup["m"], "shards", "*"))):
         f2 = os.path.join(m2, "shards", os.path.basename(f1))
         assert open(f1, "rb").read() == open(f2, "rb").read(), f1
+
+
+def test_merge_many_three_way(ray_session, tmp_path):
+    """One-pass N-way merge: merge_many([A,B,C]) ≡ build(A ++ B ++ C)."""
+    import pyarrow.compute as pc
+
+    from rayindex import corpus
+    from rayindex.build import build_index
+    from rayindex.config import AnalyzerConfig, BuildConfig, SearchConfig
+    from rayindex.merge import merge_many
+    from rayindex.searcher import IndexReader
+
+    tbl = corpus.make_rows(corpus.file_plan(48, 4))
+    tbl = tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("repo", "ascending"), ("path", "ascending")]))
+    slices = [tbl.slice(0, 16), tbl.slice(16, 16), tbl.slice(32)]
+
+    def bld(name, t):
+        src = tmp_path / f"src_{name}"
+        src.mkdir()
+        pq.write_table(t, str(src / "docs.parquet"))
+        out = tmp_path / name
+        build_index(str(src), str(out),
+                    BuildConfig(num_shards=4, tokenize_batch_size=16))
+        return str(out)
+
+    parts = [bld(f"p{i}", s) for i, s in enumerate(slices)]
+    combined = bld("combined", tbl)
+    m = str(tmp_path / "m3")
+    metrics = merge_many(parts, m)
+    assert metrics["n_inputs"] == 3
+    cm = pq.read_table(os.path.join(m, "stats",
+                                    "collection_stats.parquet")).to_pylist()
+    cc = pq.read_table(os.path.join(combined, "stats",
+                                    "collection_stats.parquet")).to_pylist()
+    assert cm == cc
+    rm, rc = IndexReader(m), IndexReader(combined)
+    cfg = SearchConfig(scorer="bm25")
+    analyzer = AnalyzerConfig()
+    for q in ("data", "import data", '"def main"'):
+        got = rm.search(q, k=20, search_cfg=cfg, analyzer=analyzer)
+        want = rc.search(q, k=20, search_cfg=cfg, analyzer=analyzer)
+        assert [(d, round(s, 9)) for d, s in got] == \
+               [(d, round(s, 9)) for d, s in want], q
+
+
+def test_merge_resume_skips_finished_shards(merge_setup, tmp_path):
+    """A re-run after losing ONE shard rebuilds only that shard (maint
+    manifests skip the rest; the doc side skips via its marker)."""
+    import shutil
+
+    from rayindex.merge import merge_indexes
+
+    out = str(tmp_path / "resumable")
+    merge_indexes(merge_setup["a"], merge_setup["b"], out)
+    shards = sorted(glob.glob(os.path.join(out, "shards", "shard_*.bin")))
+    victim = shards[1]
+    want_bytes = open(victim, "rb").read()
+    keep = shards[2]
+    keep_mtime = os.stat(keep).st_mtime_ns
+    store_part = sorted(glob.glob(os.path.join(out, "doc_store",
+                                               "*.parquet")))[0]
+    store_mtime = os.stat(store_part).st_mtime_ns
+    os.unlink(victim)
+    os.unlink(victim[:-len(".bin")] + ".maint.json")
+    merge_indexes(merge_setup["a"], merge_setup["b"], out)
+    assert open(victim, "rb").read() == want_bytes
+    assert os.stat(keep).st_mtime_ns == keep_mtime, "shard was not skipped"
+    assert os.stat(store_part).st_mtime_ns == store_mtime, \
+        "doc side was not skipped"
+    shutil.rmtree(out)
+
+
+def test_delete_resume_skips_finished_shards(ray_session, tmp_path):
+    from rayindex import corpus
+    from rayindex.build import build_index
+    from rayindex.config import BuildConfig
+    from rayindex.delete import delete_docs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(corpus.make_rows(corpus.file_plan(30, 3)),
+                   str(src / "docs.parquet"))
+    ix = str(tmp_path / "ix")
+    build_index(str(src), ix, BuildConfig(num_shards=4,
+                                          tokenize_batch_size=16))
+    out = str(tmp_path / "del")
+    delete_docs(ix, out, doc_ids=np.asarray([2, 5, 11], np.int64))
+    shards = sorted(glob.glob(os.path.join(out, "shards", "shard_*.bin")))
+    victim, keep = shards[0], shards[1]
+    want = open(victim, "rb").read()
+    keep_mtime = os.stat(keep).st_mtime_ns
+    os.unlink(victim)
+    os.unlink(victim[:-len(".bin")] + ".maint.json")
+    delete_docs(ix, out, doc_ids=np.asarray([2, 5, 11], np.int64))
+    assert open(victim, "rb").read() == want
+    assert os.stat(keep).st_mtime_ns == keep_mtime, "shard was not skipped"
