@@ -316,6 +316,24 @@ def run_bench() -> dict:
     timings["query_warm_sec"] = time.perf_counter() - t0
     timings["query_warm_ms_per_q"] = timings["query_warm_sec"] / len(qtexts) * 1000
 
+    # -- index lifecycle over the freshly built index (informative keys;
+    # NOT part of the headline total) ---------------------------------------
+    from rayindex.compact import compact_index
+    from rayindex.delete import delete_docs
+
+    del_dir, cmp_dir = out + "_del", out + "_cmp"
+    shutil.rmtree(del_dir, ignore_errors=True)
+    shutil.rmtree(cmp_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    delete_docs(out, del_dir,  # ~1% of docs: the GDPR-batch shape
+                doc_ids=np.arange(1, N_FILES + 1, 100, dtype=np.int64))
+    timings["delete_1pct_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compact_index(del_dir, cmp_dir, cfg)
+    timings["compact_sec"] = time.perf_counter() - t0
+    shutil.rmtree(del_dir, ignore_errors=True)
+    shutil.rmtree(cmp_dir, ignore_errors=True)
+
     # -- training-data pipelines over the driver's sf tables ----------------
     docs_path = os.path.join(sf_dir, "documents.parquet")
     t0 = time.perf_counter()
