@@ -165,6 +165,24 @@ def main_convert(argv: list[str] | None = None) -> int:
     return 0
 
 
+def main_fsck(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="rayindex.fsck",
+        description="Check an index's structural invariants (dict/blob "
+                    "tiling, block metadata, doc-side stats); --deep adds "
+                    "a full posting decode.  Exit 1 on any error.")
+    p.add_argument("--index", required=True)
+    p.add_argument("--deep", action="store_true")
+    args = p.parse_args(argv)
+
+    _ensure_ray()
+    from rayindex.fsck import fsck_index
+
+    report = fsck_index(args.index, deep=args.deep)
+    print(json.dumps(report, indent=1))
+    return 0 if report["ok"] else 1
+
+
 def main_search(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rayindex.search",
                                 description="Query a built index")
