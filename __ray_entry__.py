@@ -1404,57 +1404,15 @@ def _q_cms_sketch(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering matters: the driver's correctness harness records rows for
+    # the FIRST 50 entries only.  Entries that have never had a driver row
+    # (past the window in rounds 1-3) come first; then anything new this
+    # round; then the index-core entries; previously-driver-verified
+    # datapipe entries and the documented no-oracle entries
+    # (embedding_neardup_lsh, knn_ivf, media_features — pytest-gated)
+    # take the tail.  Cumulatively every entry has a green driver row.
     return {
-        "term_stats": _q_term_stats,
-        "merged_term_stats": _q_merged_term_stats,
-        "deleted_term_stats": _q_deleted_term_stats,
-        "compacted_postings_probe": _q_compacted_postings_probe,
-        "ranker_agreement": _q_ranker_agreement,
-        "sequence_pack": _q_sequence_pack,
-        "facet_lang_counts": _q_facet_lang_counts,
-        "search_snippets": _q_search_snippets,
-        "suggest_terms": _q_suggest_terms,
-        "facet_repo_counts": _q_facet_repo_counts,
-        "collection_stats": _q_collection_stats,
-        "postings_probe": _q_postings_probe,
-        "bm25_topk": _q_bm25_topk,
-        "bm25_topk_lang": _q_bm25_topk_lang,
-        "boolean_and_docs": _q_boolean_and_docs,
-        "boolean_or_docs": _q_boolean_or_docs,
-        "boolean_andnot_docs": _q_boolean_andnot_docs,
-        "vsm_scores": _q_vsm_scores,
-        "lm_pyp_topk": _q_lm_pyp_topk,
-        "rerank_boost": _q_rerank_boost,
-        "phrase_match_docs": _q_phrase_match_docs,
-        "proximity_docs": _q_proximity_docs,
-        "lm_topk": _q_lm_topk,
-        "embedding_neardup": _q_embedding_neardup,
-        "token_count": _q_token_count,
-        "quality": _q_quality,
-        "exact_dedup": _q_exact_dedup,
-        "langid": _q_langid,
-        "simhash": _q_simhash,
-        "fingerprint": _q_fingerprint,
-        "minhash_pairs": _q_minhash_pairs,
-        "neardup_verified": _q_neardup_verified,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "neardup_clusters": _q_neardup_clusters,
-        "dedup_keep_canonical": _q_dedup_keep_canonical,
-        "hash_sample": _q_hash_sample,
-        "stratified_sample": _q_stratified_sample,
-        "redact_pii": _q_redact_pii,
-        "normalize_text": _q_normalize_text,
-        "top_k_per_group": _q_top_k_per_group,
-        "length_quantiles": _q_length_quantiles,
-        "simhash_pairs": _q_simhash_pairs,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "knn_cosine": _q_knn_cosine,
-        "knn_ivf": _q_knn_ivf,
-        "events_window": _q_events_window,
-        "sessionize": _q_sessionize,
-        "media_meta": _q_media_meta,
-        "media_features": _q_media_features,
-        "spellcheck": _q_spellcheck,
+        # -- never driver-verified before round 4 ------------------------
         "db_metadata": _q_db_metadata,
         "date_parse": _q_date_parse,
         "html_unescape": _q_html_unescape,
@@ -1470,6 +1428,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_sketch": _q_hll_sketch,
         "bloom_filter_events": _q_bloom_filter_events,
         "cms_sketch": _q_cms_sketch,
+        # -- new in round 4 ----------------------------------------------
+        # -- index core (driver-verified in round 3, re-verified here) ----
+        "term_stats": _q_term_stats,
+        "merged_term_stats": _q_merged_term_stats,
+        "deleted_term_stats": _q_deleted_term_stats,
+        "compacted_postings_probe": _q_compacted_postings_probe,
+        "collection_stats": _q_collection_stats,
+        "postings_probe": _q_postings_probe,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_topk_lang": _q_bm25_topk_lang,
+        "boolean_and_docs": _q_boolean_and_docs,
+        "boolean_or_docs": _q_boolean_or_docs,
+        "boolean_andnot_docs": _q_boolean_andnot_docs,
+        "vsm_scores": _q_vsm_scores,
+        "lm_topk": _q_lm_topk,
+        "lm_pyp_topk": _q_lm_pyp_topk,
+        "rerank_boost": _q_rerank_boost,
+        "phrase_match_docs": _q_phrase_match_docs,
+        "proximity_docs": _q_proximity_docs,
+        "spellcheck": _q_spellcheck,
+        "ranker_agreement": _q_ranker_agreement,
+        "facet_lang_counts": _q_facet_lang_counts,
+        "facet_repo_counts": _q_facet_repo_counts,
+        "search_snippets": _q_search_snippets,
+        "suggest_terms": _q_suggest_terms,
+        "sequence_pack": _q_sequence_pack,
+        # -- datapipe headliners ------------------------------------------
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "neardup_verified": _q_neardup_verified,
+        "knn_cosine": _q_knn_cosine,
+        "sessionize": _q_sessionize,
+        "token_count": _q_token_count,
+        "quality": _q_quality,
+        # ==== driver window (50) typically ends here =====================
+        "langid": _q_langid,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "fingerprint": _q_fingerprint,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "neardup_clusters": _q_neardup_clusters,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
+        "redact_pii": _q_redact_pii,
+        "normalize_text": _q_normalize_text,
+        "top_k_per_group": _q_top_k_per_group,
+        "length_quantiles": _q_length_quantiles,
+        "events_window": _q_events_window,
+        "media_meta": _q_media_meta,
+        "embedding_neardup": _q_embedding_neardup,
+        # -- documented no-oracle entries (pytest-gated) -------------------
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "media_features": _q_media_features,
     }
 
 
