@@ -81,7 +81,12 @@ def main_merge(argv: list[str] | None = None) -> int:
                         "one-pass merge, in ingest order)")
     p.add_argument("--out", required=True, help="merged index directory")
     p.add_argument("--num-shards", type=int, default=None,
-                   help="output shard count (default: A's)")
+                   help="output shard count (default: A's modulus, "
+                        "inferred from its highest shard id).  Pass it "
+                        "when A's top shards could be empty/absent; a "
+                        "value different from A's modulus re-shards "
+                        "EVERY side's terms (slower — prefer compact "
+                        "--num-shards for a pure re-shard)")
     args = p.parse_args(argv)
 
     _ensure_ray()

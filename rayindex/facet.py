@@ -27,7 +27,7 @@ from rayindex.config import AnalyzerConfig, SearchConfig
 
 def _match_docs(index_dir: str, query: str,
                 analyzer: AnalyzerConfig) -> np.ndarray:
-    from rayindex.query import BooleanQuery, parse_query
+    from rayindex.query import BooleanQuery, ProximityQuery, parse_query
     from rayindex.scoring import boolean_docs
     from rayindex.searcher import IndexReader
 
@@ -35,9 +35,14 @@ def _match_docs(index_dir: str, query: str,
     q = parse_query(query, analyzer)
     if isinstance(q, BooleanQuery):
         return np.sort(boolean_docs(r, q, r.stats, SearchConfig()))
-    # plain query: facet over every doc matching ANY query term (the
-    # ranked search's candidate-union semantics)
-    terms = {t for part in q.parts for t in part}
+    if isinstance(q, ProximityQuery):
+        # proximity facets count the candidate union of the window terms
+        # (same relaxation the ranked path applies before the window test)
+        terms = set(q.terms)
+    else:
+        # plain query: facet over every doc matching ANY query term (the
+        # ranked search's candidate-union semantics)
+        terms = {t for part in q.parts for t in part}
     hits = [p.docs for p in (r.lookup(t, need_positions=False)
                              for t in terms) if p is not None]
     if not hits:
@@ -46,9 +51,17 @@ def _match_docs(index_dir: str, query: str,
 
 
 def facet_counts(index_dir: str, query: str, facet_col: str = "lang",
-                 analyzer: AnalyzerConfig | None = None) -> pa.Table:
+                 analyzer: AnalyzerConfig | None = None,
+                 top_n: int | None = None) -> pa.Table:
     """(facet value, n_docs) over the docs matching a boolean ``query``
-    (AND/OR/NOT, phrases).  Returns a pyarrow Table sorted by value."""
+    (AND/OR/NOT, phrases).  Returns a pyarrow Table sorted by value.
+
+    ``top_n``: cap the result to the N most frequent values via a NATIVE
+    ``sort(descending).limit(top_n)`` on the counts Dataset (returned in
+    count-descending order, value ascending on ties).  Without it, ALL
+    distinct values land on the driver — fine for enum-like columns
+    (lang), unbounded for ``repo``-like columns at scale; pass top_n for
+    those."""
     analyzer = analyzer or AnalyzerConfig()
     docs = _match_docs(index_dir, query, analyzer)
     if facet_col == "lang":
@@ -59,16 +72,19 @@ def facet_counts(index_dir: str, query: str, facet_col: str = "lang",
         hit = np.bincount(codes[docs], minlength=len(vocab) + 1)[1:]
         nz = np.flatnonzero(hit)
         vals = [vocab[i] for i in nz]
-        order = np.argsort(np.asarray(vals, object))
+        if top_n is not None:
+            order = np.lexsort((np.asarray(vals, object), -hit[nz]))[:top_n]
+        else:
+            order = np.argsort(np.asarray(vals, object))
         return pa.table({
             "lang": pa.array([vals[i] for i in order], pa.string()),
             "n_docs": pa.array(hit[nz][order].astype(np.int64)),
         })
-    return _facet_generic(index_dir, docs, facet_col)
+    return _facet_generic(index_dir, docs, facet_col, top_n)
 
 
 def _facet_generic(index_dir: str, docs: np.ndarray,
-                   facet_col: str) -> pa.Table:
+                   facet_col: str, top_n: int | None = None) -> pa.Table:
     import ray
     import ray.data
     from ray.data.aggregate import Sum
@@ -95,7 +111,14 @@ def _facet_generic(index_dir: str, docs: np.ndarray,
         os.path.join(index_dir, "doc_store"), columns=["doc_id", facet_col])
     out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(facet_col).aggregate(Sum("n")))
-    rows = sorted(out.take_all(), key=lambda r: r[facet_col])
+    if top_n is not None:
+        # native top-N: the full distinct-value set never reaches the
+        # driver — only top_n rows do
+        out = out.sort(["sum(n)", facet_col],
+                       descending=[True, False]).limit(top_n)
+        rows = out.take_all()
+    else:
+        rows = sorted(out.take_all(), key=lambda r: r[facet_col])
     return pa.table({
         facet_col: pa.array([r[facet_col] for r in rows], pa.string()),
         "n_docs": pa.array([int(r["sum(n)"]) for r in rows], pa.int64()),

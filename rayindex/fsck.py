@@ -191,11 +191,14 @@ def _check_doc_side(index_dir: str) -> dict[str, Any]:
             elif (dl[ids] != toks).any():
                 errors.append(f"{os.path.basename(p)}: doc_len.bin "
                               "disagrees with doc_stats")
-        if lc is not None and vocab_n is not None and max_doc < lc.size:
-            codes = lc[ids]
-            if (codes < 1).any() or (codes > vocab_n).any():
-                errors.append(f"{os.path.basename(p)}: lang code out of "
-                              "vocab range")
+        if lc is not None and vocab_n is not None:
+            if max_doc >= lc.size:
+                errors.append("lang_codes.bin shorter than max doc id")
+            else:
+                codes = lc[ids]
+                if (codes < 1).any() or (codes > vocab_n).any():
+                    errors.append(f"{os.path.basename(p)}: lang code out "
+                                  "of vocab range")
     cs_path = os.path.join(stats_dir, "collection_stats.parquet")
     try:
         cs = pq.read_table(cs_path).to_pylist()[0]

@@ -60,6 +60,41 @@ def test_facet_generic_column(facet_index):
     assert got["repo"].to_pylist() == sorted(got["repo"].to_pylist())
 
 
+def test_facet_top_n_native(facet_index):
+    """top_n runs sort+limit natively and returns the count-desc head of
+    the full facet table (value-asc tiebreak), for both paths."""
+    from rayindex.config import AnalyzerConfig
+    from rayindex.facet import facet_counts
+
+    analyzer = AnalyzerConfig()
+    for col in ("repo", "lang"):
+        full = facet_counts(facet_index, "data", col, analyzer=analyzer) \
+            .to_pylist()
+        want = sorted(full, key=lambda r: (-r["n_docs"], r[col]))[:2]
+        got = facet_counts(facet_index, "data", col, analyzer=analyzer,
+                           top_n=2).to_pylist()
+        assert got == want, col
+
+
+def test_facet_proximity_query(facet_index):
+    """A proximity query facets over the candidate union of its window
+    terms instead of raising AttributeError."""
+    from rayindex.config import AnalyzerConfig
+    from rayindex.facet import _match_docs, facet_counts
+    from rayindex.searcher import IndexReader
+
+    analyzer = AnalyzerConfig()
+    docs = _match_docs(facet_index, "#3 data return", analyzer)
+    r = IndexReader(facet_index)
+    want = np.unique(np.concatenate(
+        [p.docs for p in (r.lookup(t, need_positions=False)
+                          for t in ("data", "return")) if p is not None]))
+    assert docs.tolist() == want.tolist()
+    got = facet_counts(facet_index, "#3 data return", "lang",
+                       analyzer=analyzer)
+    assert sum(x["n_docs"] for x in got.to_pylist()) == docs.size
+
+
 def test_facet_empty_match(facet_index):
     from rayindex.config import AnalyzerConfig
     from rayindex.facet import facet_counts

@@ -94,6 +94,21 @@ def test_fsck_detects_docside_tamper(fsck_index_dir, tmp_path):
                for e in r["errors"])
 
 
+def test_fsck_detects_truncated_lang_codes(fsck_index_dir, tmp_path):
+    """A lang_codes.bin shorter than the max doc id is an error, mirroring
+    the doc_len.bin handling — not a silently skipped check."""
+    from rayindex.fsck import fsck_index
+
+    bad = str(tmp_path / "langtrunc")
+    shutil.copytree(fsck_index_dir, bad)
+    p = os.path.join(bad, "stats", "lang_codes.bin")
+    with open(p, "r+b") as f:
+        f.truncate(os.path.getsize(p) // 2)
+    r = fsck_index(bad, deep=False)
+    assert not r["ok"]
+    assert any("lang_codes.bin shorter" in e for e in r["errors"])
+
+
 def test_fsck_passes_maintenance_outputs(fsck_index_dir, tmp_path):
     """delete → compact chain outputs survive deep fsck — the maintenance
     ops preserve every structural invariant."""

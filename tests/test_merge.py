@@ -192,6 +192,44 @@ def test_merge_deterministic(merge_setup, tmp_path):
         assert open(f1, "rb").read() == open(f2, "rb").read(), f1
 
 
+def test_merge_reshard_num_shards(merge_setup, tmp_path):
+    """num_shards different from A's modulus re-routes EVERY side's terms
+    (including side 0's) so crc32(term) % num_shards lookups always land —
+    the silent-missing-postings shape the verbatim-copy fast path would
+    produce under a foreign modulus."""
+    from rayindex.config import AnalyzerConfig, SearchConfig
+    from rayindex.merge import merge_indexes
+    from rayindex.searcher import IndexReader
+
+    m3 = str(tmp_path / "m3")
+    merge_indexes(merge_setup["a"], merge_setup["b"], m3, num_shards=3)
+    dicts = glob.glob(os.path.join(m3, "shards", "*.dict.parquet"))
+    assert dicts and len(dicts) <= 3
+    # every term routed to its crc32 % 3 home shard
+    import zlib
+    for p in dicts:
+        sid = int(os.path.basename(p)[len("shard_"):len("shard_") + 5])
+        for t in pq.read_table(p, columns=["term"])["term"].to_pylist():
+            assert zlib.crc32(t.encode()) % 3 == sid, t
+    assert _vocab(m3) == _vocab(merge_setup["c"])
+    rm = IndexReader(m3)
+    rc = IndexReader(merge_setup["c"])
+    for term in _vocab(merge_setup["c"]):
+        pm = rm.lookup(term, need_positions=True)
+        c = rc.lookup(term, need_positions=True)
+        assert pm is not None, term
+        assert pm.docs.tolist() == c.docs.tolist(), term
+        assert pm.tfs.tolist() == c.tfs.tolist(), term
+        assert pm.positions.tolist() == c.positions.tolist(), term
+    analyzer = AnalyzerConfig()
+    cfg = SearchConfig(scorer="bm25", algorithm="taat")
+    for q in ("data", "import data", "zzznope"):
+        got = rm.search(q, k=10, search_cfg=cfg, analyzer=analyzer)
+        want = rc.search(q, k=10, search_cfg=cfg, analyzer=analyzer)
+        assert [(d, round(s, 9)) for d, s in got] == \
+               [(d, round(s, 9)) for d, s in want], q
+
+
 def test_merge_many_three_way(ray_session, tmp_path):
     """One-pass N-way merge: merge_many([A,B,C]) ≡ build(A ++ B ++ C)."""
     import pyarrow.compute as pc
