@@ -156,14 +156,23 @@ def _check_doc_side(index_dir: str) -> dict[str, Any]:
     total_tokens = 0
     max_doc = -1
     prev_last = 0
-    dl_path = os.path.join(stats_dir, "doc_len.bin")
-    dl = np.memmap(dl_path, np.int64, mode="r") \
-        if os.path.exists(dl_path) else None
+    def _open_bin(name: str, dtype) -> np.memmap | None:
+        path = os.path.join(stats_dir, name)
+        if not os.path.exists(path):
+            return None
+        if os.path.getsize(path) % np.dtype(dtype).itemsize:
+            errors.append(f"{name} size not a multiple of "
+                          f"{np.dtype(dtype).itemsize} bytes (truncated?)")
+            # widest readable prefix so downstream checks still run
+            n = os.path.getsize(path) // np.dtype(dtype).itemsize
+            return np.memmap(path, dtype, mode="r", shape=(n,)) \
+                if n else None
+        return np.memmap(path, dtype, mode="r")
+
+    dl = _open_bin("doc_len.bin", np.int64)
     if dl is None:
         errors.append("doc_len.bin missing")
-    lc_path = os.path.join(stats_dir, "lang_codes.bin")
-    lc = np.memmap(lc_path, np.int32, mode="r") \
-        if os.path.exists(lc_path) else None
+    lc = _open_bin("lang_codes.bin", np.int32)
     try:
         with open(os.path.join(stats_dir, "lang_vocab.json")) as f:
             vocab_n = len(json.load(f))
