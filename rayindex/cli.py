@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+from typing import Any
 
 
 def _ensure_ray():
@@ -109,7 +111,9 @@ def main_delete(argv: list[str] | None = None) -> int:
                    help="comma-separated engine doc ids")
     p.add_argument("--where", default=None, metavar="COL=VALUE",
                    help="doc-store metadata equality filter, e.g. "
-                        "repo=org1/proj1 or lang=py (repeatable)",
+                        "repo=org1/proj1 or lang=py; VALUE is cast to the "
+                        "column's schema type.  Repeating --where deletes "
+                        "docs matching ANY clause (OR semantics)",
                    action="append")
     args = p.parse_args(argv)
     if not args.doc_ids and not args.where:
@@ -120,11 +124,28 @@ def main_delete(argv: list[str] | None = None) -> int:
 
     expr = None
     if args.where:
-        import pyarrow.dataset as pads
+        import glob
 
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        parts = sorted(glob.glob(os.path.join(args.index, "doc_store",
+                                              "*.parquet")))
+        sch = pq.read_schema(parts[0]) if parts else None
         for w in args.where:
             col, _, val = w.partition("=")
-            e = pads.field(col) == val
+            typed: Any = val
+            if sch is not None:
+                if col not in sch.names:
+                    p.error(f"--where column {col!r} not in the doc store "
+                            f"(have: {', '.join(sch.names)})")
+                try:  # cast "5" → 5 for numeric columns etc.
+                    typed = pa.scalar(val).cast(sch.field(col).type)
+                except pa.ArrowInvalid:
+                    p.error(f"--where value {val!r} is not castable to "
+                            f"{col}'s type {sch.field(col).type}")
+            e = pads.field(col) == typed
             expr = e if expr is None else (expr | e)
     ids = [int(x) for x in args.doc_ids.split(",")] if args.doc_ids else None
     print(json.dumps(delete_docs(args.index, args.out, doc_ids=ids,

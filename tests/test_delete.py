@@ -162,6 +162,32 @@ def test_delete_by_filter_expr(delete_setup, tmp_path):
     assert left.num_rows == len(repos) - ids.size
 
 
+def test_delete_cli_where_typed(delete_setup, tmp_path):
+    """CLI --where casts the value to the column's schema type (a numeric
+    doc_id works, not just string columns) and rejects unknown columns."""
+    import pytest
+
+    from rayindex.cli import main_delete
+
+    full = delete_setup["full"]
+    ids = pq.read_table(os.path.join(full, "doc_store"),
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    victim = ids[len(ids) // 2]
+    out = str(tmp_path / "cli_where")
+    rc = main_delete(["--index", full, "--out", out,
+                      "--where", f"doc_id={victim}"])
+    assert rc == 0
+    left = pq.read_table(os.path.join(out, "doc_store"),
+                         columns=["doc_id"])["doc_id"].to_pylist()
+    assert victim not in left and len(left) == len(ids) - 1
+    with pytest.raises(SystemExit):
+        main_delete(["--index", full, "--out", str(tmp_path / "x"),
+                     "--where", "nosuchcol=1"])
+    with pytest.raises(SystemExit):
+        main_delete(["--index", full, "--out", str(tmp_path / "y"),
+                     "--where", "doc_id=notanint"])
+
+
 def test_delete_deterministic(delete_setup, tmp_path):
     from rayindex.delete import delete_docs
 
