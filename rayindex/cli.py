@@ -109,6 +109,12 @@ def main_delete(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="output index directory")
     p.add_argument("--doc-ids", default=None,
                    help="comma-separated engine doc ids")
+    p.add_argument("--tombstone", action="store_true",
+                   help="O(ids) takedown: mark the docs deleted in "
+                        "stats/tombstones.bin (searchers hide them "
+                        "immediately; stats stay pre-delete) instead of "
+                        "re-encoding postings.  Run rayindex.compact "
+                        "later to purge physically")
     p.add_argument("--where", default=None, metavar="COL=VALUE",
                    help="doc-store metadata equality filter, e.g. "
                         "repo=org1/proj1 or lang=py; VALUE is cast to the "
@@ -120,7 +126,7 @@ def main_delete(argv: list[str] | None = None) -> int:
         p.error("one of --doc-ids / --where is required")
 
     _ensure_ray()
-    from rayindex.delete import delete_docs
+    from rayindex.delete import delete_docs, tombstone_docs
 
     expr = None
     if args.where:
@@ -148,8 +154,9 @@ def main_delete(argv: list[str] | None = None) -> int:
             e = pads.field(col) == typed
             expr = e if expr is None else (expr | e)
     ids = [int(x) for x in args.doc_ids.split(",")] if args.doc_ids else None
-    print(json.dumps(delete_docs(args.index, args.out, doc_ids=ids,
-                                 filter_expr=expr), indent=1))
+    fn = tombstone_docs if args.tombstone else delete_docs
+    print(json.dumps(fn(args.index, args.out, doc_ids=ids,
+                        filter_expr=expr), indent=1))
     return 0
 
 

@@ -53,12 +53,24 @@ def _part_holes(part: str) -> tuple[int, int, np.ndarray]:
     return int(ids[0]), int(ids[-1]), internal
 
 
+def _drop_mask(ids: np.ndarray, drop: np.ndarray) -> np.ndarray | None:
+    """Mask of ids NOT in sorted ``drop``; None when nothing drops."""
+    if drop.size == 0 or ids.size == 0:
+        return None
+    idx = np.searchsorted(drop, ids)
+    hit = idx < drop.size
+    hit[hit] = drop[idx[hit]] == ids[hit]
+    return ~hit if hit.any() else None
+
+
 def _compact_shard_to_spool(dict_path: str, spool_dir: str,
                             holes: np.ndarray, dl_path: str,
                             fine_block_docs: int, doc_range_size: int,
-                            num_shards: int) -> int:
+                            num_shards: int,
+                            drop: np.ndarray | None = None) -> int:
     """Decode one input shard, remap doc ids, re-cut into fine-block
-    POSTING_CHUNKS rows, spool (one IPC file per input shard).  Returns
+    POSTING_CHUNKS rows, spool (one IPC file per input shard).  Docs in
+    ``drop`` (sorted tombstone ids) are physically removed.  Returns
     the term count processed."""
     from rayindex.build import _spool_chunks, term_shard
 
@@ -81,6 +93,24 @@ def _compact_shard_to_spool(dict_path: str, spool_dir: str,
         docs = codec.segmented_delta_decode(
             codec.vb_decode(buf[doc_off:doc_off + doc_len]), bn)
         tfs = codec.vb_decode(buf[tf_off:tf_off + tf_len]).astype(np.int64)
+        pos_pref = None
+        live = _drop_mask(docs, drop) if drop is not None else None
+        if live is not None:
+            if pos_len:
+                # positions decode needs the UNFILTERED tfs; gather the
+                # surviving docs' runs before filtering tfs
+                pos_full = codec.decode_positions(
+                    buf[pos_off:pos_off + pos_len], tfs)
+                starts = np.cumsum(tfs) - tfs
+                sel = np.flatnonzero(live)
+                lens = tfs[sel]
+                base = np.cumsum(lens) - lens
+                take = np.arange(int(lens.sum()), dtype=np.int64)
+                take += np.repeat(starts[sel] - base, lens)
+                pos_pref = pos_full[take]
+            docs, tfs = docs[live], tfs[live]
+            if docs.size == 0:
+                continue
         new = _new_ids(docs, holes)
         blk = new // R
         seg_starts = np.flatnonzero(
@@ -105,8 +135,9 @@ def _compact_shard_to_spool(dict_path: str, spool_dir: str,
         cols["tf_blob"].extend(codec.vb_encode_split(
             tfs.astype(np.uint64), seg_starts))
         if pos_len:
-            pos_vals = codec.decode_positions(
-                buf[pos_off:pos_off + pos_len], tfs)
+            pos_vals = pos_pref if pos_pref is not None \
+                else codec.decode_positions(
+                    buf[pos_off:pos_off + pos_len], tfs)
             per_doc = np.cumsum(tfs) - tfs
             deltas = codec.segmented_delta_encode(pos_vals, per_doc)
             cols["pos_blob"].extend(codec.vb_encode_split(
@@ -152,30 +183,48 @@ def _part_bounds(path: str) -> tuple[int, int]:
 
 
 def _compact_doc_part(inputs: list[str], out_path: str, holes: np.ndarray,
-                      p_out: int, part_docs: int) -> None:
+                      p_out: int, part_docs: int,
+                      drop: np.ndarray | None = None) -> None:
     """Assemble one canonical OUTPUT doc-store part (new_id // part_docs
-    == p_out) from the input parts overlapping its range."""
+    == p_out) from the input parts overlapping its range; rows in
+    ``drop`` are purged."""
     ts = []
     for f in inputs:
         t = pq.read_table(f)
         ids = t["doc_id"].to_numpy()
+        live = _drop_mask(ids, drop) if drop is not None else None
+        if live is not None:
+            t = t.filter(pa.array(live))
+            ids = ids[live]
+        if ids.size == 0:
+            continue
         new = _new_ids(ids, holes)
         sel = (new // part_docs) == p_out
         if sel.any():
             t = t.set_column(t.column_names.index("doc_id"), "doc_id",
                              pa.array(new, pa.int64())).filter(pa.array(sel))
             ts.append(t)
+    if not ts:
+        return
     out = pa.concat_tables(ts)  # inputs are doc-ordered → already sorted
     tmp = out_path + f".tmp-{os.getpid()}"
     pq.write_table(out, tmp)
     os.replace(tmp, out_path)
 
 
-def _compact_stats_part(part: str, out_dir: str, holes: np.ndarray) -> None:
+def _compact_stats_part(part: str, out_dir: str, holes: np.ndarray,
+                        drop: np.ndarray | None = None) -> None:
     import pyarrow.compute as pc
 
     t = pq.read_table(part)
-    ids = _new_ids(t["doc_id"].to_numpy(), holes)
+    old = t["doc_id"].to_numpy()
+    live = _drop_mask(old, drop) if drop is not None else None
+    if live is not None:
+        t = t.filter(pa.array(live))
+        old = old[live]
+    if old.size == 0:
+        return
+    ids = _new_ids(old, holes)
     t = t.set_column(t.column_names.index("doc_id"), "doc_id",
                      pa.array(ids, pa.int64()))
     tok = pc.sum(t["n_tokens"]).as_py() or 0
@@ -221,6 +270,21 @@ def compact_index(index_dir: str, out_dir: str, cfg=None) -> dict[str, Any]:
         n_docs += (last - first + 1) - internal.size
         expected = last + 1
     holes = np.concatenate(pieces) if pieces else np.zeros(0, np.int64)
+
+    # tombstoned docs (rayindex.delete.tombstone_docs) are still physically
+    # present in postings and doc parts — compact is their purge point:
+    # they become holes AND their rows/postings are dropped, so
+    # compact(tombstone(build(C), ids)) == build(C minus ids)
+    from rayindex.delete import _read_tombstones
+
+    drop = _read_tombstones(index_dir)
+    if drop.size:
+        max_doc = spans[-1][1] if spans else 0
+        in_range = drop[(drop >= 1) & (drop <= max_doc)]
+        was_hole = (np.searchsorted(holes, in_range, "left")
+                    != np.searchsorted(holes, in_range, "right"))
+        n_docs -= int((~was_hole).sum())
+        holes = np.unique(np.concatenate([holes, drop]))
     if cfg.num_shards == 0:
         cfg = _resolve_auto_shards(cfg, n_docs)
 
@@ -233,6 +297,7 @@ def compact_index(index_dir: str, out_dir: str, cfg=None) -> dict[str, Any]:
         os.makedirs(d, exist_ok=True)
 
     holes_ref = ray.put(holes)
+    drop_ref = ray.put(drop)
     dl_path = os.path.join(index_dir, "stats", "doc_len.bin")
 
     # --- postings: decode+remap per input shard into canonical spools ---
@@ -240,7 +305,7 @@ def compact_index(index_dir: str, out_dir: str, cfg=None) -> dict[str, Any]:
     spool_futs = [
         shard_task.remote(p, spool_dir, holes_ref, dl_path,
                           cfg.fine_block_docs, cfg.doc_range_size,
-                          cfg.num_shards)
+                          cfg.num_shards, drop_ref)
         for p in _shard_paths(index_dir)]
 
     # --- doc store: one task per canonical OUTPUT part ---
@@ -260,10 +325,10 @@ def compact_index(index_dir: str, out_dir: str, cfg=None) -> dict[str, Any]:
         if inputs:
             doc_futs.append(part_task.remote(
                 inputs, os.path.join(out_store, f"part-{p_out:06d}.parquet"),
-                holes_ref, p_out, D))
+                holes_ref, p_out, D, drop_ref))
 
     stats_task = ray.remote(num_cpus=1)(_compact_stats_part)
-    stat_futs = [stats_task.remote(p, out_doc_stats, holes_ref)
+    stat_futs = [stats_task.remote(p, out_doc_stats, holes_ref, drop_ref)
                  for p in stats_parts]
 
     ray.get(spool_futs)

@@ -219,6 +219,17 @@ def _check_doc_side(index_dir: str) -> dict[str, Any]:
     except (OSError, IndexError):
         cs = {}
         errors.append("collection_stats.parquet missing/empty")
+    tomb_path = os.path.join(stats_dir, "tombstones.bin")
+    if os.path.exists(tomb_path):
+        if os.path.getsize(tomb_path) % 8:
+            errors.append("tombstones.bin size not a multiple of 8 bytes")
+        else:
+            tombs = np.fromfile(tomb_path, np.int64)
+            if tombs.size and (np.diff(tombs) <= 0).any():
+                errors.append("tombstones.bin not strictly ascending")
+            if tombs.size and (tombs[0] < 1 or
+                               (max_doc >= 0 and tombs[-1] > max_doc)):
+                errors.append("tombstone id outside the doc-id space")
     return {"errors": errors, "n_docs": n_docs,
             "total_tokens": total_tokens,
             "n_terms_expected": cs.get("n_terms")}

@@ -40,10 +40,16 @@ class Posting:
     block_last: np.ndarray | None = None  # int64 per block
     block_max_tf: np.ndarray | None = None
     block_min_dl: np.ndarray | None = None
+    # dict df when it differs from docs.size — a tombstoned index serves
+    # postings with deleted docs masked out but keeps the PRE-DELETE df
+    # (stale-stats-until-compact semantics, so TAAT and block-max WAND
+    # agree: WAND reads df from dict metadata it never re-derives)
+    df_override: int | None = None
 
     @property
     def df(self) -> int:
-        return int(self.docs.size)
+        return int(self.docs.size) if self.df_override is None \
+            else self.df_override
 
     def pos_slices(self) -> np.ndarray:
         """Start offset of each doc's run in the flat position stream."""

@@ -36,6 +36,20 @@ from rayindex.query import parse_query
 from rayindex.scoring import MiniIndexProvider, Posting, Stats, search_parsed
 
 
+def _live_mask(docs: np.ndarray, deleted: np.ndarray | None
+               ) -> np.ndarray | None:
+    """Boolean mask of docs NOT in the sorted tombstone array, or None when
+    nothing is masked (the common case — zero-copy fast path).  O(p log d)
+    with O(n_deleted) memory: scale-safe where a doc-space bitmap is not
+    (10^12-doc spaces)."""
+    if deleted is None or deleted.size == 0 or docs.size == 0:
+        return None
+    idx = np.searchsorted(deleted, docs)
+    hit = idx < deleted.size
+    hit[hit] = deleted[idx[hit]] == docs[hit]
+    return ~hit if hit.any() else None
+
+
 class LazyPosting:
     """Block-addressable postings of one term: nothing is decoded up front.
     Dict blocks store their absolute first doc + per-stream byte offsets,
@@ -46,7 +60,11 @@ class LazyPosting:
     __slots__ = ("df", "cf", "max_tf", "block_first", "block_last", "block_n",
                  "block_max_tf", "block_min_dl", "_buf",
                  "_doc_off", "_doc_len", "_tf_off", "_tf_len",
-                 "_pos_off", "_pos_len", "_boff_doc", "_boff_tf", "_boff_pos")
+                 "_pos_off", "_pos_len", "_boff_doc", "_boff_tf", "_boff_pos",
+                 "deleted")
+
+    def __init__(self) -> None:
+        self.deleted = None  # sorted tombstone ids, set by lookup_lazy
 
     @property
     def n_blocks(self) -> int:
@@ -59,10 +77,17 @@ class LazyPosting:
         return s, e
 
     def block_docs_tfs(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        """One block's (docs, tfs), with tombstoned docs masked out.  NB:
+        ``block_positions`` needs the UNFILTERED tfs to delimit the
+        position stream — raw-decode via ``_block_span`` if you need
+        both on a tombstoned index."""
         s, e = self._block_span(self._boff_doc, self._doc_off, self._doc_len, b)
         docs = codec.delta_decode(codec.vb_decode(self._buf[s:e]))
         s, e = self._block_span(self._boff_tf, self._tf_off, self._tf_len, b)
         tfs = codec.vb_decode(self._buf[s:e]).astype(np.int64)
+        live = _live_mask(docs, self.deleted)
+        if live is not None:
+            docs, tfs = docs[live], tfs[live]
         return docs, tfs
 
     def block_positions(self, b: int, tfs: np.ndarray) -> np.ndarray:
@@ -74,7 +99,10 @@ class LazyPosting:
         """Decode several blocks in ONE vectorized pass (per-block
         vb_decode overhead dominates when many small blocks are needed).
         Returns (docs, tfs, starts, counts): block ``bsel[i]``'s run is
-        ``docs[starts[i] : starts[i] + counts[i]]``."""
+        ``docs[starts[i] : starts[i] + counts[i]]``.  Tombstoned docs are
+        dropped (counts reflect survivors); block upper bounds in the
+        dict can only over-estimate after deletes, so WAND pruning on the
+        stale metadata stays exact."""
         ends_d = np.append(self._boff_doc[1:], self._doc_len)
         doc_bytes = b"".join(
             self._buf[self._doc_off + int(self._boff_doc[b]):
@@ -86,6 +114,12 @@ class LazyPosting:
         bn = self.block_n[bsel]
         docs = codec.segmented_delta_decode(codec.vb_decode(doc_bytes), bn)
         tfs = codec.vb_decode(tf_bytes).astype(np.int64)
+        live = _live_mask(docs, self.deleted)
+        if live is not None:
+            starts = np.cumsum(bn) - bn
+            bn = (np.add.reduceat(live, starts) if docs.size
+                  else bn * 0)
+            docs, tfs = docs[live], tfs[live]
         return docs, tfs, np.cumsum(bn) - bn, bn
 
 
@@ -359,6 +393,17 @@ class IndexReader(MiniIndexProvider):
             "bin_sizes": bin_sizes,
             "dicts": dicts,
         }
+        # tombstones: sorted deleted-id array (O(n_deleted), loaded fully
+        # even remotely — takedown sets are tiny next to the index)
+        if fs is not None:
+            tomb = _strip(index_dir) + "/stats/tombstones.bin"
+            if fs.exists(tomb):
+                with fs.open(tomb, "rb") as f:
+                    state["tombstones"] = np.frombuffer(f.read(), np.int64)
+        else:
+            tomb = os.path.join(index_dir, "stats", "tombstones.bin")
+            if os.path.exists(tomb):
+                state["tombstones"] = np.fromfile(tomb, np.int64)
         if fs is not None:
             stats_root = _strip(index_dir) + "/stats"
             dl_bin = stats_root + "/doc_len.bin"
@@ -413,6 +458,7 @@ class IndexReader(MiniIndexProvider):
         return state
 
     def _attach(self, state: dict) -> None:
+        self._deleted = state.get("tombstones")
         self.shard_ids = list(state["shard_ids"])
         self._num_shards_total = state["num_shards_total"]
         self._slot_of = {sid: slot for slot, sid in enumerate(self.shard_ids)}
@@ -592,10 +638,26 @@ class IndexReader(MiniIndexProvider):
         if need_positions:
             pos_blob = buf[d["pos_off"][row] : d["pos_off"][row] + d["pos_len"][row]]
             positions = codec.decode_positions(pos_blob, tfs)
+        df_override = None
+        live = _live_mask(docs, self._deleted)
+        if live is not None:
+            # tombstoned docs masked out; df stays the dict's pre-delete
+            # value (stale-stats-until-compact — WAND reads the same df)
+            df_override = int(d["df"][row])
+            if positions is not None:
+                starts = np.cumsum(tfs) - tfs
+                sel = np.flatnonzero(live)
+                lens = tfs[sel]
+                base = np.cumsum(lens) - lens
+                take = np.arange(int(lens.sum()), dtype=np.int64)
+                take += np.repeat(starts[sel] - base, lens)
+                positions = positions[take]
+            docs, tfs = docs[live], tfs[live]
         p = Posting(
             docs=docs,
             tfs=tfs,
             positions=positions,
+            df_override=df_override,
             block_last=np.asarray(self._blocks(d, "block_last", row), np.int64),
             block_max_tf=np.asarray(self._blocks(d, "block_max_tf", row), np.int64),
             block_min_dl=np.asarray(self._blocks(d, "block_min_dl", row), np.int64),
@@ -636,6 +698,7 @@ class IndexReader(MiniIndexProvider):
         lp._boff_doc = self._blocks(d, "block_doc_boff", row)
         lp._boff_tf = self._blocks(d, "block_tf_boff", row)
         lp._boff_pos = self._blocks(d, "block_pos_boff", row)
+        lp.deleted = self._deleted
         return lp
 
     def fetch_positions(self, term: str, docs: np.ndarray) -> Posting | None:
@@ -646,6 +709,9 @@ class IndexReader(MiniIndexProvider):
         if lp is None:
             return None
         docs = np.asarray(docs, np.int64)
+        live = _live_mask(docs, self._deleted)
+        if live is not None:
+            docs = docs[live]
         empty = np.zeros(0, np.int64)
         if docs.size == 0 or lp.n_blocks == 0:
             return Posting(docs=empty, tfs=empty.copy(), positions=empty.copy())
