@@ -271,6 +271,75 @@ def _q_compacted_postings_probe(sf_dir: str) -> pa.Table:
     })
 
 
+def _ensure_tombstoned(sf_dir: str):
+    """Tombstone every source doc_id % 13 == 5 doc (O(n_deleted) takedown
+    path, rayindex/delete.py:tombstone_docs — artifacts hard-link, only
+    stats/tombstones.bin is written; searchers mask the docs at decode
+    time with PRE-delete statistics, Lucene liveDocs semantics)."""
+    from rayindex.delete import tombstone_docs
+
+    index_dir, id_map = _ensure_index(sf_dir)
+    out = index_dir + "_tombstoned"
+    if not os.path.exists(os.path.join(out, "stats", "tombstones.bin")):
+        store = pq.read_table(os.path.join(index_dir, "doc_store"),
+                              columns=["doc_id", "path"])
+        eng = store["doc_id"].to_numpy()
+        orig = np.asarray([int(p) for p in store["path"].to_pylist()],
+                          np.int64)
+        tombstone_docs(index_dir, out, doc_ids=np.sort(eng[orig % 13 == 5]))
+    return out, id_map
+
+
+def _q_tombstone_postings_probe(sf_dir: str) -> pa.Table:
+    """Postings probe over a TOMBSTONED index: deleted docs vanish from
+    every posting (tf/positions of survivors untouched).  Oracle: the
+    postings_probe SQL with the tombstoned docs filtered out."""
+    from rayindex.searcher import IndexReader
+
+    out, id_map = _ensure_tombstoned(sf_dir)
+    r = IndexReader(out)
+    terms, docs, tfs, minp, maxp = [], [], [], [], []
+    for term in PROBE_TERMS:
+        p = r.lookup(term, need_positions=True)
+        if p is None:
+            continue
+        starts = p.pos_slices()
+        for i in range(p.docs.size):
+            terms.append(term)
+            docs.append(int(id_map[p.docs[i]]))
+            tfs.append(int(p.tfs[i]))
+            seg = p.positions[int(starts[i]):int(starts[i]) + int(p.tfs[i])]
+            minp.append(int(seg.min()))
+            maxp.append(int(seg.max()))
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "tf": pa.array(tfs, pa.int64()),
+        "min_pos": pa.array(minp, pa.int64()),
+        "max_pos": pa.array(maxp, pa.int64()),
+    })
+
+
+def _q_tombstone_bm25_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-10 over a TOMBSTONED index: results equal the FULL
+    index's ranking with deleted docs filtered out at IDENTICAL scores
+    (statistics frozen until compact).  Oracle: the bm25_topk SQL with
+    full-corpus stats and the tombstoned docs excluded before ranking."""
+    from rayindex.searcher import IndexReader
+
+    analyzer, _, search_cfg = _ascii_cfgs()
+    out, id_map = _ensure_tombstoned(sf_dir)
+    r = IndexReader(out)
+    rows = {"query_id": [], "doc_id": [], "score_micro": []}
+    for qid, qtext in BM25_QUERIES:
+        for doc, score in r.search(qtext, k=18, search_cfg=search_cfg,
+                                   analyzer=analyzer):
+            rows["query_id"].append(qid)
+            rows["doc_id"].append(int(id_map[doc]))
+            rows["score_micro"].append(int(np.rint(score * 1e6)))
+    return _micro_rank(rows, 10)
+
+
 def _q_ranker_agreement(sf_dir: str):
     """Results-diff parity (reference compare_results.py): per-query
     agreement between the standard BM25 ranking and the reference
@@ -1429,6 +1498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_filter_events": _q_bloom_filter_events,
         "cms_sketch": _q_cms_sketch,
         # -- new in round 4 ----------------------------------------------
+        "tombstone_postings_probe": _q_tombstone_postings_probe,
+        "tombstone_bm25_topk": _q_tombstone_bm25_topk,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
@@ -1714,6 +1785,37 @@ def oracle_sql() -> dict[str, str]:
                    min(p)::BIGINT AS min_pos, max(p)::BIGINT AS max_pos
             FROM pos WHERE term IN ({probe})
             GROUP BY term, doc_id
+        """,
+        "tombstone_postings_probe": f"""
+            WITH {_TOKS_CTE}
+            SELECT term, doc_id, count(*)::BIGINT AS tf,
+                   min(p)::BIGINT AS min_pos, max(p)::BIGINT AS max_pos
+            FROM pos WHERE term IN ({probe}) AND doc_id % 13 <> 5
+            GROUP BY term, doc_id
+        """,
+        "tombstone_bm25_topk": f"""
+            WITH {_TOKS_CTE},
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            q(query_id, term) AS (VALUES {qvals}),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                sum( ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                   ) AS s
+              FROM q JOIN tf USING (term) JOIN dfq USING (term)
+                   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+              GROUP BY q.query_id, tf.doc_id)
+            -- stats/df/dl stay FULL-corpus (frozen until compact);
+            -- tombstoned docs are filtered only from the ranking
+            , micro AS (SELECT query_id, doc_id,
+                   CAST(round(s * 1e6) AS BIGINT) AS score_micro FROM scored
+                   WHERE doc_id % 13 <> 5)
+            SELECT query_id, doc_id, score_micro,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
+            FROM micro
+            QUALIFY rank <= 10
         """,
         "bm25_topk": f"""
             WITH {_TOKS_CTE},
