@@ -184,6 +184,15 @@ def run_bench() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # Ray Data logs a harmless "Failed to hash the schemas (for
+    # deduplication): unhashable type: 'dict'" warning for tables that
+    # carry dict-valued schema metadata (our stats footers) — silence it
+    # so the bench tail isn't mistaken for a failure.
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
 
     import numpy as np
     import pyarrow as pa
@@ -321,12 +330,30 @@ def run_bench() -> dict:
     from rayindex.compact import compact_index
     from rayindex.delete import delete_docs
 
-    del_dir, cmp_dir = out + "_del", out + "_cmp"
-    shutil.rmtree(del_dir, ignore_errors=True)
-    shutil.rmtree(cmp_dir, ignore_errors=True)
+    from rayindex.delete import tombstone_docs
+
+    del_dir, cmp_dir, tmb_dir = out + "_del", out + "_cmp", out + "_tmb"
+    for d in (del_dir, cmp_dir, tmb_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    del_ids = np.arange(1, N_FILES + 1, 100, dtype=np.int64)
+    # tombstone takedown: O(ids) + links, vs the eager re-encode below
+    t0 = time.perf_counter()
+    tombstone_docs(out, tmb_dir, doc_ids=del_ids)
+    timings["tombstone_1pct_sec"] = time.perf_counter() - t0
+    # warm query latency with the tombstone mask active (per-lookup
+    # searchsorted overhead on every term's postings)
+    rt = IndexReader(tmb_dir)
+    for q in qtexts[:8]:
+        rt.search(q, k=10, search_cfg=scfg)
+    t0 = time.perf_counter()
+    for q in qtexts:
+        rt.search(q, k=10, search_cfg=scfg)
+    timings["query_warm_tombstoned_ms_per_q"] = \
+        (time.perf_counter() - t0) / len(qtexts) * 1000
+    shutil.rmtree(tmb_dir, ignore_errors=True)
     t0 = time.perf_counter()
     delete_docs(out, del_dir,  # ~1% of docs: the GDPR-batch shape
-                doc_ids=np.arange(1, N_FILES + 1, 100, dtype=np.int64))
+                doc_ids=del_ids)
     timings["delete_1pct_sec"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     compact_index(del_dir, cmp_dir, cfg)
@@ -439,6 +466,15 @@ def run_query_bench() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # Ray Data logs a harmless "Failed to hash the schemas (for
+    # deduplication): unhashable type: 'dict'" warning for tables that
+    # carry dict-valued schema metadata (our stats footers) — silence it
+    # so the bench tail isn't mistaken for a failure.
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
     from rayindex.config import SearchConfig
     from rayindex.searcher import Searcher, build_shared_state
 

@@ -754,6 +754,11 @@ class IndexReader(MiniIndexProvider):
         take += np.repeat(starts[sel] - base, lens)
         return Posting(docs=docs_all[sel], tfs=lens, positions=pos_all[take])
 
+    def fetch_positions_many(self, term_docs) -> list["Posting | None"]:
+        """Sequential local counterpart of the pool's batched positional
+        fetch (same signature, so snippet/phrase helpers take either)."""
+        return [self.fetch_positions(t, d) for t, d in term_docs]
+
     # -- convenience --------------------------------------------------------
 
     def search(self, query: str, k: int | None = None,

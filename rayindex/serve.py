@@ -1,0 +1,254 @@
+"""Long-lived online serving: the reference is an ONLINE engine — its
+Django view (/root/reference/search/retrieval/views.py:27-97) parses the
+request, spellchecks the plain query, classifies it, retrieves top-k,
+joins result ids to document metadata and renders, all per HTTP request
+against app-startup state (index dict + spell dict loaded once,
+reference apps.py).  This module is that serving surface for rayindex:
+
+    python -m rayindex.serve --index /path/to/index --port 8080
+
+``SearchApp`` holds the startup state — an ``IndexReader`` (or a
+``ShardedSearchPool`` of Ray actors when ``--actors N`` is given: the
+multi-node shape where each actor owns a disjoint shard subset) plus the
+vocabulary spell dictionary — and serves framework-free dict responses;
+the stdlib ``ThreadingHTTPServer`` wrapping is transport only, so tests
+drive the handlers directly and any WSGI/ASGI front end could replace
+it on a real deployment.
+
+Endpoints (all GET, JSON):
+  /search?q=...&k=10[&lang=..][&scorer=..][&algorithm=..][&spellcheck=0]
+      spellchecks plain queries BY DEFAULT (reference default-on,
+      helpers.py:235-270; boolean/proximity/phrase queries pass through
+      untouched), retrieves top-k, joins doc metadata, adds snippets.
+  /suggest?prefix=sc&k=10     vocabulary autocomplete (cf-ranked).
+  /facets?q=...&col=lang[&top_n=..]   facet counts over the match set.
+  /healthz                    index + pool stats.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import numpy as np
+
+from rayindex.config import AnalyzerConfig, SearchConfig
+
+
+class SearchApp:
+    """App-startup state + per-request handlers (reference views.py
+    flow).  Thread-safe for reads: IndexReader lookups are mmap reads
+    plus an LRU (GIL-guarded dict ops); the pool scatters to actors."""
+
+    def __init__(self, index_dir: str, num_actors: int = 0,
+                 analyzer: AnalyzerConfig | None = None,
+                 search_cfg: SearchConfig | None = None,
+                 spellcheck: bool = True):
+        from rayindex.searcher import IndexReader, ShardedSearchPool
+        from rayindex.spell import SpellChecker
+
+        self.index_dir = index_dir
+        self.analyzer = analyzer or AnalyzerConfig()
+        self.search_cfg = search_cfg or SearchConfig(algorithm="auto")
+        if num_actors > 0:
+            self.provider: Any = ShardedSearchPool(index_dir,
+                                                   num_actors=num_actors)
+            # spell dict + snippets need a local reader's vocabulary and
+            # positional fetch; dict-only state, shards stay mmap'd
+            self._reader = IndexReader(index_dir)
+        else:
+            self.provider = IndexReader(index_dir)
+            self._reader = self.provider
+        self.spell = (SpellChecker.from_index(self._reader)
+                      if spellcheck else None)
+        self.n_requests = 0
+
+    # -- handlers (framework-free: dict in, dict out) -------------------
+
+    def search(self, q: str, k: int = 10, lang: str | None = None,
+               scorer: str | None = None, algorithm: str | None = None,
+               spellcheck: bool = True, snippets: bool = True) -> dict:
+        """The reference request flow: spellcheck (plain queries only) →
+        classify+retrieve → metadata join → snippets."""
+        from rayindex.query import TermsQuery, parse_query
+        from rayindex.scoring import query_terms
+        from rayindex.searcher import fetch_doc_metadata
+        from rayindex.snippet import doc_snippets
+
+        t0 = time.perf_counter()
+        self.n_requests += 1
+        query = q
+        corrected = False
+        if (self.spell is not None and spellcheck
+                and isinstance(parse_query(q, self.analyzer), TermsQuery)):
+            query, corrected = self.spell.correct_query(q)
+        cfg = self.search_cfg
+        if algorithm and algorithm != cfg.algorithm:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, algorithm=algorithm)
+        res = self.provider.search(query, k=k, search_cfg=cfg,
+                                   analyzer=self.analyzer, scorer=scorer,
+                                   lang=lang)
+        rows = [{"rank": i + 1, "doc_id": int(d), "score": float(s)}
+                for i, (d, s) in enumerate(res)]
+        if rows:
+            ids = [r["doc_id"] for r in rows]
+            meta = fetch_doc_metadata(self.index_dir, ids).to_pylist()
+            by_id = {m["doc_id"]: m for m in meta}
+            snips: dict[int, str] = {}
+            if snippets:
+                parsed = parse_query(query, self.analyzer)
+                snips = doc_snippets(
+                    self.index_dir, self._reader,
+                    sorted(set(query_terms(parsed))),
+                    np.asarray(ids, np.int64))
+            for r in rows:
+                m = by_id.get(r["doc_id"], {})
+                r.update({"repo": m.get("repo"), "path": m.get("path"),
+                          "commit": m.get("commit"), "lang": m.get("lang")})
+                if snippets:
+                    r["snippet"] = snips.get(r["doc_id"], "")
+        return {
+            "query": q,
+            "ran_query": query,
+            "corrected": corrected,
+            "k": k,
+            "n_results": len(rows),
+            "results": rows,
+            "took_ms": round((time.perf_counter() - t0) * 1000, 3),
+        }
+
+    def suggest(self, prefix: str, k: int = 10) -> dict:
+        from rayindex.spell import suggest_terms
+
+        t = suggest_terms(self.index_dir, prefix, k=k)
+        return {"prefix": prefix, "suggestions": t.to_pylist()}
+
+    def facets(self, q: str, col: str = "lang",
+               top_n: int | None = None) -> dict:
+        from rayindex.facet import facet_counts
+
+        t = facet_counts(self.index_dir, q, col, analyzer=self.analyzer,
+                         top_n=top_n)
+        return {"query": q, "col": col, "counts": t.to_pylist()}
+
+    def healthz(self) -> dict:
+        stats = self._reader.stats
+        return {
+            "ok": True,
+            "index_dir": self.index_dir,
+            "n_docs": int(stats.n_docs),
+            "total_tokens": int(stats.total_tokens),
+            "n_terms": int(self._reader.n_terms),
+            "n_requests": self.n_requests,
+            "pool_actors": (len(self.provider.actors)
+                            if hasattr(self.provider, "actors") else 0),
+            "spellcheck": self.spell is not None,
+        }
+
+
+def make_server(app: SearchApp, host: str = "127.0.0.1", port: int = 8080):
+    """Bind ``app`` behind a stdlib threading HTTP server (transport
+    only; returns the server — call ``serve_forever()`` to run)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet access log
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            u = urlparse(self.path)
+            qs = {key: v[0] for key, v in parse_qs(u.query).items()}
+            try:
+                if u.path == "/search":
+                    if "q" not in qs:
+                        return self._send(400, {"error": "missing q"})
+                    return self._send(200, app.search(
+                        qs["q"], k=int(qs.get("k", "10")),
+                        lang=qs.get("lang"), scorer=qs.get("scorer"),
+                        algorithm=qs.get("algorithm"),
+                        spellcheck=qs.get("spellcheck", "1") != "0",
+                        snippets=qs.get("snippets", "1") != "0"))
+                if u.path == "/suggest":
+                    if "prefix" not in qs:
+                        return self._send(400, {"error": "missing prefix"})
+                    return self._send(200, app.suggest(
+                        qs["prefix"], k=int(qs.get("k", "10"))))
+                if u.path == "/facets":
+                    if "q" not in qs:
+                        return self._send(400, {"error": "missing q"})
+                    top_n = qs.get("top_n")
+                    return self._send(200, app.facets(
+                        qs["q"], col=qs.get("col", "lang"),
+                        top_n=int(top_n) if top_n else None))
+                if u.path == "/healthz":
+                    return self._send(200, app.healthz())
+                return self._send(404, {"error": f"no route {u.path}"})
+            except ValueError as e:
+                return self._send(400, {"error": str(e)})
+            except Exception as e:  # surface, don't kill the server
+                return self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main_serve(argv: list[str] | None = None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="rayindex.serve",
+        description="Serve a built index over HTTP (JSON): /search "
+                    "/suggest /facets /healthz.  Spellcheck is ON by "
+                    "default for plain queries (reference parity).")
+    p.add_argument("--index", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--actors", type=int, default=0,
+                   help="serve through a ShardedSearchPool of N Ray "
+                        "actors (0 = in-process IndexReader)")
+    p.add_argument("--analyzer", choices=["reference", "ascii", "code"],
+                   default="reference")
+    p.add_argument("--scorer", default="bm25")
+    p.add_argument("--algorithm", default="auto",
+                   choices=["auto", "taat", "bmw"])
+    p.add_argument("--no-spellcheck", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.actors > 0:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                     include_dashboard=False, logging_level="ERROR")
+    app = SearchApp(args.index, num_actors=args.actors,
+                    analyzer=AnalyzerConfig(mode=args.analyzer),
+                    search_cfg=SearchConfig(scorer=args.scorer,
+                                            algorithm=args.algorithm),
+                    spellcheck=not args.no_spellcheck)
+    srv = make_server(app, args.host, args.port)
+    print(json.dumps({"serving": f"http://{args.host}:{args.port}",
+                      **app.healthz()}))
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover — long-lived server entry
+    import sys
+
+    sys.exit(main_serve())
