@@ -229,9 +229,13 @@ def main_search(argv: list[str] | None = None) -> int:
     p.add_argument("--lang", default=None, help="metadata filter")
     p.add_argument("--show-docs", action="store_true",
                    help="join results to the doc store metadata")
-    p.add_argument("--spellcheck", action="store_true",
+    p.add_argument("--spellcheck", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="Norvig correction over the index vocabulary before "
-                        "querying (reference spellcheck_query analog)")
+                        "querying — ON by default for plain queries, like "
+                        "the reference (views.py spellchecks every plain "
+                        "query); boolean/proximity/phrase queries pass "
+                        "through untouched.  --no-spellcheck disables")
     args = p.parse_args(argv)
 
     from rayindex.config import AnalyzerConfig, SearchConfig
@@ -243,9 +247,15 @@ def main_search(argv: list[str] | None = None) -> int:
     query = args.query
     corrected = False
     if args.spellcheck:
+        from rayindex.query import TermsQuery, parse_query
         from rayindex.spell import SpellChecker
 
-        query, corrected = SpellChecker.from_index(reader).correct_query(query)
+        # reference parity: only PLAIN queries are spellchecked
+        # (boolean/proximity operators would be corrupted by correction)
+        if isinstance(parse_query(query, AnalyzerConfig(mode=args.analyzer)),
+                      TermsQuery):
+            query, corrected = \
+                SpellChecker.from_index(reader).correct_query(query)
     res = reader.search(query, k=args.k, search_cfg=cfg,
                         analyzer=AnalyzerConfig(mode=args.analyzer),
                         scorer=args.scorer, lang=args.lang)

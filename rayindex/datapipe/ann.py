@@ -65,8 +65,8 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10,
         })
 
     parts = ds.map_batches(partial_topk, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=4096).to_pandas()
-    return _merge_topk(parts, k, id_col)
+                           zero_copy_batch=True, batch_size=4096)
+    return _merge_topk_distributed(parts, k, id_col)
 
 
 def train_centroids(ds, n_centroids: int = 16, vec_col: str = "embedding",
@@ -128,32 +128,37 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=4096).to_pandas()
-    return _merge_topk(parts, k, id_col)
+                           zero_copy_batch=True, batch_size=4096)
+    return _merge_topk_distributed(parts, k, id_col)
 
 
-def _merge_topk(parts, k: int, id_col: str) -> pa.Table:
-    """Vectorized driver-side reduce of the tiny per-batch top-k partials:
-    (query_id asc, cos_sim desc, id asc) lexsort + per-query head(k)."""
-    if len(parts) == 0:
+def _merge_topk_distributed(parts, k: int, id_col: str) -> pa.Table:
+    """Distributed reduce of the per-batch top-k partials: a
+    ``groupby(query_id).map_groups`` final top-k, so the DRIVER receives
+    exactly n_queries × k rows — the partial set is O(n_blocks × q × k),
+    unbounded in block count at corpus scale, and never leaves the
+    cluster.  Ties broken (cos_sim desc, id asc) — deterministic."""
+    import pandas as pd
+
+    def topk_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["cos_sim", id_col],
+                            ascending=[False, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int32)
+        return df[["query_id", "rank", id_col, "cos_sim"]]
+
+    out = parts.groupby("query_id") \
+        .map_groups(topk_group, batch_format="pandas").to_pandas()
+    if len(out) == 0:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int32()),
                          id_col: pa.array([], pa.int64()),
                          "cos_sim": pa.array([], pa.float64())})
-    q = parts["query_id"].to_numpy(np.int64)
-    s = parts["cos_sim"].to_numpy(np.float64)
-    i = parts[id_col].to_numpy(np.int64)
-    order = np.lexsort((i, -s, q))
-    q, s, i = q[order], s[order], i[order]
-    starts = np.concatenate([[True], q[1:] != q[:-1]])
-    rank = np.arange(q.size) - np.maximum.accumulate(
-        np.where(starts, np.arange(q.size), 0)) + 1
-    keep = rank <= k
+    out = out.sort_values(["query_id", "rank"])
     return pa.table({
-        "query_id": pa.array(q[keep], pa.int64()),
-        "rank": pa.array(rank[keep].astype(np.int32)),
-        id_col: pa.array(i[keep], pa.int64()),
-        "cos_sim": pa.array(s[keep], pa.float64()),
+        "query_id": pa.array(out["query_id"].to_numpy(np.int64)),
+        "rank": pa.array(out["rank"].to_numpy(np.int32)),
+        id_col: pa.array(out[id_col].to_numpy(np.int64)),
+        "cos_sim": pa.array(out["cos_sim"].to_numpy(np.float64)),
     })
 
 
