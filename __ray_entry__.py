@@ -932,6 +932,22 @@ def _q_length_quantiles(sf_dir: str):
                            qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
 
 
+def _q_float_quantiles(sf_dir: str):
+    """Exact quantile_disc over a CONTINUOUS column (events.value) via
+    iterative distributed histogram narrowing — driver holds ≤ nq × bins
+    rows per round, never the values; the ranked element is picked
+    inside a per-quantile map_groups task.  Micro-scaled to int64 for
+    the hash compare."""
+    import ray.data
+
+    from rayindex.datapipe.stats import float_quantiles
+
+    ds = _events(sf_dir, cols=["value"])
+    out = float_quantiles(ds, "value", qs=(0.05, 0.25, 0.5, 0.75, 0.95))
+    out["value_micro"] = (out["value"] * 1e6).round().astype("int64")
+    return out[["q", "value_micro"]]
+
+
 def _q_simhash_pairs(sf_dir: str):
     """Exact SimHash near-dup pairs (hamming <= t via 64-bit banding +
     in-group popcount filter) — the banded candidate→verify shape closed
@@ -1500,6 +1516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in round 4 ----------------------------------------------
         "tombstone_postings_probe": _q_tombstone_postings_probe,
         "tombstone_bm25_topk": _q_tombstone_bm25_topk,
+        "float_quantiles": _q_float_quantiles,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
@@ -2475,6 +2492,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
                                AS DOUBLE[])) AS q,
                    CAST(unnest(v) AS BIGINT) AS value
+            FROM qv
+        """,
+        # continuous-domain twin: same quantile_disc rule over the float
+        # events.value column (float_quantiles narrowing path)
+        "float_quantiles": """
+            WITH qv AS (SELECT quantile_disc(value,
+                            [0.05, 0.25, 0.5, 0.75, 0.95]) AS v
+                        FROM events)
+            SELECT unnest(CAST([0.05, 0.25, 0.5, 0.75, 0.95]
+                               AS DOUBLE[])) AS q,
+                   CAST(round(unnest(v) * 1e6) AS BIGINT) AS value_micro
             FROM qv
         """,
         # DuckDB's native ASOF JOIN: greatest purchase ts <= click ts per

@@ -604,6 +604,54 @@ def test_value_quantiles_empty(ray_session):
     assert len(got) == 0
 
 
+def test_float_quantiles_continuous_exact(ray_session):
+    """Continuous (float) domain: the iterative histogram-narrowing path
+    must reproduce quantile_disc BIT-exactly — including a heavy-tie
+    point mass, NaNs (excluded), and tail quantiles."""
+    import ray.data
+
+    from rayindex.datapipe.stats import float_quantiles, value_quantiles
+
+    rng = np.random.default_rng(23)
+    vals = np.concatenate([rng.normal(0.0, 1.0, 4000),
+                           rng.exponential(3.0, 4000),
+                           np.full(1000, 2.5),            # point mass
+                           np.full(50, np.nan)])
+    rng.shuffle(vals)
+    t = pa.table({"value": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(7)
+    qs = (0.001, 0.25, 0.5, 0.75, 0.999)
+    s = np.sort(vals[~np.isnan(vals)])
+    want = [float(s[max(int(np.ceil(q * s.size)) - 1, 0)]) for q in qs]
+
+    got = float_quantiles(ds, "value", qs, bins=64)  # small bins: force
+    assert got["value"].tolist() == want             # narrowing to work
+    # the dispatcher routes float columns here automatically
+    got2 = value_quantiles(ds, "value", qs)
+    assert got2["value"].tolist() == want
+
+
+def test_value_quantiles_high_cardinality_routes_bounded(ray_session):
+    """An int column whose distinct count exceeds distinct_cap must NOT
+    materialize the distinct-value histogram on the driver — it routes
+    through the narrowing path (driver rows ≤ nq × bins) and stays
+    exact."""
+    import ray.data
+
+    from rayindex.datapipe.stats import value_quantiles
+
+    rng = np.random.default_rng(29)
+    vals = rng.integers(0, 2**40, 5000).astype(np.int64)
+    t = pa.table({"v": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(5)
+    qs = (0.1, 0.5, 0.9)
+    got = value_quantiles(ds, "v", qs, distinct_cap=100)
+    s = np.sort(vals)
+    want = [int(s[max(int(np.ceil(q * s.size)) - 1, 0)]) for q in qs]
+    assert got["value"].tolist() == want
+    assert str(got["value"].dtype) == "int64"
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (concat-and-chunk)
 # ---------------------------------------------------------------------------
