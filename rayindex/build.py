@@ -623,6 +623,9 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
                 for i in range(0, len(metas), per_task)]
         if shard_dir is not None and fingerprint is not None:
             pool = _MergePool(shard_dir, fingerprint, cfg)
+        cons = (_SpoolConsolidator(pool, cfg)
+                if pool is not None and cfg.spool_consolidate_group > 0
+                else None)
         pending = list(refs)
         rows_sum = 0
         while pending:
@@ -631,9 +634,15 @@ def _stage_ingest_tokenize(source: str, doc_store_out: str, chunks_out: str,
             if pool is not None:
                 md = (t.schema.metadata or {}).get(b"rayindex_spools", b"")
                 if md:
-                    pool.feed(md.decode().split("\x00"))
+                    names = md.decode().split("\x00")
+                    if cons is not None:
+                        cons.add(names)
+                    else:
+                        pool.feed(names)
             if t.num_rows:
                 rows_sum += int(pc.sum(t["rows"]).as_py() or 0)
+        if cons is not None:
+            cons.drain()
         metrics["n_chunk_rows"] = rows_sum
     else:
         ds = _doc_exchange(units, ranked_refs, doc_store_out, cfg, emit=True)
@@ -893,6 +902,129 @@ def _spool_chunks(chunks: pa.Table, spool_dir: str, name_key: str,
         direct_write(tmp, [sink.getvalue()])
         os.replace(tmp, final)
     return final
+
+
+@ray.remote
+def _consolidate_spools(files: list[str], out_dir: str, key: str) -> str:
+    """Repackage K spool files into ONE, record batches copied VERBATIM
+    (zero decode — the merge is batching-invariant, so index bytes are
+    unchanged) and ordered shard-major so each merger actor's batches sit
+    contiguously in the combined file.  Crash safety: the combined file
+    lands by atomic rename CARRYING ITS SOURCE NAMES in the schema
+    metadata (``rayindex_consolidated_from``) BEFORE the sources are
+    unlinked — a crash between rename and unlink leaves duplicates that
+    the resume scan (_resume_spool_files) drops by that metadata."""
+    final = os.path.join(out_dir, f"part-{key}-cons.arrow")
+    if os.path.exists(final) and not all(os.path.exists(f) for f in files):
+        # a prior attempt already consolidated (and removed some sources)
+        # but its return value was lost — the combined file is complete
+        # (atomic rename) so just re-return it
+        return final
+    entries: list[tuple[int, int, int]] = []  # (shard, file_idx, batch_idx)
+    readers = []
+    for fi, f in enumerate(files):
+        # sources are O_DIRECT-written (never in page cache): readahead
+        # before mmap or every batch copy faults 4 KiB synchronously
+        try:
+            fd = os.open(f, os.O_RDONLY)
+            try:
+                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_WILLNEED)
+            finally:
+                os.close(fd)
+        except OSError:
+            pass
+        reader = pa.ipc.open_file(pa.memory_map(f))
+        readers.append(reader)
+        raw = (reader.schema.metadata or {}).get(b"rayindex_shards", b"")
+        if not raw:
+            continue
+        for bi, s in enumerate(raw.decode().split(",")):
+            entries.append((int(s), fi, bi))
+    entries.sort()  # shard-major; (file_idx, batch_idx) tiebreak is
+    # deterministic because the caller passes files sorted
+    sch = schema.POSTING_CHUNKS.with_metadata({
+        b"rayindex_shards": ",".join(str(e[0]) for e in entries).encode(),
+        b"rayindex_consolidated_from": "\x00".join(
+            os.path.basename(f) for f in files).encode()})
+    tmp = f"{final}.tmp-{os.getpid()}"
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_file(sink, sch) as w:
+        for _, fi, bi in entries:
+            w.write_batch(readers[fi].get_batch(bi))
+    direct_write(tmp, [sink.getvalue()])
+    os.replace(tmp, final)
+    del readers  # drop the mmaps before unlinking their files
+    for f in files:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    return final
+
+
+def _resume_spool_files(chunks_path: str) -> list[str]:
+    """Directory scan for the resume/exchange merge path, dropping any
+    source spool that a consolidated file already contains (a crash
+    between the consolidator's rename and its source unlinks leaves
+    both on disk; feeding both would double postings)."""
+    files = sorted(glob.glob(os.path.join(chunks_path, "*.arrow")))
+    consolidated = [f for f in files if f.endswith("-cons.arrow")]
+    if not consolidated:
+        return files
+    absorbed: set[str] = set()
+    for f in consolidated:
+        md = pa.ipc.open_file(pa.memory_map(f)).schema.metadata or {}
+        raw = md.get(b"rayindex_consolidated_from", b"")
+        absorbed.update(raw.decode().split("\x00") if raw else [])
+    return [f for f in files if os.path.basename(f) not in absorbed]
+
+
+class _SpoolConsolidator:
+    """Driver-side grouping of completed spool names into consolidation
+    tasks, preserving the incremental overlap with ingest: groups launch
+    as soon as G names (or the byte cap) accumulate, and ready combined
+    files are fed to the merger pool opportunistically via ray.wait."""
+
+    def __init__(self, pool: "_MergePool", cfg: BuildConfig):
+        self.pool = pool
+        self.group = cfg.spool_consolidate_group
+        self.byte_cap = cfg.spool_consolidate_bytes
+        self.buf: list[str] = []
+        self.buf_bytes = 0
+        self.refs: list = []
+        self.seq = 0
+
+    def _launch(self) -> None:
+        if self.buf:
+            self.refs.append(_consolidate_spools.remote(
+                sorted(self.buf), os.path.dirname(self.buf[0]),
+                f"c{self.seq:06d}"))
+            self.seq += 1
+            self.buf, self.buf_bytes = [], 0
+
+    def add(self, names: list[str]) -> None:
+        for n in names:
+            self.buf.append(n)
+            try:
+                self.buf_bytes += os.path.getsize(n)
+            except OSError:
+                pass
+            if len(self.buf) >= self.group or self.buf_bytes >= self.byte_cap:
+                self._launch()
+        # feed whatever consolidations finished while ingest ran
+        if self.refs:
+            done, self.refs = ray.wait(self.refs, num_returns=len(self.refs),
+                                       timeout=0)
+            if done:
+                self.pool.feed(ray.get(list(done)))
+
+    def drain(self) -> None:
+        # tail smaller than a group still consolidates (one small task)
+        # so the merge NEVER re-opens unconsolidated stragglers
+        self._launch()
+        if self.refs:
+            self.pool.feed(ray.get(self.refs))
+            self.refs = []
 
 
 @ray.remote
@@ -1819,7 +1951,7 @@ def _stage_shards(chunks_path: str, shard_dir: str, cfg: BuildConfig,
     overlapped with ingest); without one — resume paths, exchange-path
     builds — a fresh pool is fed from a directory scan here."""
     if pool is None:
-        files = sorted(glob.glob(os.path.join(chunks_path, "*.arrow")))
+        files = _resume_spool_files(chunks_path)
         pool = _MergePool(shard_dir, fingerprint, cfg)
         pool.feed(files)
     return pool.finish()

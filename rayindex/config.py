@@ -88,6 +88,16 @@ class BuildConfig:
     # batching-invariant by the determinism gate).
     spool_flush_rows: int = 1 << 20
     spool_flush_bytes: int = 256 << 20
+    # spool consolidation: with G > 0, groups of G completed spool files
+    # are repackaged into ONE shard-ordered spool by parallel tasks
+    # (record batches copied verbatim — the merge is batching-invariant,
+    # so the index bytes are unchanged) BEFORE being fed to the merger
+    # actors.  Bounds merge-stage file opens at O(actors × spools / G):
+    # at 10^9 docs the spool count is O(ingest tasks), and without
+    # consolidation every merger opens every spool.  0 = off (right for
+    # single-node corpora where spool count ≈ task count ≈ CPUs × 4).
+    spool_consolidate_group: int = 0
+    spool_consolidate_bytes: int = 512 << 20  # per-group source-byte cap
 
     def fingerprint(self) -> str:
         d = asdict(self)
@@ -95,6 +105,8 @@ class BuildConfig:
         d.pop("max_concurrent_merges", None)
         d.pop("spool_flush_rows", None)
         d.pop("spool_flush_bytes", None)
+        d.pop("spool_consolidate_group", None)
+        d.pop("spool_consolidate_bytes", None)
         return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]
 
 

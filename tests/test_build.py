@@ -121,6 +121,16 @@ def test_build_deterministic_across_partitioning(ray_session, tmp_path):
     build_index(str(src), str(out5), cfg5)
     outs.append(out5)
 
+    # o6: spool consolidation (tiny flushes force many spools, group=2
+    # forces multi-round consolidation) — repackaging record batches into
+    # shard-ordered combined spools must not change any artifact
+    out6 = tmp_path / "o6"
+    cfg6 = BuildConfig(num_shards=4, tokenize_batch_size=16,
+                       spool_flush_bytes=4 << 10,
+                       spool_consolidate_group=2)
+    build_index(str(src), str(out6), cfg6)
+    outs.append(out6)
+
     for other in outs[1:]:
         for f1 in sorted(glob.glob(str(outs[0] / "shards" / "*.bin"))):
             f2 = str(other / "shards" / os.path.basename(f1))
@@ -355,3 +365,56 @@ def test_merge_pool_feed_order_invariant(ray_session, tmp_path):
             f2 = os.path.join(sd, os.path.basename(f1))
             assert open(f1, "rb").read() == open(f2, "rb").read(), \
                 f"{tag}/{os.path.basename(f1)}"
+
+
+def test_spool_consolidation_crash_overlap(ray_session, tmp_path):
+    """A crash between the consolidator's atomic rename and its source
+    unlinks leaves BOTH the combined spool and (some) sources on disk;
+    the resume scan must drop the absorbed sources (feeding both would
+    double every posting) and still produce byte-identical shards."""
+    import shutil
+
+    import ray
+
+    from rayindex import corpus
+    from rayindex.build import (_consolidate_spools, _MergePool,
+                                _resume_spool_files, build_index)
+    from rayindex.checkpoint import fingerprint_of
+    from rayindex.config import BuildConfig
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = corpus.make_rows(corpus.file_plan(48, 5))
+    for i, lo in enumerate(range(0, 48, 12)):
+        pq.write_table(tbl.slice(lo, 12), str(src / f"{i}.parquet"))
+    out = tmp_path / "idx"
+    cfg = BuildConfig(num_shards=4, tokenize_batch_size=8)
+    build_index(str(src), str(out), cfg)
+    chunks = os.path.join(str(out), "chunks")
+    files = sorted(glob.glob(os.path.join(chunks, "*.arrow")))
+    assert len(files) >= 3
+    ref_shards = str(out / "shards")
+
+    # consolidate the first two spools, then resurrect one source —
+    # exactly the crash-between-rename-and-unlink state
+    saved = tmp_path / "saved.arrow"
+    shutil.copy(files[0], str(saved))
+    combined = ray.get(_consolidate_spools.remote(files[:2], chunks,
+                                                  "crash"))
+    assert combined.endswith("-cons.arrow")
+    assert not os.path.exists(files[0]) and not os.path.exists(files[1])
+    shutil.copy(str(saved), files[0])  # the "un-unlinked" duplicate
+
+    resumed = _resume_spool_files(chunks)
+    assert files[0] not in resumed, "absorbed source must be dropped"
+    assert combined in resumed
+
+    sd = str(tmp_path / "shards_resume")
+    os.makedirs(sd)
+    pool = _MergePool(sd, fingerprint_of("cons-crash", "x"), cfg)
+    pool.feed(resumed)
+    pool.finish()
+    for f1 in sorted(glob.glob(os.path.join(ref_shards, "*.bin"))):
+        f2 = os.path.join(sd, os.path.basename(f1))
+        assert open(f1, "rb").read() == open(f2, "rb").read(), \
+            os.path.basename(f1)
