@@ -526,6 +526,75 @@ def _q_bm25_topk_lang(sf_dir: str) -> pa.Table:
     return _micro_rank(rows, 10)
 
 
+_FED_CACHE: dict[str, Any] = {}
+
+
+def _ensure_fed_indexes(sf_dir: str):
+    """Two sub-indexes over a deterministic doc_id-parity split of the
+    corpus — the base+delta shape query-time federation serves."""
+    if sf_dir in _FED_CACHE:
+        return _FED_CACHE[sf_dir]
+    import ray.data
+
+    from rayindex.engine import adapt_documents, build_index
+
+    analyzer, build_cfg, _ = _ascii_cfgs()
+    outs, maps = [], []
+    for par in (0, 1):
+        out = os.path.join(
+            "/tmp/rayindex_entry",
+            os.path.basename(os.path.normpath(sf_dir))
+            + f"_fed{par}_" + build_cfg.fingerprint())
+        ds = ray.data.read_parquet(
+            _docs_path(sf_dir), columns=["doc_id", "text", "lang", "source"])
+
+        def keep(t: pa.Table, p=par) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), p))
+
+        ds = ds.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        ds = adapt_documents(ds, repo_col="source", path_col="doc_id",
+                             lang_col="lang", content_col="text")
+        build_index(ds, out, build_cfg,
+                    input_token=f"testdata-fed{par}:{_docs_path(sf_dir)}")
+        store = pq.read_table(os.path.join(out, "doc_store"),
+                              columns=["doc_id", "path"])
+        eng = store["doc_id"].to_numpy()
+        orig = np.asarray([int(p) for p in store["path"].to_pylist()],
+                          np.int64)
+        id_map = np.zeros(int(eng.max()) + 1, np.int64)
+        id_map[eng] = orig
+        outs.append(out)
+        maps.append(id_map)
+    _FED_CACHE[sf_dir] = (outs, maps)
+    return _FED_CACHE[sf_dir]
+
+
+def _q_federated_bm25_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-10 federated over two sub-indexes (doc-id-parity split)
+    WITHOUT merging — query-time doc-id rebase + summed statistics
+    (federate.FederatedReader).  Must equal global BM25 over the whole
+    corpus: the oracle is the same SQL as bm25_topk."""
+    from rayindex.federate import FederatedReader
+
+    analyzer, _, search_cfg = _ascii_cfgs()
+    dirs, maps = _ensure_fed_indexes(sf_dir)
+    fed = FederatedReader(dirs)
+    rows = {"query_id": [], "doc_id": [], "score_micro": []}
+    for qid, qtext in BM25_QUERIES:
+        res = fed.search(qtext, k=18, search_cfg=search_cfg,
+                         analyzer=analyzer)
+        if res:
+            g = np.array([d for d, _ in res], np.int64)
+            sub, local = fed.route(g)
+            for s, l, (_, score) in zip(sub, local, res):
+                rows["query_id"].append(qid)
+                rows["doc_id"].append(int(maps[int(s)][int(l)]))
+                rows["score_micro"].append(int(np.rint(score * 1e6)))
+    return _micro_rank(rows, 10)
+
+
 def _q_boolean_and_docs(sf_dir: str) -> pa.Table:
     from rayindex.config import SearchConfig
     from rayindex.query import parse_query
@@ -1517,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tombstone_postings_probe": _q_tombstone_postings_probe,
         "tombstone_bm25_topk": _q_tombstone_bm25_topk,
         "float_quantiles": _q_float_quantiles,
+        "federated_bm25_topk": _q_federated_bm25_topk,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
@@ -1751,7 +1821,7 @@ def oracle_sql() -> dict[str, str]:
     )
     stop = ", ".join(f"'{s}'" for s in (
         "the", "and", "of", "a", "to", "in", "is", "it", "that", "for"))
-    return {
+    d = {
         "term_stats": f"""
             WITH {_TOKS_CTE}
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
@@ -2658,3 +2728,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cpos GROUP BY depth, cell
         """,
     }
+    # federation must be indistinguishable from one global index: the
+    # oracle IS the global BM25 (same SQL as bm25_topk)
+    d["federated_bm25_topk"] = d["bm25_topk"]
+    return d

@@ -219,7 +219,10 @@ def main_fsck(argv: list[str] | None = None) -> int:
 def main_search(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rayindex.search",
                                 description="Query a built index")
-    p.add_argument("--index", required=True)
+    p.add_argument("--index", required=True, action="append",
+                   help="index directory; repeat to FEDERATE several "
+                        "indexes (base + deltas) at query time — results "
+                        "are identical to searching their offline merge")
     p.add_argument("--query", required=True)
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--scorer", default="bm25",
@@ -241,7 +244,12 @@ def main_search(argv: list[str] | None = None) -> int:
     from rayindex.config import AnalyzerConfig, SearchConfig
     from rayindex.searcher import IndexReader, fetch_doc_metadata
 
-    reader = IndexReader(args.index)
+    if len(args.index) > 1:
+        from rayindex.federate import FederatedReader
+
+        reader = FederatedReader(args.index)
+    else:
+        reader = IndexReader(args.index[0])
     cfg = SearchConfig(scorer=args.scorer if args.scorer not in ("lm", "lm-dirichlet", "vsm") else "bm25",
                        algorithm=args.algorithm)
     query = args.query
@@ -263,7 +271,10 @@ def main_search(argv: list[str] | None = None) -> int:
     if corrected:
         print(json.dumps({"corrected_query": query}), file=sys.stderr)
     if args.show_docs and out:
-        meta = fetch_doc_metadata(args.index, [r["doc_id"] for r in out]).to_pylist()
+        ids = [r["doc_id"] for r in out]
+        meta = (reader.fetch_doc_metadata(ids)
+                if len(args.index) > 1
+                else fetch_doc_metadata(args.index[0], ids)).to_pylist()
         by_id = {m["doc_id"]: m for m in meta}
         for r in out:
             m = by_id.get(r["doc_id"], {})

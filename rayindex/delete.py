@@ -230,6 +230,19 @@ def tombstone_docs(index_dir: str, out_dir: str,
     Tombstoning costs O(ids log ids) + one link pass regardless of
     scatter; run ``compact_index`` in a maintenance window to purge."""
     ids = np.asarray(doc_ids if doc_ids is not None else [], np.int64)
+    if ids.size:
+        from rayindex.merge import _doc_space
+
+        space = _doc_space(index_dir)
+        bad = ids[(ids < 1) | (ids > space)]
+        if bad.size:
+            # an out-of-space id here is always a caller bug (e.g. ids
+            # from a MERGED/FEDERATED doc space applied to one sub-index)
+            # and would silently mask the wrong doc after a later merge
+            # rebases the tombstones
+            raise ValueError(
+                f"doc ids outside this index's doc space 1..{space}: "
+                f"{bad[:5].tolist()}{'...' if bad.size > 5 else ''}")
     if filter_expr is not None:
         ids = np.concatenate([ids, select_doc_ids(index_dir, filter_expr)])
     prior = _read_tombstones(index_dir)
