@@ -35,6 +35,8 @@ def load_groups(path: str, revs: list[str] | None = None) -> dict:
             if not line:
                 continue
             r = json.loads(line)
+            if r.get("error") or "mode" not in r:
+                continue  # failed pair (bench crashed): no legs to census
             if revs is not None and not any(
                     str(r.get("rev", "")).startswith(p) for p in revs):
                 continue
