@@ -595,6 +595,77 @@ def _q_federated_bm25_topk(sf_dir: str) -> pa.Table:
     return _micro_rank(rows, 10)
 
 
+def _ensure_upserted(sf_dir: str) -> str:
+    """Full incremental-upsert lifecycle (rayindex/upsert.py): every
+    doc_id % 7 == 3 source doc gets a new revision (text + a marker
+    suffix) and every doc_id % 11 == 5 doc spawns a brand-new insert at
+    doc_id + 10_000_000; the batch upserts into the base index (delta
+    build + O(n_superseded) tombstones + federation manifest), then
+    consolidates (merge_many + compact purge).  Returns the consolidated
+    index dir — which must equal a fresh build over the logically
+    updated corpus."""
+    index_dir, _ = _ensure_index(sf_dir)
+    final = index_dir + "_upserted"
+    if os.path.exists(os.path.join(final, "stats",
+                                   "collection_stats.parquet")):
+        return final
+    import ray.data
+
+    from rayindex.engine import adapt_documents
+    from rayindex.upsert import consolidate_upsert, upsert_index
+
+    _, build_cfg, _ = _ascii_cfgs()
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text", "lang", "source"])
+
+    def make_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = pc.cast(t["text"], pa.string())
+        upd = t.filter(pc.equal(pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 7), 7)), 3))
+        upd_text = pc.binary_join_element_wise(
+            pc.cast(upd["text"], pa.string()), " zzupserted marker", "")
+        ins = t.filter(pc.equal(pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 11), 11)), 5))
+        ins_text = pc.binary_join_element_wise(
+            "zzbrandnew ", pc.cast(ins["text"], pa.string()), "")
+        return pa.concat_tables([
+            pa.table({"doc_id": upd["doc_id"], "text": upd_text,
+                      "lang": upd["lang"], "source": upd["source"]}),
+            pa.table({"doc_id": pc.add(ins["doc_id"], 10_000_000),
+                      "text": ins_text, "lang": ins["lang"],
+                      "source": ins["source"]}),
+        ])
+
+    batch = ds.map_batches(make_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    batch = adapt_documents(batch, repo_col="source", path_col="doc_id",
+                            lang_col="lang", content_col="text")
+    fed = index_dir + "_upsert_fed"
+    if not os.path.exists(os.path.join(fed, "federation.json")):
+        upsert_index(index_dir, fed, batch, build_cfg,
+                     input_token=f"testdata-upsert:{_docs_path(sf_dir)}")
+    consolidate_upsert(fed, final, build_cfg)
+    return final
+
+
+def _q_upsert_term_stats(sf_dir: str) -> pa.Table:
+    """Term stats off the CONSOLIDATED upsert (delta build + tombstoned
+    supersede + merge + compact): vocabulary/df/cf must equal a full
+    re-index of the logically updated corpus — the oracle is the
+    term_stats SQL over that corpus expressed as a UNION ALL."""
+    import glob
+
+    final = _ensure_upserted(sf_dir)
+    parts = [
+        pq.read_table(f, columns=["term", "df", "cf"])
+        for f in sorted(glob.glob(os.path.join(final, "shards",
+                                               "*.dict.parquet")))
+    ]
+    return pa.concat_tables(parts)
+
+
 def _q_boolean_and_docs(sf_dir: str) -> pa.Table:
     from rayindex.config import SearchConfig
     from rayindex.query import parse_query
@@ -1587,6 +1658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tombstone_bm25_topk": _q_tombstone_bm25_topk,
         "float_quantiles": _q_float_quantiles,
         "federated_bm25_topk": _q_federated_bm25_topk,
+        "upsert_term_stats": _q_upsert_term_stats,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
@@ -2731,4 +2803,27 @@ def oracle_sql() -> dict[str, str]:
     # federation must be indistinguishable from one global index: the
     # oracle IS the global BM25 (same SQL as bm25_topk)
     d["federated_bm25_topk"] = d["bm25_topk"]
+    # consolidated upsert == full re-index of the logically updated corpus
+    # (doc_id%7==3 re-revisioned with a marker suffix, doc_id%11==5 spawns
+    # an insert at doc_id+10M) — the term_stats SQL over that corpus
+    d["upsert_term_stats"] = f"""
+        WITH updated AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+          UNION ALL
+          SELECT doc_id, text || ' zzupserted marker' FROM documents
+          WHERE doc_id % 7 = 3
+          UNION ALL
+          SELECT doc_id + 10000000, 'zzbrandnew ' || text FROM documents
+          WHERE doc_id % 11 = 5
+        ),
+        docs AS (SELECT doc_id,
+                        regexp_extract_all(lower(text), {TOKEN_RE_SQL})
+                          AS toks
+                 FROM updated),
+        toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term)
+        SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
+        FROM tf GROUP BY term
+    """
     return d
