@@ -77,6 +77,15 @@ def _docs_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
 
+def _read_parquet(paths, **kwargs):
+    """read_parquet with pandas schema metadata stripped (rayindex.io) so
+    Ray Data's block-schema hash dedup works instead of warning + O(blocks)
+    unify_schemas on every stage."""
+    from rayindex.io import read_parquet_clean
+
+    return read_parquet_clean(paths, **kwargs)
+
+
 def _ascii_cfgs():
     from rayindex.config import AnalyzerConfig, BuildConfig, SearchConfig
 
@@ -100,7 +109,7 @@ def _ensure_index(sf_dir: str):
         "/tmp/rayindex_entry",
         os.path.basename(os.path.normpath(sf_dir)) + "_" + build_cfg.fingerprint(),
     )
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text", "lang", "source"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text", "lang", "source"])
     ds = adapt_documents(ds, repo_col="source", path_col="doc_id",
                          lang_col="lang", content_col="text")
     build_index(ds, out, build_cfg, input_token=f"testdata:{_docs_path(sf_dir)}")
@@ -376,7 +385,7 @@ def _q_sequence_pack(sf_dir: str):
 
     from rayindex.datapipe.pack import pack_sequences
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir),
+    ds = _read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
     return pack_sequences(ds, 128)
 
@@ -545,7 +554,7 @@ def _ensure_fed_indexes(sf_dir: str):
             "/tmp/rayindex_entry",
             os.path.basename(os.path.normpath(sf_dir))
             + f"_fed{par}_" + build_cfg.fingerprint())
-        ds = ray.data.read_parquet(
+        ds = _read_parquet(
             _docs_path(sf_dir), columns=["doc_id", "text", "lang", "source"])
 
         def keep(t: pa.Table, p=par) -> pa.Table:
@@ -615,7 +624,7 @@ def _ensure_upserted(sf_dir: str) -> str:
     from rayindex.upsert import consolidate_upsert, upsert_index
 
     _, build_cfg, _ = _ascii_cfgs()
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         _docs_path(sf_dir), columns=["doc_id", "text", "lang", "source"])
 
     def make_batch(t: pa.Table) -> pa.Table:
@@ -846,7 +855,7 @@ def _q_embedding_neardup(sf_dir: str) -> pa.Table:
     from rayindex.datapipe.ann import cosine_neardup
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = _read_parquet(emb_path, columns=["vec_id", "embedding"])
     df = cosine_neardup(ds, threshold=0.4, dtype=np.float64).to_pandas()
     if df.empty:  # Ray collapses an all-empty dataset to zero columns
         return pa.table({
@@ -867,7 +876,7 @@ def _q_token_count(sf_dir: str):
 
     from rayindex.datapipe.text import token_count_batch
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -876,7 +885,7 @@ def _q_quality(sf_dir: str):
 
     from rayindex.datapipe.text import quality_batch
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     out = ds.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
     return out.map_batches(
         lambda t: _micro_cols(t, ("stopword_ratio", "avg_token_len")),
@@ -888,7 +897,7 @@ def _q_exact_dedup(sf_dir: str):
 
     from rayindex.datapipe.dedup import exact_dedup
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     return exact_dedup(ds)
 
 
@@ -897,7 +906,7 @@ def _q_langid(sf_dir: str):
 
     from rayindex.datapipe.text import langid_batch
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     out = ds.map_batches(langid_batch, batch_format="pyarrow", zero_copy_batch=True)
     return out.map_batches(lambda t: _micro_cols(t, ("lang_conf",)),
                            batch_format="pyarrow")
@@ -908,7 +917,7 @@ def _q_simhash(sf_dir: str):
 
     from rayindex.datapipe.dedup import simhash_batch
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -917,7 +926,7 @@ def _q_fingerprint(sf_dir: str):
 
     from rayindex.datapipe.text import fingerprint_batch
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -926,7 +935,7 @@ def _q_minhash_pairs(sf_dir: str):
 
     from rayindex.datapipe.dedup import minhash_candidates
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     # est_jaccard values are exact multiples of 1/64 — safe as doubles
     return minhash_candidates(ds, num_perm=64, bands=16)
 
@@ -938,7 +947,7 @@ def _q_neardup_verified(sf_dir: str) -> pa.Table:
 
     from rayindex.datapipe.dedup import minhash_candidates, verify_candidates
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     pairs = minhash_candidates(ds, num_perm=64, bands=16)
     out = verify_candidates(ds, pairs, shingle_k=5, min_jaccard=0.5)
     return out.map_batches(lambda t: _micro_cols(t, ("jaccard",)),
@@ -953,7 +962,7 @@ def _q_ngram_jaccard(sf_dir: str):
 
     from rayindex.datapipe.dedup import ngram_jaccard_pairs
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     out = ngram_jaccard_pairs(ds, min_jaccard=0.4, shingle_k=5)
     return out.map_batches(lambda t: _micro_cols(t, ("jaccard",)),
                            batch_format="pyarrow")
@@ -970,7 +979,7 @@ def _q_neardup_clusters(sf_dir: str):
     from rayindex.datapipe.clusters import connected_components
     from rayindex.datapipe.dedup import ngram_jaccard_pairs
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     pairs = ngram_jaccard_pairs(ds, min_jaccard=0.4, shingle_k=5)
     return connected_components(pairs)
 
@@ -984,7 +993,7 @@ def _q_dedup_keep_canonical(sf_dir: str):
     from rayindex.datapipe.clusters import dedup_keep_canonical
     from rayindex.datapipe.dedup import ngram_jaccard_pairs
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     pairs = ngram_jaccard_pairs(ds, min_jaccard=0.4, shingle_k=5)
     return dedup_keep_canonical(ds, pairs).select_columns(["doc_id"])
 
@@ -997,7 +1006,7 @@ def _q_hash_sample(sf_dir: str):
 
     from rayindex.datapipe.sampling import hash_sample
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
     return hash_sample(ds, rate=0.25)
 
 
@@ -1012,7 +1021,7 @@ def _q_stratified_sample(sf_dir: str):
 
     from rayindex.datapipe.sampling import stratified_sample
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "lang"])
     return stratified_sample(ds, _STRAT_RATES, strata_col="lang",
                              default_rate=0.3)
 
@@ -1026,7 +1035,7 @@ def _q_redact_pii(sf_dir: str):
 
     from rayindex.datapipe.text import redact_pii_batch
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(redact_pii_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
 
@@ -1040,7 +1049,7 @@ def _q_normalize_text(sf_dir: str):
 
     from rayindex.datapipe.text import normalize_text_batch
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(normalize_text_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
 
@@ -1054,7 +1063,7 @@ def _q_top_k_per_group(sf_dir: str):
 
     from rayindex.datapipe.select import top_k_per_group
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir),
+    ds = _read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "lang", "n_chars"])
     return top_k_per_group(ds, group_col="lang", order_col="n_chars", k=3)
 
@@ -1067,7 +1076,7 @@ def _q_length_quantiles(sf_dir: str):
 
     from rayindex.datapipe.stats import value_quantiles
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["n_chars"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["n_chars"])
     return value_quantiles(ds, "n_chars",
                            qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
 
@@ -1096,7 +1105,7 @@ def _q_simhash_pairs(sf_dir: str):
 
     from rayindex.datapipe.dedup import simhash_pairs
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=8)
 
 
@@ -1109,7 +1118,7 @@ def _q_embedding_neardup_lsh(sf_dir: str):
     from rayindex.datapipe.ann import cosine_neardup_lsh
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = _read_parquet(emb_path, columns=["vec_id", "embedding"])
     out = cosine_neardup_lsh(ds, threshold=0.4, nbits=16, bands=8,
                              dtype=np.float64)
     return out.map_batches(lambda t: _micro_cols(t, ("cos_sim",)),
@@ -1127,7 +1136,7 @@ def _q_knn_cosine(sf_dir: str) -> pa.Table:
     q_ids = qt["vec_id"].to_numpy()[mask]
     queries = np.stack([np.asarray(v, np.float64)
                         for v, m in zip(qt["embedding"].to_pylist(), mask) if m])
-    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = _read_parquet(emb_path, columns=["vec_id", "embedding"])
     res = knn_brute(ds, queries, k=5, dtype=np.float64)
     import pyarrow.compute as pc
 
@@ -1144,7 +1153,7 @@ def _q_knn_ivf(sf_dir: str) -> pa.Table:
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
     queries = np.stack([np.asarray(v, np.float32) for v in qt["embedding"].to_pylist()[:4]])
-    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = _read_parquet(emb_path, columns=["vec_id", "embedding"])
     return knn_ivf(ds, queries, k=5, n_centroids=8, nprobe=3)
 
 
@@ -1153,7 +1162,7 @@ def _q_events_window(sf_dir: str):
 
     from rayindex.datapipe.windows import tumbling_window
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "ts", "value"])
     out = tumbling_window(ds, window_s=3600)
     return out.map_batches(
@@ -1169,7 +1178,7 @@ def _q_sessionize(sf_dir: str):
 
     from rayindex.datapipe.windows import sessionize
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "ts"])
     return sessionize(ds, gap_s=1800)
 
@@ -1181,7 +1190,7 @@ def _q_media_meta(sf_dir: str):
 
     from rayindex.datapipe.media import attach_media_meta
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
 
     def to_payload(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1208,7 +1217,7 @@ def _q_media_features(sf_dir: str):
 
     from rayindex.datapipe.media import decode_features
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
 
     def to_ppm(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -1286,7 +1295,7 @@ def _q_date_parse(sf_dir: str):
 
     from rayindex.datapipe.text import parse_date_filter
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id"])
 
     def synth(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -1311,7 +1320,7 @@ def _q_html_unescape(sf_dir: str):
 
     from rayindex.datapipe.text import html_escape_batch, html_unescape_batch
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
 
     def wrap(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1351,7 +1360,7 @@ def _q_db_metadata(sf_dir: str) -> pa.Table:
     cf = sqlite_connect_fn(db)
     truncate_table(cf, "doc_metadata", force=True, missing_ok=True)
     src_schema = pq.read_schema(_docs_path(sf_dir))
-    sunk = ray.data.read_parquet(_docs_path(sf_dir), columns=cols).map_batches(
+    sunk = _read_parquet(_docs_path(sf_dir), columns=cols).map_batches(
         MetadataSink, batch_format="pyarrow", concurrency=2, batch_size=128,
         fn_constructor_kwargs=dict(
             connect_fn=cf, table="doc_metadata", columns=cols,
@@ -1370,7 +1379,7 @@ def _events(sf_dir: str, etype: str | None = None, cols=None):
 
     cols = list(cols or ["event_id", "ts", "user_id", "value"])
     read_cols = cols + (["event_type"] if etype else [])
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=read_cols)
     if etype is None:
         return ds
@@ -1426,10 +1435,10 @@ def _q_semi_join(sf_dir: str):
 
     from rayindex.datapipe.joins import semi_join
 
-    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    li = _read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                                columns=["l_orderkey", "l_linenumber",
                                         "l_quantity"])
-    urgent = ray.data.read_parquet(
+    urgent = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority"]).map_batches(
         lambda t: t.filter(pa.compute.equal(t["o_orderpriority"],
@@ -1447,9 +1456,9 @@ def _q_anti_join(sf_dir: str):
 
     from rayindex.datapipe.joins import anti_join
 
-    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+    cust = _read_parquet(os.path.join(sf_dir, "customer.parquet"),
                                  columns=["c_custkey", "c_name"])
-    urgent = ray.data.read_parquet(
+    urgent = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderpriority"]).map_batches(
         lambda t: t.filter(pa.compute.equal(t["o_orderpriority"],
@@ -1482,7 +1491,7 @@ def _q_broadcast_join(sf_dir: str):
 
     nation = pq_.read_table(os.path.join(sf_dir, "nation.parquet"),
                             columns=["n_nationkey", "n_name"])
-    cust = ray.data.read_parquet(
+    cust = _read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name", "c_nationkey"])
     return broadcast_join(cust, nation, big_col="c_nationkey",
@@ -1499,7 +1508,7 @@ def _q_lineitem_rollup(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Mean, Sum
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"])
@@ -1546,7 +1555,7 @@ def _q_token_count_bpe(sf_dir: str):
 
     from rayindex.datapipe.text import token_count_bpe_batch
 
-    ds = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
     return ds.map_batches(token_count_bpe_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
 
@@ -1559,7 +1568,7 @@ def _q_distinct_users(sf_dir: str):
 
     from rayindex.datapipe.sketch import distinct_per_group
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_type", "user_id"])
     return distinct_per_group(ds, group_col="event_type",
                               value_col="user_id")
@@ -1576,7 +1585,7 @@ def _q_hll_sketch(sf_dir: str):
 
     from rayindex.datapipe.sketch import hll_register_table
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id"])
     return hll_register_table(ds, "user_id", p=12)
 
@@ -1602,11 +1611,11 @@ def _q_bloom_filter_events(sf_dir: str):
                        pc.greater(t["value"], 200.0))
         return t.filter(keep).select(["user_id"])
 
-    small = ray.data.read_parquet(
+    small = _read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "event_type", "value"]).map_batches(
             severe, batch_format="pyarrow", zero_copy_batch=True)
-    big = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    big = _read_parquet(os.path.join(sf_dir, "events.parquet"),
                                 columns=["event_id", "user_id"])
     return bloom_filter(big, small, big_col="user_id",
                         m_bits=1 << 12, k=3, anti=True)
@@ -1623,7 +1632,7 @@ def _q_cms_sketch(sf_dir: str):
 
     from rayindex.datapipe.sketch import cms_cell_table
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id"])
     return cms_cell_table(ds, "user_id", depth=4, width=512)
 

@@ -115,6 +115,7 @@ def _ray_cpu_seconds() -> float:
 
 
 from rayindex.checkpoint import CpuMonitor as _CpuMonitor  # noqa: E402
+from rayindex.io import read_parquet_clean as _read_parquet  # noqa: E402
 
 
 def _ray_cpu_split() -> tuple[float, float]:
@@ -232,7 +233,7 @@ def run_bench() -> dict:
     import pyarrow as _pa
     import pyarrow.compute as _pc
 
-    ray.data.read_parquet(CORPUS_DIR, columns=["content"]).map_batches(
+    _read_parquet(CORPUS_DIR, columns=["content"]).map_batches(
         lambda t: _pa.table({"b": [_pc.sum(_pc.binary_length(
             _pc.cast(t["content"], _pa.large_binary()))).as_py() or 0]}),
         batch_format="pyarrow", zero_copy_batch=True).count()
@@ -364,7 +365,7 @@ def run_bench() -> dict:
     # -- training-data pipelines over the driver's sf tables ----------------
     docs_path = os.path.join(sf_dir, "documents.parquet")
     t0 = time.perf_counter()
-    dds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    dds = _read_parquet(docs_path, columns=["doc_id", "text"])
     minhash_candidates(dds, num_perm=64, bands=16).count()
     timings["minhash_sec"] = time.perf_counter() - t0
 
@@ -372,12 +373,12 @@ def run_bench() -> dict:
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     q16 = pq.read_table(emb_path, columns=["embedding"])["embedding"].to_pylist()[:16]
     queries = np.stack([np.asarray(v, np.float32) for v in q16])
-    eds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    eds = _read_parquet(emb_path, columns=["vec_id", "embedding"])
     knn_brute(eds, queries, k=10)
     timings["knn_sec"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    evs = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    evs = _read_parquet(os.path.join(sf_dir, "events.parquet"),
                                 columns=["user_id", "ts", "value"])
     tumbling_window(evs).count()
     timings["window_sec"] = time.perf_counter() - t0

@@ -212,3 +212,35 @@ def serialize_table(table, writer_fn):
     sink = pa.BufferOutputStream()
     writer_fn(table, sink)
     return sink.getvalue()
+
+
+def read_parquet_clean(paths, *, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with the file's schema metadata stripped.
+
+    pandas-written parquet carries a ``b"pandas"`` schema-metadata JSON
+    blob whose presence makes ``hash(pa.Schema)`` raise (pyarrow hashes
+    metadata as a dict), so Ray Data's block-schema deduplication warns
+    ("Failed to hash the schemas") and falls back to an O(blocks)
+    ``unify_schemas`` on EVERY downstream stage.  Passing an explicit
+    metadata-free schema restores the early-exit hash.  Multi-path reads
+    use the first file's schema (Ray requires one unified read schema
+    anyway)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    try:
+        if os.path.isdir(first):
+            import glob as _glob
+            parts = sorted(_glob.glob(os.path.join(first, "*.parquet")))
+            if not parts:
+                raise FileNotFoundError(first)
+            first = parts[0]
+        full = pq.read_schema(first).remove_metadata()
+        schema = (pa.schema([full.field(c) for c in columns])
+                  if columns is not None else full)
+    except Exception:  # non-local fs or odd layout — let Ray infer
+        return ray.data.read_parquet(paths, columns=columns, **kwargs)
+    return ray.data.read_parquet(paths, schema=schema, columns=columns,
+                                 **kwargs)
