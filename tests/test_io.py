@@ -98,3 +98,45 @@ def test_async_writer_concurrent_with_main_thread_writes(tmp_path):
     for i, d in enumerate(datas):
         assert open(str(tmp_path / f"a{i}"), "rb").read() == d
         assert open(str(tmp_path / f"m{i}"), "rb").read() == d
+
+
+def test_read_parquet_clean_strips_pandas_metadata(tmp_path, ray_session):
+    # pandas-written parquet carries schema metadata that makes
+    # hash(pa.Schema) raise; the clean reader must yield a hashable,
+    # metadata-free schema with identical data (single file, file list,
+    # directory, and column-pruned forms).
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayindex.io import read_parquet_clean
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"],
+                       "c": [0.5, 1.5, 2.5]})
+    p = str(tmp_path / "t.parquet")
+    df.to_parquet(p)  # pandas writer -> b"pandas" schema metadata
+    raw = pq.read_schema(p)
+    with pytest.raises(TypeError):
+        hash(raw)  # precondition: the dirty schema really is unhashable
+
+    ds = read_parquet_clean(p)
+    assert hash(ds.schema().base_schema) is not None
+    assert ds.schema().base_schema.metadata is None
+    assert ds.count() == 3
+
+    pruned = read_parquet_clean([p], columns=["a", "c"])
+    sch = pruned.schema().base_schema
+    assert sch.names == ["a", "c"]
+    assert sch.metadata is None
+    got = pruned.to_pandas().sort_values("a").reset_index(drop=True)
+    assert got["a"].tolist() == [1, 2, 3]
+    assert got["c"].tolist() == [0.5, 1.5, 2.5]
+
+    # directory form resolves the schema from the first part
+    d = tmp_path / "parts"
+    d.mkdir()
+    df.to_parquet(str(d / "p0.parquet"))
+    df.to_parquet(str(d / "p1.parquet"))
+    dds = read_parquet_clean(str(d), columns=["b"])
+    assert dds.count() == 6
+    assert dds.schema().base_schema.metadata is None
