@@ -84,6 +84,40 @@ def summarize(path: str, revs: list[str] | None = None) -> dict:
     return out
 
 
+def census_markdown(path: str, revs: list[str] | None = None) -> str:
+    """Median-first per-shape census table (the BASELINE.md headline
+    shape: the clean-pair MEDIAN is the statistic, the best is context)."""
+    out = ["| shape | corpus | samples | clean | clean median | clean best |",
+           "|---|---|---|---|---|---|"]
+    for key, stats in summarize(path, revs).items():
+        mode, lv, files = key.split(" ")
+        n0, n1 = files.split("=")[1].split("/")
+        med = stats["median_clean_eff"]
+        best = stats["best_clean_eff"]
+        out.append(
+            f"| {mode} {lv.replace('->', ' → ')} | "
+            f"{int(n0)//1000}k/{int(n1)//1000}k | {stats['samples']} | "
+            f"{stats['clean']} | "
+            f"{'**%.3f**' % med if med is not None else '—'} | "
+            f"{'%.3f' % best if best is not None else '—'} |")
+    return "\n".join(out)
+
+
+def write_census(path: str, target: str, marker: str,
+                 revs: list[str] | None = None) -> None:
+    """Replace everything after ``marker`` in ``target`` with the
+    regenerated census table (idempotent: re-running overwrites the
+    previous generated block)."""
+    src = open(target).read()
+    i = src.index(marker) + len(marker)
+    body = ("\n\n" + census_markdown(path, revs) +
+            "\n\nEvery clean pair individually "
+            "(`tools/scaling_summary.py --markdown`):\n\n" +
+            markdown(path, revs) + "\n")
+    with open(target, "w") as f:
+        f.write(src[:i] + body)
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     revs = None
@@ -92,9 +126,14 @@ if __name__ == "__main__":
         revs = [a for a in args[i + 1:] if not a.startswith("--")]
         args = args[:i] + [a for a in args[i + 1:] if a.startswith("--")]
     md = "--markdown" in args
-    args = [a for a in args if a != "--markdown"]
+    write = "--write" in args
+    args = [a for a in args if a not in ("--markdown", "--write")]
     path = args[0] if args else "BENCH/scaling_runs_r3.jsonl"
-    if md:
+    if write:
+        write_census(path, "BENCH/BASELINE.md", "<!-- ROUND4_CENSUS -->",
+                     revs)
+        print("census written to BENCH/BASELINE.md")
+    elif md:
         print(markdown(path, revs))
     else:
         print(json.dumps(summarize(path, revs), indent=2))
