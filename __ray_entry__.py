@@ -160,6 +160,37 @@ def _q_term_stats(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def _q_snapshot_term_stats(sf_dir: str) -> pa.Table:
+    """Index lifecycle: publish the built index into a versioned
+    snapshot store (atomic CURRENT pointer flip, rayindex/snapshot.py),
+    publish a second version, roll back to v1, and read term stats off
+    ``current_dir`` — the store round-trip (hard-link staging + two
+    pointer flips) must serve exactly the index that was published.
+    Oracle: the term_stats SQL (the reference serves whatever index its
+    deploy copied into place, apps.py; the store makes that swap atomic
+    and reversible)."""
+    import glob
+
+    from rayindex import snapshot as _sn
+
+    index_dir, _ = _ensure_index(sf_dir)
+    store = os.path.join(
+        "/tmp/rayindex_entry",
+        os.path.basename(os.path.normpath(sf_dir)) + "_store_"
+        + _ascii_cfgs()[1].fingerprint())
+    if _sn.current_version(store) != 1:
+        _sn.publish(store, index_dir, note="v1")
+        _sn.publish(store, index_dir, note="v2 (identical payload)")
+        _sn.rollback(store, 1)
+    live = _sn.current_dir(store)
+    parts = [
+        pq.read_table(f, columns=["term", "df", "cf"])
+        for f in sorted(glob.glob(os.path.join(live, "shards",
+                                               "*.dict.parquet")))
+    ]
+    return pa.concat_tables(parts)
+
+
 def _q_merged_term_stats(sf_dir: str) -> pa.Table:
     """Incremental ingest: build TWO half-corpus indexes independently,
     fold them with merge_indexes (decode-free shard splice + doc-id
@@ -1668,6 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "float_quantiles": _q_float_quantiles,
         "federated_bm25_topk": _q_federated_bm25_topk,
         "upsert_term_stats": _q_upsert_term_stats,
+        "snapshot_term_stats": _q_snapshot_term_stats,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
@@ -2814,6 +2846,9 @@ def oracle_sql() -> dict[str, str]:
     # federation must be indistinguishable from one global index: the
     # oracle IS the global BM25 (same SQL as bm25_topk)
     d["federated_bm25_topk"] = d["bm25_topk"]
+    # a snapshot-store publish/rollback round-trip serves the identical
+    # index: the oracle IS the vocabulary stats (same SQL as term_stats)
+    d["snapshot_term_stats"] = d["term_stats"]
     # consolidated upsert == full re-index of the logically updated corpus
     # (doc_id%7==3 re-revisioned with a marker suffix, doc_id%11==5 spawns
     # an insert at doc_id+10M) — the term_stats SQL over that corpus

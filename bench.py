@@ -320,11 +320,16 @@ def run_bench() -> dict:
     reader = IndexReader(out)
     for q in qtexts[:8]:
         reader.search(q, k=10, search_cfg=scfg)
+    lat = np.empty(len(qtexts))
     t0 = time.perf_counter()
-    for q in qtexts:
+    for i, q in enumerate(qtexts):
+        tq = time.perf_counter()
         reader.search(q, k=10, search_cfg=scfg)
+        lat[i] = time.perf_counter() - tq
     timings["query_warm_sec"] = time.perf_counter() - t0
     timings["query_warm_ms_per_q"] = timings["query_warm_sec"] / len(qtexts) * 1000
+    for p in (50, 95, 99):
+        timings[f"query_warm_p{p}_ms"] = float(np.percentile(lat, p) * 1000)
 
     # -- index lifecycle over the freshly built index (informative keys;
     # NOT part of the headline total) ---------------------------------------

@@ -6,6 +6,7 @@ against app-startup state (index dict + spell dict loaded once,
 reference apps.py).  This module is that serving surface for rayindex:
 
     python -m rayindex.serve --index /path/to/index --port 8080
+    python -m rayindex.serve --store /path/to/snapshot_store --port 8080
 
 ``SearchApp`` holds the startup state — an ``IndexReader`` (or a
 ``ShardedSearchPool`` of Ray actors when ``--actors N`` is given: the
@@ -15,6 +16,14 @@ the stdlib ``ThreadingHTTPServer`` wrapping is transport only, so tests
 drive the handlers directly and any WSGI/ASGI front end could replace
 it on a real deployment.
 
+With ``--store`` the app serves the live version of a
+:mod:`rayindex.snapshot` store and hot-swaps on ``/reload``: all engine
+state (reader/pool/spell/version) lives in one immutable ``_Engine``
+object and a reload builds a NEW engine then swaps the single reference
+— in-flight requests keep the engine they grabbed at entry (version
+dirs are immutable, old pool actors are reaped by GC once the last
+in-flight request drops its handle), so a swap never tears a request.
+
 Endpoints (all GET, JSON):
   /search?q=...&k=10[&lang=..][&scorer=..][&algorithm=..][&spellcheck=0]
       spellchecks plain queries BY DEFAULT (reference default-on,
@@ -22,12 +31,15 @@ Endpoints (all GET, JSON):
       untouched), retrieves top-k, joins doc metadata, adds snippets.
   /suggest?prefix=sc&k=10     vocabulary autocomplete (cf-ranked).
   /facets?q=...&col=lang[&top_n=..]   facet counts over the match set.
-  /healthz                    index + pool stats.
+  /reload                     swap to the store's live version (no-op
+                              when unchanged or serving a plain --index).
+  /healthz                    index + pool + version stats.
 """
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import Any
 
@@ -36,33 +48,89 @@ import numpy as np
 from rayindex.config import AnalyzerConfig, SearchConfig
 
 
-class SearchApp:
-    """App-startup state + per-request handlers (reference views.py
-    flow).  Thread-safe for reads: IndexReader lookups are mmap reads
-    plus an LRU (GIL-guarded dict ops); the pool scatters to actors."""
+class _Engine:
+    """One immutable bundle of per-index state.  Requests grab the
+    app's engine reference ONCE at entry, so a concurrent hot-swap can
+    never mix two versions inside one request."""
 
-    def __init__(self, index_dir: str, num_actors: int = 0,
-                 analyzer: AnalyzerConfig | None = None,
-                 search_cfg: SearchConfig | None = None,
-                 spellcheck: bool = True):
+    def __init__(self, index_dir: str, num_actors: int,
+                 spellcheck: bool, version: int | None = None):
         from rayindex.searcher import IndexReader, ShardedSearchPool
         from rayindex.spell import SpellChecker
 
         self.index_dir = index_dir
-        self.analyzer = analyzer or AnalyzerConfig()
-        self.search_cfg = search_cfg or SearchConfig(algorithm="auto")
+        self.version = version
         if num_actors > 0:
             self.provider: Any = ShardedSearchPool(index_dir,
                                                    num_actors=num_actors)
             # spell dict + snippets need a local reader's vocabulary and
             # positional fetch; dict-only state, shards stay mmap'd
-            self._reader = IndexReader(index_dir)
+            self.reader = IndexReader(index_dir)
         else:
             self.provider = IndexReader(index_dir)
-            self._reader = self.provider
-        self.spell = (SpellChecker.from_index(self._reader)
+            self.reader = self.provider
+        self.spell = (SpellChecker.from_index(self.reader)
                       if spellcheck else None)
+
+
+class SearchApp:
+    """App-startup state + per-request handlers (reference views.py
+    flow).  Thread-safe for reads: IndexReader lookups are mmap reads
+    plus an LRU (GIL-guarded dict ops); the pool scatters to actors.
+    ``store`` serves a snapshot store's live version with ``reload()``
+    hot-swap; ``index_dir`` pins one index (reload is then a no-op)."""
+
+    def __init__(self, index_dir: str | None = None, num_actors: int = 0,
+                 analyzer: AnalyzerConfig | None = None,
+                 search_cfg: SearchConfig | None = None,
+                 spellcheck: bool = True, store: str | None = None):
+        if (index_dir is None) == (store is None):
+            raise ValueError("pass exactly one of index_dir / store")
+        self.store = store
+        self.analyzer = analyzer or AnalyzerConfig()
+        self.search_cfg = search_cfg or SearchConfig(algorithm="auto")
+        self._num_actors = num_actors
+        self._spellcheck = spellcheck
+        self._reload_lock = threading.Lock()
+        if store is not None:
+            from rayindex.snapshot import current_dir, current_version
+
+            self._eng = _Engine(current_dir(store), num_actors, spellcheck,
+                                version=current_version(store))
+        else:
+            self._eng = _Engine(index_dir, num_actors, spellcheck)
         self.n_requests = 0
+
+    @property
+    def index_dir(self) -> str:
+        return self._eng.index_dir
+
+    @property
+    def provider(self):
+        return self._eng.provider
+
+    @property
+    def _reader(self):
+        return self._eng.reader
+
+    def reload(self) -> dict:
+        """Swap to the store's live version if it changed.  Safe under
+        concurrent requests: the new engine is fully constructed before
+        the single reference assignment; old in-flight requests finish
+        on the engine they grabbed at entry."""
+        if self.store is None:
+            return {"reloaded": False, "reason": "serving a fixed --index"}
+        from rayindex.snapshot import current_dir, current_version
+
+        with self._reload_lock:  # one swap at a time; reads never block
+            old = self._eng.version
+            new = current_version(self.store)
+            if new == old:
+                return {"reloaded": False, "version": old}
+            eng = _Engine(current_dir(self.store), self._num_actors,
+                          self._spellcheck, version=new)
+            self._eng = eng
+            return {"reloaded": True, "from_version": old, "version": new}
 
     # -- handlers (framework-free: dict in, dict out) -------------------
 
@@ -78,30 +146,31 @@ class SearchApp:
 
         t0 = time.perf_counter()
         self.n_requests += 1
+        eng = self._eng  # one grab: hot-swap-safe for the whole request
         query = q
         corrected = False
-        if (self.spell is not None and spellcheck
+        if (eng.spell is not None and spellcheck
                 and isinstance(parse_query(q, self.analyzer), TermsQuery)):
-            query, corrected = self.spell.correct_query(q)
+            query, corrected = eng.spell.correct_query(q)
         cfg = self.search_cfg
         if algorithm and algorithm != cfg.algorithm:
             import dataclasses
 
             cfg = dataclasses.replace(cfg, algorithm=algorithm)
-        res = self.provider.search(query, k=k, search_cfg=cfg,
-                                   analyzer=self.analyzer, scorer=scorer,
-                                   lang=lang)
+        res = eng.provider.search(query, k=k, search_cfg=cfg,
+                                  analyzer=self.analyzer, scorer=scorer,
+                                  lang=lang)
         rows = [{"rank": i + 1, "doc_id": int(d), "score": float(s)}
                 for i, (d, s) in enumerate(res)]
         if rows:
             ids = [r["doc_id"] for r in rows]
-            meta = fetch_doc_metadata(self.index_dir, ids).to_pylist()
+            meta = fetch_doc_metadata(eng.index_dir, ids).to_pylist()
             by_id = {m["doc_id"]: m for m in meta}
             snips: dict[int, str] = {}
             if snippets:
                 parsed = parse_query(query, self.analyzer)
                 snips = doc_snippets(
-                    self.index_dir, self._reader,
+                    eng.index_dir, eng.reader,
                     sorted(set(query_terms(parsed))),
                     np.asarray(ids, np.int64))
             for r in rows:
@@ -123,29 +192,32 @@ class SearchApp:
     def suggest(self, prefix: str, k: int = 10) -> dict:
         from rayindex.spell import suggest_terms
 
-        t = suggest_terms(self.index_dir, prefix, k=k)
+        t = suggest_terms(self._eng.index_dir, prefix, k=k)
         return {"prefix": prefix, "suggestions": t.to_pylist()}
 
     def facets(self, q: str, col: str = "lang",
                top_n: int | None = None) -> dict:
         from rayindex.facet import facet_counts
 
-        t = facet_counts(self.index_dir, q, col, analyzer=self.analyzer,
+        t = facet_counts(self._eng.index_dir, q, col, analyzer=self.analyzer,
                          top_n=top_n)
         return {"query": q, "col": col, "counts": t.to_pylist()}
 
     def healthz(self) -> dict:
-        stats = self._reader.stats
+        eng = self._eng
+        stats = eng.reader.stats
         return {
             "ok": True,
-            "index_dir": self.index_dir,
+            "index_dir": eng.index_dir,
+            "store": self.store,
+            "version": eng.version,
             "n_docs": int(stats.n_docs),
             "total_tokens": int(stats.total_tokens),
-            "n_terms": int(self._reader.n_terms),
+            "n_terms": int(eng.reader.n_terms),
             "n_requests": self.n_requests,
-            "pool_actors": (len(self.provider.actors)
-                            if hasattr(self.provider, "actors") else 0),
-            "spellcheck": self.spell is not None,
+            "pool_actors": (len(eng.provider.actors)
+                            if hasattr(eng.provider, "actors") else 0),
+            "spellcheck": eng.spell is not None,
         }
 
 
@@ -192,6 +264,8 @@ def make_server(app: SearchApp, host: str = "127.0.0.1", port: int = 8080):
                     return self._send(200, app.facets(
                         qs["q"], col=qs.get("col", "lang"),
                         top_n=int(top_n) if top_n else None))
+                if u.path == "/reload":
+                    return self._send(200, app.reload())
                 if u.path == "/healthz":
                     return self._send(200, app.healthz())
                 return self._send(404, {"error": f"no route {u.path}"})
@@ -209,9 +283,13 @@ def main_serve(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="rayindex.serve",
         description="Serve a built index over HTTP (JSON): /search "
-                    "/suggest /facets /healthz.  Spellcheck is ON by "
-                    "default for plain queries (reference parity).")
-    p.add_argument("--index", required=True)
+                    "/suggest /facets /reload /healthz.  Spellcheck is ON "
+                    "by default for plain queries (reference parity).")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--index", help="serve one fixed index dir")
+    g.add_argument("--store", help="serve the live version of a snapshot "
+                                   "store (rayindex.snapshot); /reload "
+                                   "hot-swaps to a newly published version")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--actors", type=int, default=0,
@@ -235,7 +313,8 @@ def main_serve(argv: list[str] | None = None) -> int:
                     analyzer=AnalyzerConfig(mode=args.analyzer),
                     search_cfg=SearchConfig(scorer=args.scorer,
                                             algorithm=args.algorithm),
-                    spellcheck=not args.no_spellcheck)
+                    spellcheck=not args.no_spellcheck,
+                    store=args.store)
     srv = make_server(app, args.host, args.port)
     print(json.dumps({"serving": f"http://{args.host}:{args.port}",
                       **app.healthz()}))

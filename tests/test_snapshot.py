@@ -1,0 +1,181 @@
+"""Snapshot store (rayindex/snapshot.py): atomic publish / rollback /
+prune invariants, torn-publish reclamation, and SearchApp hot-swap —
+queries served during a version flip must come from exactly one
+version, and the flipped app must be rank-identical to a fresh reader
+over the new version."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pyarrow.parquet as pq
+import pytest
+
+
+def _build(base, n_files, tag):
+    from rayindex import corpus
+    from rayindex.build import build_index
+    from rayindex.config import BuildConfig
+
+    tbl = corpus.make_rows(corpus.file_plan(n_files, 4))
+    src = base / f"src_{tag}"
+    src.mkdir()
+    pq.write_table(tbl, str(src / "docs.parquet"))
+    out = str(base / f"ix_{tag}")
+    build_index(str(src), out, BuildConfig(num_shards=4,
+                                           tokenize_batch_size=16))
+    return out
+
+
+@pytest.fixture(scope="module")
+def two_indexes(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("snap")
+    return base, _build(base, 30, "a"), _build(base, 60, "b")
+
+
+def test_publish_flip_rollback_prune(two_indexes, tmp_path):
+    from rayindex import snapshot as sn
+
+    base, ix_a, ix_b = two_indexes
+    store = str(tmp_path / "store")
+
+    assert sn.current_version(store) is None
+    with pytest.raises(FileNotFoundError):
+        sn.current_dir(store)
+
+    v1 = sn.publish(store, ix_a, note="first")
+    assert v1 == 1
+    assert sn.current_version(store) == 1
+    assert sn.current_dir(store).endswith("v000001")
+    # staging hard-links: source untouched, store version complete
+    assert os.path.exists(os.path.join(ix_a, "stats",
+                                       "collection_stats.parquet"))
+    assert sn._is_index_dir(sn.current_dir(store))
+
+    v2 = sn.publish(store, ix_b, note="second")
+    assert (v2, sn.current_version(store)) == (2, 2)
+
+    sn.rollback(store, 1)
+    assert sn.current_version(store) == 1
+    with pytest.raises(ValueError):
+        sn.rollback(store, 99)
+
+    # publish after rollback takes a FRESH number (v2 stays immutable)
+    v3 = sn.publish(store, ix_a, note="post-rollback")
+    assert (v3, sn.current_version(store)) == (3, 3)
+
+    # prune keeps the newest `keep` and never touches CURRENT
+    sn.rollback(store, 1)
+    removed = sn.prune(store, keep=1)
+    assert removed == [2]  # v3 is newest (kept), v1 is current (kept)
+    assert {v["version"] for v in sn.versions(store)} == {1, 3}
+
+    # audit trail records every flip in order
+    hist = [json.loads(ln) for ln in
+            open(os.path.join(store, "HISTORY.jsonl"))]
+    assert [h["op"] for h in hist] == [
+        "publish", "publish", "rollback", "publish", "rollback"]
+
+
+def test_torn_publish_invisible_and_reclaimed(two_indexes, tmp_path):
+    from rayindex import snapshot as sn
+
+    base, ix_a, ix_b = two_indexes
+    store = str(tmp_path / "store")
+    sn.publish(store, ix_a)
+    # simulate a crash between staging and pointer flip
+    torn = os.path.join(store, "v000002")
+    os.makedirs(os.path.join(torn, "shards"))
+    assert sn.current_version(store) == 1  # reader never sees it
+    recs = {v["version"]: v for v in sn.versions(store)}
+    assert recs[2]["orphan"] and not recs[1]["orphan"]
+    # next publish reclaims the orphan number and completes it
+    v = sn.publish(store, ix_b)
+    assert v == 2
+    assert sn._is_index_dir(sn.current_dir(store))
+
+
+def test_publish_rejects_incomplete_dir(tmp_path):
+    from rayindex import snapshot as sn
+
+    bogus = tmp_path / "not_an_index"
+    bogus.mkdir()
+    with pytest.raises(ValueError, match="not a complete index"):
+        sn.publish(str(tmp_path / "store"), str(bogus))
+
+
+def test_serve_hot_swap(two_indexes, tmp_path):
+    """SearchApp(store=...) serves v1; publish v2 + reload() swaps the
+    engine; results become rank-identical to a fresh reader over v2;
+    concurrent searches during the swap all succeed on one version."""
+    from rayindex import snapshot as sn
+    from rayindex.searcher import IndexReader
+    from rayindex.serve import SearchApp
+
+    base, ix_a, ix_b = two_indexes
+    store = str(tmp_path / "store")
+    sn.publish(store, ix_a)
+
+    app = SearchApp(store=store)
+    assert app.healthz()["version"] == 1
+    n_docs_v1 = app.healthz()["n_docs"]
+
+    term = next(t for t, cf in app._reader.iter_terms()
+                if cf >= 5 and t.isalpha() and len(t) >= 4)
+    r1 = app.search(term, k=5, spellcheck=False, snippets=False)
+
+    # no new version yet: reload is a no-op
+    assert app.reload() == {"reloaded": False, "version": 1}
+
+    sn.publish(store, ix_b)
+    # swap under concurrent load: every in-flight search must succeed
+    # and carry a consistent result set from exactly one version
+    errs: list[Exception] = []
+
+    def hammer():
+        try:
+            for _ in range(25):
+                out = app.search(term, k=5, spellcheck=False,
+                                 snippets=False)
+                assert out["n_results"] >= 0
+        except Exception as e:  # pragma: no cover - failure reporter
+            errs.append(e)
+
+    threads = [threading.Thread(target=hammer) for _ in range(3)]
+    for t in threads:
+        t.start()
+    rep = app.reload()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert rep == {"reloaded": True, "from_version": 1, "version": 2}
+
+    hz = app.healthz()
+    assert hz["version"] == 2 and hz["n_docs"] > n_docs_v1
+    r2 = app.search(term, k=5, spellcheck=False, snippets=False)
+    want = IndexReader(sn.current_dir(store)).search(
+        term, k=5, search_cfg=app.search_cfg, analyzer=app.analyzer)
+    assert [r["doc_id"] for r in r2["results"]] == [int(d) for d, _ in want]
+    # v2 indexes a superset corpus: the hit set genuinely changed
+    assert r1["results"] != r2["results"]
+
+    # rollback + reload returns to v1 results exactly
+    sn.rollback(store, 1)
+    assert app.reload()["version"] == 1
+    r3 = app.search(term, k=5, spellcheck=False, snippets=False)
+    assert [r["doc_id"] for r in r3["results"]] == \
+        [r["doc_id"] for r in r1["results"]]
+
+
+def test_fixed_index_app_reload_noop(two_indexes):
+    from rayindex.serve import SearchApp
+
+    base, ix_a, _ = two_indexes
+    app = SearchApp(ix_a)
+    assert app.reload()["reloaded"] is False
+    with pytest.raises(ValueError):
+        SearchApp()
+    with pytest.raises(ValueError):
+        SearchApp(ix_a, store="x")
