@@ -284,5 +284,51 @@ def main_search(argv: list[str] | None = None) -> int:
     return 0
 
 
+def main_snapshot(argv: list[str] | None = None) -> int:
+    """Snapshot-store lifecycle: publish / rollback / prune / list
+    (rayindex/snapshot.py; no Ray session needed — pure pointer and
+    hard-link metadata ops)."""
+    from rayindex import snapshot as sn
+
+    p = argparse.ArgumentParser(
+        prog="rayindex.snapshot",
+        description="Versioned index snapshot store: atomic publish / "
+                    "rollback / prune; serve the live version with "
+                    "`python -m rayindex.serve --store ...` and hot-swap "
+                    "via /reload.")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sp = sub.add_parser("publish", help="stage an index dir as the next "
+                                        "version and flip CURRENT to it")
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--note", default="")
+    sr = sub.add_parser("rollback", help="point CURRENT at an existing "
+                                         "version (no data motion)")
+    sr.add_argument("--store", required=True)
+    sr.add_argument("--version", type=int, required=True)
+    sq = sub.add_parser("prune", help="drop the oldest versions beyond "
+                                      "--keep (never the current one)")
+    sq.add_argument("--store", required=True)
+    sq.add_argument("--keep", type=int, default=2)
+    sl = sub.add_parser("list", help="versions + live pointer")
+    sl.add_argument("--store", required=True)
+    args = p.parse_args(argv)
+
+    if args.cmd == "publish":
+        v = sn.publish(args.store, args.index, note=args.note)
+        print(json.dumps({"published": v, "current": v}))
+    elif args.cmd == "rollback":
+        sn.rollback(args.store, args.version)
+        print(json.dumps({"current": args.version}))
+    elif args.cmd == "prune":
+        removed = sn.prune(args.store, keep=args.keep)
+        print(json.dumps({"removed": removed,
+                          "current": sn.current_version(args.store)}))
+    else:
+        print(json.dumps({"current": sn.current_version(args.store),
+                          "versions": sn.versions(args.store)}))
+    return 0
+
+
 if __name__ == "__main__":  # pragma: no cover
     sys.exit(main_build())

@@ -181,3 +181,11 @@ def prune(store_dir: str, keep: int = 2) -> list[int]:
     for d in glob.glob(os.path.join(store_dir, "v*.staging-*")):
         shutil.rmtree(d, ignore_errors=True)
     return removed
+
+
+if __name__ == "__main__":  # pragma: no cover — CLI entry
+    import sys
+
+    from rayindex.cli import main_snapshot
+
+    sys.exit(main_snapshot())

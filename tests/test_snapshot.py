@@ -179,3 +179,24 @@ def test_fixed_index_app_reload_noop(two_indexes):
         SearchApp()
     with pytest.raises(ValueError):
         SearchApp(ix_a, store="x")
+
+
+def test_snapshot_cli_round_trip(two_indexes, tmp_path, capsys):
+    from rayindex.cli import main_snapshot
+
+    base, ix_a, ix_b = two_indexes
+    store = str(tmp_path / "store")
+
+    assert main_snapshot(["publish", "--store", store, "--index", ix_a,
+                          "--note", "cli v1"]) == 0
+    assert main_snapshot(["publish", "--store", store, "--index", ix_b]) == 0
+    assert main_snapshot(["rollback", "--store", store,
+                          "--version", "1"]) == 0
+    assert main_snapshot(["list", "--store", store]) == 0
+    out = [json.loads(ln) for ln in
+           capsys.readouterr().out.strip().splitlines()]
+    assert out[0] == {"published": 1, "current": 1}
+    assert out[1] == {"published": 2, "current": 2}
+    assert out[2] == {"current": 1}
+    assert out[3]["current"] == 1
+    assert [v["version"] for v in out[3]["versions"]] == [1, 2]
