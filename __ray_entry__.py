@@ -961,6 +961,27 @@ def _q_fingerprint(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing (MOSS) substring fingerprints: Karp-Rabin k-gram
+    hashes, leftmost-min pick per sliding window (datapipe/spans.py) —
+    the passage-level dup signal whole-doc near-dup can't produce.
+    Oracle: the identical pick computed in DuckDB list kernels."""
+    from rayindex.datapipe.spans import winnow_fingerprints
+
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return winnow_fingerprints(ds, k=4, window=4)
+
+
+def _q_winnow_dup_stats(sf_dir: str):
+    """Per-doc duplicated-passage profile over winnowing fingerprints:
+    n_dup_fps counts fingerprints shared with at least one OTHER doc
+    (two native groupby exchanges over O(tokens/window) rows)."""
+    from rayindex.datapipe.spans import duplicate_span_stats
+
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return duplicate_span_stats(ds, k=4, window=4)
+
+
 def _q_minhash_pairs(sf_dir: str):
     import ray.data
 
@@ -1700,6 +1721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "federated_bm25_topk": _q_federated_bm25_topk,
         "upsert_term_stats": _q_upsert_term_stats,
         "snapshot_term_stats": _q_snapshot_term_stats,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_dup_stats": _q_winnow_dup_stats,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
@@ -2322,6 +2345,59 @@ def oracle_sql() -> dict[str, str]:
               FROM hl)
             SELECT d.doc_id, CAST(coalesce(r.fp, 0) AS UBIGINT) AS fingerprint
             FROM documents d LEFT JOIN roll r ON d.doc_id = r.doc_id
+        """,
+        "winnow_fingerprints": f"""
+            WITH {_FNV_CTE},
+            hl AS (SELECT doc_id, list(h ORDER BY i) AS hs
+                   FROM th GROUP BY doc_id),
+            grams AS (SELECT doc_id, len(hs) - 3 AS m,
+                 list_transform(range(1, len(hs) - 2),
+                   i -> list_reduce(
+                          list_prepend(CAST(0 AS HUGEINT),
+                                       list_slice(hs, i, i + 3)),
+                          (a, x) -> (a * 1000003 + x)
+                                    % 18446744073709551616)) AS gl
+               FROM hl WHERE len(hs) >= 4),
+            picks AS (SELECT doc_id, gl,
+                 CASE WHEN m <= 4 THEN [list_position(gl, list_min(gl))]
+                      ELSE list_distinct(list_transform(range(1, m - 2),
+                        j -> j - 1 + list_position(
+                               list_slice(gl, j, j + 3),
+                               list_min(list_slice(gl, j, j + 3)))))
+                 END AS poss
+               FROM grams),
+            u AS (SELECT doc_id, unnest(poss) AS p, gl FROM picks)
+            SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                   CAST(gl[p] AS UBIGINT) AS fp
+            FROM u
+        """,
+        "winnow_dup_stats": f"""
+            WITH {_FNV_CTE},
+            hl AS (SELECT doc_id, list(h ORDER BY i) AS hs
+                   FROM th GROUP BY doc_id),
+            grams AS (SELECT doc_id, len(hs) - 3 AS m,
+                 list_transform(range(1, len(hs) - 2),
+                   i -> list_reduce(
+                          list_prepend(CAST(0 AS HUGEINT),
+                                       list_slice(hs, i, i + 3)),
+                          (a, x) -> (a * 1000003 + x)
+                                    % 18446744073709551616)) AS gl
+               FROM hl WHERE len(hs) >= 4),
+            picks AS (SELECT doc_id, gl,
+                 CASE WHEN m <= 4 THEN [list_position(gl, list_min(gl))]
+                      ELSE list_distinct(list_transform(range(1, m - 2),
+                        j -> j - 1 + list_position(
+                               list_slice(gl, j, j + 3),
+                               list_min(list_slice(gl, j, j + 3)))))
+                 END AS poss
+               FROM grams),
+            f AS (SELECT doc_id, gl[p] AS fp
+                  FROM (SELECT doc_id, unnest(poss) AS p, gl FROM picks)),
+            c AS (SELECT fp, count(DISTINCT doc_id) AS d FROM f GROUP BY fp)
+            SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+                   CAST(sum(CASE WHEN c.d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_fps
+            FROM f JOIN c USING (fp) GROUP BY f.doc_id
         """,
         "simhash": f"""
             WITH {_FNV_CTE},

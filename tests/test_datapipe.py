@@ -712,3 +712,84 @@ def test_pack_sequences_multirange_prefix_sum(ray_session):
         (r["chunk_id"], r["doc_id"], r["tok_start"], r["tok_len"])
         for r in pack_sequences(ds, 16, range_docs=16).take_all())
     assert got == _pack_oracle(ids, counts.tolist(), 16)
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(ray_session):
+    """Winnowing's detection guarantee (Schleimer et al. 2003): two docs
+    sharing a token run of length >= window + k - 1 share at least one
+    selected fingerprint; and the picks are position-consistent (the
+    same text yields the same (relative pos, fp) set)."""
+    import ray.data
+
+    from rayindex.datapipe.spans import winnow_fingerprints
+
+    k, w = 4, 4
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i}" for i in range(50)]
+    shared = " ".join(rng.choice(vocab, size=w + k - 1))  # minimal run
+    pre = " ".join(rng.choice(vocab, size=13))
+    post = " ".join(rng.choice(vocab, size=9))
+    docs = {
+        1: f"{pre} {shared} {post}",
+        2: f"{shared}",                       # the run alone
+        3: " ".join(rng.choice(vocab, size=30)),  # unrelated
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}))
+    rows = winnow_fingerprints(ds, k=k, window=w).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+
+    # determinism / position-consistency: identical text, identical picks
+    ds2 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array([docs[1]], pa.string())}))
+    again = {(r["pos"], r["fp"])
+             for r in winnow_fingerprints(ds2, k=k, window=w).take_all()}
+    first = {(r["pos"], r["fp"]) for r in rows if r["doc_id"] == 1}
+    assert again == first
+
+
+def test_winnow_short_and_empty_docs(ray_session):
+    import ray.data
+
+    from rayindex.datapipe.spans import winnow_fingerprints
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b c", "", None, "a b c d e"], pa.string()),
+    }))
+    rows = winnow_fingerprints(ds, k=4, window=4).take_all()
+    # only doc 4 has >= k tokens; 5 tokens -> 2 grams -> m <= w -> 1 pick
+    assert [r["doc_id"] for r in rows] == [4]
+    assert rows[0]["pos"] in (1, 2)
+
+
+def test_duplicate_span_stats_counts_cross_doc_only(ray_session):
+    """n_dup_fps counts fingerprints shared with OTHER docs; a doc's
+    internally-repeated passage alone does not mark it duplicated."""
+    import ray.data
+
+    from rayindex.datapipe.spans import duplicate_span_stats
+
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens = w+k-1
+    docs = {
+        1: f"{run} filler one two three",
+        2: f"other words here then {run}",
+        3: f"{run} middle bit {run}",           # self-repeat + cross
+        4: "totally unrelated content stream of tokens",
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}))
+    st = {r["doc_id"]: r
+          for r in duplicate_span_stats(ds, k=4, window=4).take_all()}
+    assert st[1]["n_dup_fps"] > 0
+    assert st[2]["n_dup_fps"] > 0
+    assert st[3]["n_dup_fps"] > 0
+    assert st[4]["n_dup_fps"] == 0
+    for r in st.values():
+        assert 0 < r["n_fps"] and 0 <= r["n_dup_fps"] <= r["n_fps"]
