@@ -982,6 +982,18 @@ def _q_winnow_dup_stats(sf_dir: str):
     return duplicate_span_stats(ds, k=4, window=4)
 
 
+def _q_dedup_substrings(sf_dir: str):
+    """EXACT duplicated-substring removal (Lee et al. 2022 semantics):
+    cut every token covered by a k-gram occurring more than once in the
+    corpus; winnowing is the candidate pre-filter at extreme scale.
+    Oracle: the identical cut computed in DuckDB (dup grams by GROUP BY,
+    coverage join, string_agg reconstruction)."""
+    from rayindex.datapipe.spans import dedup_substrings
+
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return dedup_substrings(ds, k=5)
+
+
 def _q_minhash_pairs(sf_dir: str):
     import ray.data
 
@@ -1723,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_term_stats": _q_snapshot_term_stats,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_dup_stats": _q_winnow_dup_stats,
+        "dedup_substrings": _q_dedup_substrings,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
@@ -2398,6 +2411,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c.d > 1 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_dup_fps
             FROM f JOIN c USING (fp) GROUP BY f.doc_id
+        """,
+        "dedup_substrings": f"""
+            WITH {_FNV_CTE},
+            tok AS (SELECT doc_id, generate_subscripts(tl, 1) AS i,
+                           unnest(tl) AS tok FROM tokl),
+            hl AS (SELECT doc_id, list(h ORDER BY i) AS hs
+                   FROM th GROUP BY doc_id),
+            gr AS (SELECT doc_id,
+                 list_transform(range(1, len(hs) - 3),
+                   i -> list_reduce(
+                          list_prepend(CAST(0 AS HUGEINT),
+                                       list_slice(hs, i, i + 4)),
+                          (a, x) -> (a * 1000003 + x)
+                                    % 18446744073709551616)) AS gl
+               FROM hl WHERE len(hs) >= 5),
+            g AS (SELECT doc_id, generate_subscripts(gl, 1) AS pos,
+                         unnest(gl) AS gh FROM gr),
+            dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+            cov AS (SELECT DISTINCT g.doc_id, t.i
+                    FROM g JOIN dup USING (gh)
+                    JOIN tok t ON t.doc_id = g.doc_id
+                               AND t.i BETWEEN g.pos AND g.pos + 4),
+            kept AS (SELECT t.doc_id,
+                            string_agg(t.tok, ' ' ORDER BY t.i) AS ct,
+                            count(*) AS nk
+                     FROM tok t LEFT JOIN cov c
+                       ON t.doc_id = c.doc_id AND t.i = c.i
+                     WHERE c.i IS NULL GROUP BY t.doc_id)
+            SELECT d.doc_id, coalesce(k2.ct, '') AS clean_text,
+                   CAST(coalesce(k2.nk, 0) AS BIGINT) AS n_kept
+            FROM documents d LEFT JOIN kept k2 ON d.doc_id = k2.doc_id
         """,
         "simhash": f"""
             WITH {_FNV_CTE},

@@ -115,3 +115,99 @@ def duplicate_span_stats(ds, text_col: str = "text",
 
     return (fps.groupby("fp").map_groups(tag, batch_format="pandas")
                .groupby(id_col).map_groups(prof, batch_format="pandas"))
+
+
+def _all_grams_batch(batch: pa.Table, text_col: str, id_col: str,
+                     k: int) -> pa.Table:
+    """(id, pos, g) for EVERY k-gram (the exact pass; winnowing is the
+    sampled candidate pass)."""
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out_id, out_pos, out_g = [], [], []
+    np_err = np.seterr(over="ignore")
+    for did, t in zip(ids, texts):
+        toks = _ASCII.findall(t.lower()) if t else []
+        if len(toks) < k:
+            continue
+        hs = np.fromiter((hash_token(x) for x in toks), np.uint64, len(toks))
+        g = _gram_hashes(hs, k)
+        out_id.append(np.full(g.size, did, ids.dtype))
+        out_pos.append(np.arange(1, g.size + 1, dtype=np.int64))
+        out_g.append(g)
+    np.seterr(**np_err)
+    cat = (lambda parts, dt: np.concatenate(parts) if parts
+           else np.empty(0, dt))
+    return pa.table({
+        id_col: pa.array(cat(out_id, ids.dtype)),
+        "pos": pa.array(cat(out_pos, np.int64)),
+        "g": pa.array(cat(out_g, np.uint64)),
+    })
+
+
+def dedup_substrings(ds, text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 5):
+    """EXACT duplicated-substring removal (Lee et al. 2022 semantics,
+    token granularity): cut every token covered by a k-gram that occurs
+    more than once in the whole corpus (cross-doc or repeated within one
+    doc), keep the rest.  Returns (id_col, clean_text, n_kept) for EVERY
+    input doc — ``clean_text`` is the space-joined kept tokens of the
+    lowercased ``[a-z0-9_]+`` token stream (the same normalization every
+    fingerprint op here uses), ``''`` when nothing survives.
+
+    Scale shape: one groupby(g) over O(tokens) (id, pos, g) rows finds
+    duplicated grams (a hot gram — the license line — is one uint64
+    group of small rows); the cut positions co-group with the texts via
+    union + groupby(id) (Ray-native distributed join), so full documents
+    shuffle exactly once.  At extreme scale run
+    :func:`duplicate_span_stats` first and restrict this exact pass to
+    docs with a nonzero copied-content fraction (winnowing guarantees
+    any duplicated run of >= window+k-1 tokens is flagged)."""
+    import pandas as pd
+
+    grams = ds.map_batches(
+        lambda b: _all_grams_batch(b, text_col, id_col, k),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit_dup(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:  # unique gram: covers nothing
+            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype),
+                                 "pos": pd.Series([], dtype="int64")})
+        return g[[id_col, "pos"]]
+
+    dup_pos = grams.groupby("g").map_groups(emit_dup, batch_format="pandas")
+
+    # co-group cut positions with the texts: tag, union, groupby(id).
+    def tag_text(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "pos": pa.nulls(b.num_rows, pa.int64()),
+            text_col: b[text_col],
+        })
+
+    def tag_pos(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "pos": b["pos"].cast(pa.int64()),
+            text_col: pa.nulls(b.num_rows, pa.string()),
+        })
+
+    merged = (ds.select_columns([id_col, text_col])
+                .map_batches(tag_text, batch_format="pyarrow")
+                .union(dup_pos.map_batches(tag_pos, batch_format="pyarrow")))
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        did = g[id_col].iloc[0]
+        trow = g[text_col].dropna()
+        t = trow.iloc[0] if len(trow) else ""
+        toks = _ASCII.findall(t.lower()) if t else []
+        covered = np.zeros(len(toks), bool)
+        for p in g["pos"].dropna().astype(np.int64):
+            covered[p - 1:p - 1 + k] = True
+        kept = [tok for tok, c in zip(toks, covered) if not c]
+        return pd.DataFrame({
+            id_col: [did],
+            "clean_text": [" ".join(kept)],
+            "n_kept": np.asarray([len(kept)], np.int64),
+        })
+
+    return merged.groupby(id_col).map_groups(cut, batch_format="pandas")

@@ -793,3 +793,29 @@ def test_duplicate_span_stats_counts_cross_doc_only(ray_session):
     assert st[4]["n_dup_fps"] == 0
     for r in st.values():
         assert 0 < r["n_fps"] and 0 <= r["n_dup_fps"] <= r["n_fps"]
+
+
+def test_dedup_substrings_cuts_shared_runs_only(ray_session):
+    import ray.data
+
+    from rayindex.datapipe.spans import dedup_substrings
+
+    docs = {
+        1: "alpha beta gamma delta epsilon unique one two",
+        2: "prefix words alpha beta gamma delta epsilon suffix",
+        3: "all original content nothing shared here at all",
+        4: "xx",                     # shorter than k: kept verbatim
+        5: "",                       # empty: row with '' / 0
+        6: "r1 r2 r3 r4 r5 mid r1 r2 r3 r4 r5",  # self-repeat cut too
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}))
+    out = {r["doc_id"]: r for r in dedup_substrings(ds, k=5).take_all()}
+    assert len(out) == len(docs)  # every doc gets a row
+    assert out[1]["clean_text"] == "unique one two"
+    assert out[2]["clean_text"] == "prefix words suffix"
+    assert out[3]["clean_text"] == docs[3] and out[3]["n_kept"] == 8
+    assert out[4] == {"doc_id": 4, "clean_text": "xx", "n_kept": 1}
+    assert out[5] == {"doc_id": 5, "clean_text": "", "n_kept": 0}
+    assert out[6]["clean_text"] == "mid"
