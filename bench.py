@@ -388,6 +388,13 @@ def run_bench() -> dict:
     tumbling_window(evs).count()
     timings["window_sec"] = time.perf_counter() - t0
 
+    # passage-level dup profile (winnowing) over the docs table
+    from rayindex.datapipe.spans import duplicate_span_stats
+
+    t0 = time.perf_counter()
+    duplicate_span_stats(dds, k=4, window=4).count()
+    timings["winnow_sec"] = time.perf_counter() - t0
+
     shutil.rmtree(out, ignore_errors=True)
     ray.shutdown()
 
