@@ -200,3 +200,63 @@ def test_snapshot_cli_round_trip(two_indexes, tmp_path, capsys):
     assert out[2] == {"current": 1}
     assert out[3]["current"] == 1
     assert [v["version"] for v in out[3]["versions"]] == [1, 2]
+
+
+def test_full_lifecycle_build_publish_upsert_consolidate_reload(
+        ray_session, tmp_path):
+    """The production loop end to end: build v1 → publish → serve →
+    upsert a changed corpus → consolidate → publish v2 → /reload swaps
+    to it (queries now see the updated docs) → rollback restores v1
+    results exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayindex import corpus
+    from rayindex import snapshot as sn
+    from rayindex.build import build_index
+    from rayindex.config import BuildConfig
+    from rayindex.serve import SearchApp
+    from rayindex.upsert import consolidate_upsert, upsert_index
+
+    def _src(name, t):
+        d = tmp_path / f"src_{name}"
+        d.mkdir()
+        pq.write_table(t, str(d / "docs.parquet"))
+        return str(d)
+
+    cfg = BuildConfig(num_shards=4, tokenize_batch_size=16)
+    tbl = corpus.make_rows(corpus.file_plan(40, 4))
+    v1 = str(tmp_path / "v1")
+    build_index(_src("v1", tbl), v1, cfg)
+
+    store = str(tmp_path / "store")
+    sn.publish(store, v1, note="initial build")
+    app = SearchApp(store=store)
+
+    marker = "zzlifecycle"
+    assert app.search(marker, snippets=False,
+                      spellcheck=False)["n_results"] == 0
+
+    # upsert: rewrite 5 docs to contain the marker term
+    rows = tbl.to_pylist()
+    updates = []
+    for r in rows[::8][:5]:
+        r = dict(r)
+        r["content"] = r["content"] + f"\n{marker} content body"
+        updates.append(r)
+    upd = pa.Table.from_pylist(updates, schema=tbl.schema)
+    fed = str(tmp_path / "fed")
+    upsert_index(v1, fed, _src("upd", upd), cfg)
+    final = str(tmp_path / "final")
+    consolidate_upsert(fed, final, cfg)
+
+    v2 = sn.publish(store, final, note="post-upsert consolidation")
+    rep = app.reload()
+    assert rep == {"reloaded": True, "from_version": 1, "version": v2}
+    hits = app.search(marker, k=10, snippets=False, spellcheck=False)
+    assert hits["n_results"] == 5  # exactly the five rewritten docs
+
+    sn.rollback(store, 1)
+    app.reload()
+    assert app.search(marker, snippets=False,
+                      spellcheck=False)["n_results"] == 0
