@@ -474,13 +474,15 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
     """64-bit SimHash over ascii tokens (Charikar 2002): sign of the
     weighted bit-vote per bit position."""
+    from rayindex.datapipe.text import hash_tokens_flat
+
+    flat, offs = hash_tokens_flat(batch[text_col])
     out = []
-    for t in batch[text_col].to_pylist():
-        toks = _ASCII.findall(t.lower()) if t else []
-        if not toks:
+    for di in range(len(offs) - 1):
+        hs = flat[offs[di]:offs[di + 1]]
+        if hs.size == 0:
             out.append(0)
             continue
-        hs = np.fromiter((hash_token(x) for x in toks), np.uint64, len(toks))
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)
         sig = np.uint64(0)

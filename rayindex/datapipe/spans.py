@@ -31,19 +31,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from rayindex.datapipe.text import _ASCII, hash_token
+from rayindex.datapipe.text import _ASCII, gram_hashes, hash_tokens_flat
 
-_B = np.uint64(1000003)
-
-
-def _gram_hashes(hs: np.ndarray, k: int) -> np.ndarray:
-    """Karp-Rabin hash of every k-gram of ``hs`` (uint64 wraparound),
-    vectorized over positions: Horner over the k lanes."""
-    m = hs.size - k + 1
-    g = np.zeros(m, np.uint64)
-    for j in range(k):
-        g = g * _B + hs[j:j + m]
-    return g
 
 
 def winnow_batch(batch: pa.Table, text_col: str = "text",
@@ -52,16 +41,15 @@ def winnow_batch(batch: pa.Table, text_col: str = "text",
     """Per-doc winnowing picks as (id, pos, fp) rows; ``pos`` is the
     1-based gram index (token index of the gram's first token).  Docs
     with fewer than k tokens emit no rows."""
-    texts = batch[text_col].to_pylist()
     ids = batch[id_col].to_numpy(zero_copy_only=False)
+    flat, offs = hash_tokens_flat(batch[text_col])
     out_id, out_pos, out_fp = [], [], []
     np_err = np.seterr(over="ignore")  # uint64 wraparound IS the hash ring
-    for did, t in zip(ids, texts):
-        toks = _ASCII.findall(t.lower()) if t else []
-        if len(toks) < k:
+    for di, did in enumerate(ids):
+        hs = flat[offs[di]:offs[di + 1]]
+        if hs.size < k:
             continue
-        hs = np.fromiter((hash_token(x) for x in toks), np.uint64, len(toks))
-        g = _gram_hashes(hs, k)
+        g = gram_hashes(hs, k)
         if g.size <= window:
             pos = np.asarray([int(np.argmin(g))])
         else:
@@ -121,16 +109,15 @@ def _all_grams_batch(batch: pa.Table, text_col: str, id_col: str,
                      k: int) -> pa.Table:
     """(id, pos, g) for EVERY k-gram (the exact pass; winnowing is the
     sampled candidate pass)."""
-    texts = batch[text_col].to_pylist()
     ids = batch[id_col].to_numpy(zero_copy_only=False)
+    flat, offs = hash_tokens_flat(batch[text_col])
     out_id, out_pos, out_g = [], [], []
     np_err = np.seterr(over="ignore")
-    for did, t in zip(ids, texts):
-        toks = _ASCII.findall(t.lower()) if t else []
-        if len(toks) < k:
+    for di, did in enumerate(ids):
+        hs = flat[offs[di]:offs[di + 1]]
+        if hs.size < k:
             continue
-        hs = np.fromiter((hash_token(x) for x in toks), np.uint64, len(toks))
-        g = _gram_hashes(hs, k)
+        g = gram_hashes(hs, k)
         out_id.append(np.full(g.size, did, ids.dtype))
         out_pos.append(np.arange(1, g.size + 1, dtype=np.int64))
         out_g.append(g)
