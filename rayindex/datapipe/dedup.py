@@ -98,7 +98,9 @@ class MinHasher:
         self.id_col = id_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
+        return self._permute_min(_shingles(text, self.k))
+
+    def _permute_min(self, sh: np.ndarray) -> np.ndarray:
         if sh.size == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
         # fold shingle hashes to 32 bits, then (a*x + b) mod 2^31-1 — every
@@ -108,8 +110,26 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from rayindex.datapipe.text import gram_hashes, hash_tokens_flat
+
         ids = batch[self.id_col].to_pylist()
-        sigs = [self.signature(t) for t in batch[self.text_col].to_pylist()]
+        texts = batch[self.text_col]
+        flat, offs = hash_tokens_flat(texts)
+        sigs = []
+        short: list[int] = []  # 0 < n_tokens < k → joined-string fallback
+        for di in range(len(offs) - 1):
+            hs = flat[offs[di]:offs[di + 1]]
+            if 0 < hs.size < self.k:
+                short.append(di)
+                sigs.append(None)
+            else:
+                sh = (np.unique(gram_hashes(hs, self.k))
+                      if hs.size else np.zeros(0, np.uint64))
+                sigs.append(self._permute_min(sh))
+        if short:  # rare path keeps the scalar shingle semantics exactly
+            st = texts.to_pylist() if not isinstance(texts, list) else texts
+            for di in short:
+                sigs[di] = self.signature(st[di])
         return pa.table({
             self.id_col: pa.array(ids, pa.int64()),
             "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
