@@ -78,31 +78,57 @@ def winnow_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def duplicate_span_stats(ds, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 4,
-                         window: int = 4):
+                         window: int = 4, num_buckets: int = 64):
     """Per-doc duplicated-passage profile: (id_col, n_fps, n_dup_fps)
     where n_dup_fps counts this doc's fingerprints that also occur in at
     least one OTHER doc.  n_dup_fps/n_fps is the doc's copied-content
     fraction — the passage-level filter signal whole-doc near-dup can't
-    produce.  Two native groupby exchanges over O(tokens/window) rows;
-    docs with < k tokens (no grams) emit no row."""
+    produce.  Two bucketed groupby exchanges over O(tokens/window) rows
+    — grouping is by ``hash % num_buckets``, NOT by raw fingerprint/doc,
+    so the reducer runs ``num_buckets`` vectorized pandas kernels
+    instead of one Python call per distinct fingerprint (a million-group
+    map_groups at corpus scale); every occurrence of one fingerprint
+    still lands in one bucket, so counts are exact.  Docs with < k
+    tokens (no grams) emit no row."""
     import pandas as pd
 
     fps = winnow_fingerprints(ds, text_col, id_col, k, window)
 
-    def tag(g: pd.DataFrame) -> pd.DataFrame:
-        # one fingerprint's global occurrence list -> tagged (doc, dup)
-        dup = g[id_col].nunique() > 1
-        return pd.DataFrame({id_col: g[id_col], "dup": dup})
+    def add_fb(t: pa.Table) -> pa.Table:
+        b = t["fp"].to_numpy(zero_copy_only=False) % np.uint64(num_buckets)
+        return t.append_column("b", pa.array(b.astype(np.int64)))
 
-    def prof(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            id_col: [g[id_col].iloc[0]],
-            "n_fps": np.asarray([len(g)], np.int64),
-            "n_dup_fps": np.asarray([int(g["dup"].sum())], np.int64),
-        })
+    def tag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "fp" not in g.columns:  # empty sort partition
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "dup": pd.Series([], dtype="bool")})
+        # all rows of many fingerprints: distinct-doc count per fp,
+        # vectorized (C groupby), then flag each occurrence
+        nd = g.groupby("fp")[id_col].transform("nunique")
+        return pd.DataFrame({id_col: g[id_col],
+                             "dup": (nd > 1).to_numpy()})
 
-    return (fps.groupby("fp").map_groups(tag, batch_format="pandas")
-               .groupby(id_col).map_groups(prof, batch_format="pandas"))
+    def add_db(t: pa.Table) -> pa.Table:
+        b = (t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+             % num_buckets)
+        return t.append_column("b", pa.array(b))
+
+    def prof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or id_col not in g.columns:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "n_fps": pd.Series([], dtype="int64"),
+                                 "n_dup_fps": pd.Series([], dtype="int64")})
+        out = (g.groupby(id_col, sort=False)
+                .agg(n_fps=("dup", "size"), n_dup_fps=("dup", "sum"))
+                .reset_index())
+        out["n_fps"] = out["n_fps"].astype(np.int64)
+        out["n_dup_fps"] = out["n_dup_fps"].astype(np.int64)
+        return out
+
+    return (fps.map_batches(add_fb, batch_format="pyarrow")
+               .groupby("b").map_groups(tag_bucket, batch_format="pandas")
+               .map_batches(add_db, batch_format="pyarrow")
+               .groupby("b").map_groups(prof_bucket, batch_format="pandas"))
 
 
 def _all_grams_batch(batch: pa.Table, text_col: str, id_col: str,
@@ -155,13 +181,24 @@ def dedup_substrings(ds, text_col: str = "text", id_col: str = "doc_id",
         lambda b: _all_grams_batch(b, text_col, id_col, k),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    def emit_dup(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:  # unique gram: covers nothing
-            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype),
-                                 "pos": pd.Series([], dtype="int64")})
-        return g[[id_col, "pos"]]
+    num_buckets = 64
 
-    dup_pos = grams.groupby("g").map_groups(emit_dup, batch_format="pandas")
+    def add_gb(t: pa.Table) -> pa.Table:
+        b = t["g"].to_numpy(zero_copy_only=False) % np.uint64(num_buckets)
+        return t.append_column("b", pa.array(b.astype(np.int64)))
+
+    def emit_dup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of many grams: occurrences of repeated grams, found by
+        # one vectorized transform — not one Python call per distinct gram
+        if g.empty or "g" not in g.columns:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64")})
+        n = g.groupby("g")["pos"].transform("size")
+        return g.loc[n > 1, [id_col, "pos"]]
+
+    dup_pos = (grams.map_batches(add_gb, batch_format="pyarrow")
+                    .groupby("b")
+                    .map_groups(emit_dup_bucket, batch_format="pandas"))
 
     # co-group cut positions with the texts: tag, union, groupby(id).
     def tag_text(b: pa.Table) -> pa.Table:
@@ -178,23 +215,43 @@ def dedup_substrings(ds, text_col: str = "text", id_col: str = "doc_id",
             text_col: pa.nulls(b.num_rows, pa.string()),
         })
 
+    def add_ib(t: pa.Table) -> pa.Table:
+        b = (t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+             % num_buckets)
+        return t.append_column("b", pa.array(b))
+
     merged = (ds.select_columns([id_col, text_col])
                 .map_batches(tag_text, batch_format="pyarrow")
-                .union(dup_pos.map_batches(tag_pos, batch_format="pyarrow")))
+                .union(dup_pos.map_batches(tag_pos, batch_format="pyarrow"))
+                .map_batches(add_ib, batch_format="pyarrow"))
 
-    def cut(g: pd.DataFrame) -> pd.DataFrame:
-        did = g[id_col].iloc[0]
-        trow = g[text_col].dropna()
-        t = trow.iloc[0] if len(trow) else ""
-        toks = _ASCII.findall(t.lower()) if t else []
-        covered = np.zeros(len(toks), bool)
-        for p in g["pos"].dropna().astype(np.int64):
-            covered[p - 1:p - 1 + k] = True
-        kept = [tok for tok, c in zip(toks, covered) if not c]
+    def cut_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one bucket = many docs' text rows + cut positions; the string
+        # work is inherently per doc, but the group-call overhead
+        # amortizes over the bucket
+        if g.empty or id_col not in g.columns:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "clean_text": pd.Series([], dtype="object"),
+                                 "n_kept": pd.Series([], dtype="int64")})
+        texts = g[g[text_col].notna() | g["pos"].isna()]
+        pos_rows = g[g["pos"].notna()]
+        pos_by_doc = {did: grp["pos"].to_numpy(np.float64).astype(np.int64)
+                      for did, grp in pos_rows.groupby(id_col, sort=False)}
+        ids_out, clean_out, n_out = [], [], []
+        for did, t in zip(texts[id_col], texts[text_col]):
+            toks = _ASCII.findall(t.lower()) if isinstance(t, str) and t \
+                else []
+            covered = np.zeros(len(toks), bool)
+            for p in pos_by_doc.get(did, ()):
+                covered[p - 1:p - 1 + k] = True
+            kept = [tok for tok, c in zip(toks, covered) if not c]
+            ids_out.append(did)
+            clean_out.append(" ".join(kept))
+            n_out.append(len(kept))
         return pd.DataFrame({
-            id_col: [did],
-            "clean_text": [" ".join(kept)],
-            "n_kept": np.asarray([len(kept)], np.int64),
+            id_col: ids_out,
+            "clean_text": pd.array(clean_out, dtype="object"),
+            "n_kept": np.asarray(n_out, np.int64),
         })
 
-    return merged.groupby(id_col).map_groups(cut, batch_format="pandas")
+    return merged.groupby("b").map_groups(cut_bucket, batch_format="pandas")
