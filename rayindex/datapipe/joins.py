@@ -54,8 +54,11 @@ def asof_join(left_ds, right_ds, key_col: str, left_ts_col: str,
     right_ts)`` on the right (pre-aggregate if not).  ``tolerance_us``
     additionally drops matches older than ``left_ts - tolerance_us``.
 
-    One ``groupby(key)`` shuffle; the per-group kernel is a single
-    ``np.searchsorted`` over the group's sorted right timestamps.
+    One bucketed ``groupby(key % num_buckets)`` shuffle; each of the 64
+    reducer calls runs ONE ``pd.merge_asof(by=key)`` C kernel over all
+    of its keys — not one Python call per distinct key (a million-key
+    join would otherwise pay a million tiny group calls; all rows of one
+    key still land in one bucket, so matches are exact).
     """
     import pandas as pd
 
@@ -94,36 +97,53 @@ def asof_join(left_ds, right_ds, key_col: str, left_ts_col: str,
         empty[c] = pd.Series([], dtype="float64")
     empty_df = pd.DataFrame(empty)
 
+    num_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        if keys.dtype.kind in "iu":
+            b = keys.astype(np.int64) % num_buckets
+        else:  # string keys: stable crc over the dictionary
+            import zlib
+
+            cat = pd.Categorical(keys)
+            cb = np.asarray([zlib.crc32(str(c).encode()) % num_buckets
+                             for c in cat.categories], np.int64)
+            b = cb[cat.codes]
+        return t.append_column("b", pa.array(b))
+
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["__side"].to_numpy()
-        lmask = side == 1
-        rmask = ~lmask
-        if not lmask.any() or not rmask.any():
+        if g.empty or "__side" not in g.columns:
             return empty_df
-        lts = g["__ts"].to_numpy()[lmask]
-        rts = g["__ts"].to_numpy()[rmask]
-        order = np.argsort(rts, kind="stable")
-        rts = rts[order]
-        # idx of greatest right_ts <= left_ts; -1 = no match
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        keep = idx >= 0
-        if tolerance_us is not None:
-            keep &= lts - rts[np.clip(idx, 0, None)] <= tolerance_us
-        if not keep.any():
+        lmask = g["__side"].to_numpy() == 1
+        L, R = g[lmask], g[~lmask]
+        if L.empty or R.empty:
             return empty_df
-        idx = idx[keep]
-        out = {key_col: g[key_col].to_numpy()[lmask][keep]}
+        L = L.sort_values("__ts", kind="stable")
+        R = R.sort_values("__ts", kind="stable")
+        merged = pd.merge_asof(
+            L[[key_col, "__ts", *l_payload]],
+            R[[key_col, "__ts", *r_payload]].rename(
+                columns={"__ts": "__rts"}),
+            left_on="__ts", right_on="__rts", by=key_col,
+            direction="backward", allow_exact_matches=True,
+            tolerance=tolerance_us)
+        merged = merged[merged["__rts"].notna()]
+        if merged.empty:
+            return empty_df
+        out = {key_col: merged[key_col].to_numpy()}
         for c in l_payload:
             # the union fills this column with nulls on right rows, so
             # pandas widened it to float64; the left rows are exact ints
-            out[c] = g[c].to_numpy()[lmask][keep].astype(np.int64)
-        out["left_ts"] = lts[keep]
-        out["right_ts"] = rts[idx]
+            out[c] = merged[c].to_numpy().astype(np.int64)
+        out["left_ts"] = merged["__ts"].to_numpy().astype(np.int64)
+        out["right_ts"] = merged["__rts"].to_numpy().astype(np.int64)
         for c in r_payload:
-            out[c] = g[c].to_numpy()[rmask][order][idx]
+            out[c] = merged[c].to_numpy()
         return pd.DataFrame(out)
 
-    return tagged.groupby(key_col).map_groups(kernel, batch_format="pandas")
+    return (tagged.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("b").map_groups(kernel, batch_format="pandas"))
 
 
 def interval_join(left_ds, right_ds, key_col: str, left_ts_col: str,

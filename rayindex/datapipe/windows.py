@@ -84,29 +84,56 @@ def hopping_window(ds, window_s: int = 3600, hop_s: int = 900,
     )
 
 
-def sessionize(ds, gap_s: int = 1800, key_col: str = "user_id", ts_col: str = "ts"):
-    """Session windows (gap-based): requires per-key ordering, so this IS a
-    shuffle — groupby(key) then a sorted pandas pass per group.  Returns
-    (key, session_start, session_end, n_events)."""
+def sessionize(ds, gap_s: int = 1800, key_col: str = "user_id",
+               ts_col: str = "ts", num_buckets: int = 64):
+    """Session windows (gap-based): requires per-key ordering, so this IS
+    a shuffle — but grouped by ``key % num_buckets``, not by raw key: the
+    reducer runs ``num_buckets`` vectorized kernels (sort by (key, ts),
+    session boundary = key change OR gap, reduceat-style slicing) instead
+    of one pandas call per user — a million-user log would otherwise pay
+    a million tiny group calls.  All of one key's events still land in
+    one bucket, so sessions are exact.  Returns (key, session_start,
+    session_end, n_events)."""
     import pandas as pd
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        if keys.dtype.kind in "iu":
+            b = keys.astype(np.int64) % num_buckets
+        else:  # string keys: stable FNV over the dictionary
+            import zlib
+
+            cat = pd.Categorical(keys)
+            cb = np.asarray([zlib.crc32(str(c).encode()) % num_buckets
+                             for c in cat.categories], np.int64)
+            b = cb[cat.codes]
+        return t.append_column("b", pa.array(b))
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or key_col not in g.columns:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="int64"),
+                "session_start": pd.Series([], dtype="int64"),
+                "session_end": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64")})
+        g = g.sort_values([key_col, ts_col], kind="stable")
+        keys = g[key_col].to_numpy()
         # normalize to ns first: parquet-sourced timestamps arrive as
         # datetime64[us] in pandas 2.x and astype(int64) would yield µs
         ts = (pd.to_datetime(g[ts_col]).astype("datetime64[ns]")
               .astype("int64").to_numpy() // 10**9)  # → s
-        new = np.concatenate([[True], np.diff(ts) > gap_s])
-        # sessions are contiguous runs of the sorted ts array: boundaries +
-        # reduceat give start/end/count vectorized (no per-session Python
-        # loop — a key with millions of sessions stays O(events) numpy)
+        new = np.concatenate(
+            [[True], (np.diff(ts) > gap_s) | (keys[1:] != keys[:-1])])
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], ts.size) - 1
         return pd.DataFrame({
-            key_col: np.repeat(g[key_col].iloc[0], starts.size),
+            key_col: keys[starts],
             "session_start": ts[starts].astype(np.int64),
             "session_end": ts[ends].astype(np.int64),
-            "n_events": (np.append(starts[1:], ts.size) - starts).astype(np.int64),
+            "n_events": (np.append(starts[1:], ts.size)
+                         - starts).astype(np.int64),
         })
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("b")
+              .map_groups(sessions_bucket, batch_format="pandas"))
