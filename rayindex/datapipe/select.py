@@ -11,6 +11,7 @@ group.  Determinism: ties break on ascending ``id_col``.
 """
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -35,12 +36,31 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int,
                                  for c in cols})
         return _cut(df)
 
+    num_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t[group_col].to_numpy(zero_copy_only=False)
+        if len(keys) and keys.dtype.kind in "iu":
+            b = keys.astype(np.int64) % num_buckets
+        else:  # string groups: stable crc over the category dictionary
+            import zlib
+
+            cat = pd.Categorical(keys)
+            cb = np.asarray([zlib.crc32(str(c).encode()) % num_buckets
+                             for c in cat.categories], np.int64)
+            b = cb[cat.codes] if len(keys) else np.empty(0, np.int64)
+        return t.append_column("b", pa.array(b))
+
     def final(g: pd.DataFrame) -> pd.DataFrame:
+        # one bucket holds MANY groups; _cut is group-wise already
+        # (sort + groupby(group).head(k)), so this is one vectorized
+        # kernel per bucket — not one Python call per distinct group
         if g.empty or group_col not in g.columns:
             return pd.DataFrame({c: pd.Series([], dtype="object")
                                  for c in cols})
-        return _cut(g)
+        return _cut(g[cols])
 
     return (ds.map_batches(partial, batch_format="pandas")
-              .groupby(group_col)
+              .map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("b")
               .map_groups(final, batch_format="pandas"))
