@@ -35,14 +35,14 @@ def token_count_batch(batch: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
     """(id, n_tokens, n_chars) — n_tokens over ascii tokens, matching
     ``len(regexp_extract_all(lower(text), '[a-z0-9_]+'))``."""
-    texts = batch[text_col].to_pylist()
-    counts = np.fromiter(
-        (len(_ASCII.findall(t.lower())) if t else 0 for t in texts), np.int64, len(texts)
-    )
+    s = pc.cast(batch[text_col], pa.string())
+    counts = pc.cast(pc.fill_null(
+        pc.count_substring_regex(pc.utf8_lower(s), "[a-z0-9_]+"), 0),
+        pa.int64())
     return pa.table({
         id_col: batch[id_col],
-        "n_tokens": pa.array(counts),
-        "n_chars": pc.cast(pc.utf8_length(pc.cast(batch[text_col], pa.string())), pa.int64()),
+        "n_tokens": counts,
+        "n_chars": pc.cast(pc.utf8_length(s), pa.int64()),
     })
 
 
@@ -70,21 +70,38 @@ def quality_batch(batch: pa.Table, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
     """Per-doc quality signals: token stats + stopword/digit ratios.
     Columns are defined to be exactly DuckDB-expressible (oracle parity)."""
-    texts = batch[text_col].to_pylist()
-    n_tok, n_stop, n_digit, sum_len = [], [], [], []
-    stop = set(QUALITY_STOPWORDS)
-    for t in texts:
-        toks = _ASCII.findall(t.lower()) if t else []
-        n_tok.append(len(toks))
-        n_stop.append(sum(1 for x in toks if x in stop))
-        n_digit.append(len(_DIGIT.findall(t)) if t else 0)
-        sum_len.append(sum(len(x) for x in toks))
-    n_tok_a = np.asarray(n_tok, np.float64)
+    s = pc.cast(batch[text_col], pa.string())
+    lower = pc.utf8_lower(s)
+    n_tok = pc.fill_null(
+        pc.count_substring_regex(lower, "[a-z0-9_]+"), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_digit = pc.fill_null(
+        pc.count_substring_regex(s, "[0-9]"), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sum_len = pc.fill_null(
+        pc.count_substring_regex(lower, "[a-z0-9_]"), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    # stopword membership: decided once per UNIQUE token (dictionary),
+    # then summed per doc — zero Python per row
+    toks = pc.split_pattern_regex(lower, "[^a-z0-9_]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    enc = toks.flatten().dictionary_encode()
+    stop_mask = np.asarray(
+        [t in QUALITY_STOPWORDS for t in enc.dictionary.to_pylist()],
+        np.int64)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(doc_of, weights=stop_mask[codes],
+                         minlength=len(offs) - 1).astype(np.int64) \
+        if len(codes) else np.zeros(batch.num_rows, np.int64)
+    n_tok_a = n_tok.astype(np.float64)
     return pa.table({
         id_col: batch[id_col],
-        "n_tokens": pa.array(np.asarray(n_tok, np.int64)),
+        "n_tokens": pa.array(n_tok),
         "stopword_ratio": pa.array(np.divide(n_stop, n_tok_a, out=np.zeros_like(n_tok_a), where=n_tok_a > 0)),
-        "digit_count": pa.array(np.asarray(n_digit, np.int64)),
+        "digit_count": pa.array(n_digit),
         "avg_token_len": pa.array(np.divide(sum_len, n_tok_a, out=np.zeros_like(n_tok_a), where=n_tok_a > 0)),
     })
 
@@ -93,21 +110,39 @@ def langid_batch(batch: pa.Table, text_col: str = "text",
                  id_col: str = "doc_id") -> pa.Table:
     """Heuristic language ID: argmax profile-word hit rate (deterministic;
     'und' = undetermined when nothing matches)."""
-    texts = batch[text_col].to_pylist()
-    langs, confs = [], []
-    for t in texts:
-        toks = set(_ASCII.findall(t.lower())) if t else set()
-        best, best_hits = "und", 0
-        for lang, profile in _LANG_PROFILES.items():
-            hits = len(toks & profile)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        langs.append(best)
-        confs.append(best_hits / 10.0)
+    lower = pc.utf8_lower(pc.cast(batch[text_col], pa.string()))
+    toks = pc.split_pattern_regex(lower, "[^a-z0-9_]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    enc = toks.flatten().dictionary_encode()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    n_docs = batch.num_rows
+    lang_names = list(_LANG_PROFILES)  # dict order = tie-break priority
+    if len(codes):
+        doc_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        # DISTINCT (doc, token) pairs — the scalar path intersects SETS
+        K = len(enc.dictionary)
+        pairs = np.unique(doc_of.astype(np.int64) * K + codes)
+        p_doc, p_code = pairs // K, pairs % K
+        vocab = enc.dictionary.to_pylist()
+        hits = np.zeros((n_docs, len(lang_names)), np.int64)
+        for li, lang in enumerate(lang_names):
+            in_prof = np.asarray(
+                [t in _LANG_PROFILES[lang] for t in vocab], np.int64)
+            hits[:, li] = np.bincount(p_doc, weights=in_prof[p_code],
+                                      minlength=n_docs)
+        best = hits.argmax(axis=1)  # first max = dict-order priority
+        best_hits = hits[np.arange(n_docs), best]
+        langs = np.where(best_hits > 0,
+                         np.asarray(lang_names, object)[best], "und")
+    else:
+        langs = np.full(n_docs, "und", object)
+        best_hits = np.zeros(n_docs, np.int64)
     return pa.table({
         id_col: batch[id_col],
-        "lang_pred": pa.array(langs, pa.string()),
-        "lang_conf": pa.array(confs, pa.float64()),
+        "lang_pred": pa.array(langs.tolist(), pa.string()),
+        "lang_conf": pa.array(best_hits / 10.0),
     })
 
 
