@@ -406,9 +406,22 @@ def ngram_jaccard_pairs(ds, min_jaccard: float = 0.5, shingle_k: int = 5,
     SQL oracle's shs-join semantics.
     """
     def prefix_rows(t: pa.Table) -> pa.Table:
+        from rayindex.datapipe.text import gram_hashes, hash_tokens_flat
+
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        flat, offs = hash_tokens_flat(t[text_col])
+        texts = None  # lazily materialized only for sub-k docs
         ids_out, sh_out, n_out = [], [], []
-        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            s = _shingles(txt, shingle_k)
+        np_err = np.seterr(over="ignore")
+        for di, i in enumerate(ids):
+            hs = flat[offs[di]:offs[di + 1]]
+            if 0 < hs.size < shingle_k:  # rare: joined-string shingle
+                if texts is None:
+                    texts = t[text_col].to_pylist()
+                s = _shingles(texts[di], shingle_k)
+            else:
+                s = (np.unique(gram_hashes(hs, shingle_k))
+                     if hs.size else np.zeros(0, np.uint64))
             if s.size == 0:
                 continue
             # required overlap alpha = ceil(t*n); prefix = n - alpha + 1.
@@ -420,6 +433,7 @@ def ngram_jaccard_pairs(ds, min_jaccard: float = 0.5, shingle_k: int = 5,
             ids_out.append(np.full(pref.size, i, np.int64))
             sh_out.append(pref)
             n_out.append(np.full(pref.size, s.size, np.int64))
+        np.seterr(**np_err)
         if not ids_out:
             return pa.table({"sh": pa.array([], pa.uint64()),
                              id_col: pa.array([], pa.int64()),

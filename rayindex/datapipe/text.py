@@ -293,8 +293,10 @@ def gram_hashes(hs: np.ndarray, k: int) -> np.ndarray:
     m = hs.size - k + 1
     g = np.zeros(m, np.uint64)
     b = np.uint64(1000003)
+    np_err = np.seterr(over="ignore")  # uint64 wraparound IS the hash ring
     for j in range(k):
         g = g * b + hs[j:j + m]
+    np.seterr(**np_err)
     return g
 
 
