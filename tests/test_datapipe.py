@@ -819,3 +819,28 @@ def test_dedup_substrings_cuts_shared_runs_only(ray_session):
     assert out[4] == {"doc_id": 4, "clean_text": "xx", "n_kept": 1}
     assert out[5] == {"doc_id": 5, "clean_text": "", "n_kept": 0}
     assert out[6]["clean_text"] == "mid"
+
+
+def test_hash_tokens_flat_matches_scalar_path():
+    """The vectorized column hasher must be bit-identical to the
+    per-token scalar path (findall + hash_token) on arbitrary input —
+    unicode, empties, nulls, punctuation-only, repeated vocab."""
+    import random
+    import string
+
+    import pyarrow as pa
+
+    from rayindex.datapipe.text import _ASCII, hash_token, hash_tokens_flat
+
+    rng = random.Random(11)
+    alphabet = string.ascii_letters + "0123456789_ .,;!?-éλ中"
+    texts = ["".join(rng.choices(alphabet, k=rng.randint(0, 120)))
+             for _ in range(200)]
+    texts += ["", "   ", "___", "!!!", None, "Mixed CASE tok_1 tok_1"]
+    flat, offs = hash_tokens_flat(pa.array(texts, pa.string()))
+    assert len(offs) == len(texts) + 1
+    for i, t in enumerate(texts):
+        toks = _ASCII.findall(t.lower()) if t else []
+        want = [int(hash_token(x)) for x in toks]
+        got = [int(x) for x in flat[offs[i]:offs[i + 1]]]
+        assert want == got, f"doc {i}"

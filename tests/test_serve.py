@@ -171,3 +171,35 @@ def test_cli_spellcheck_default(serve_index, capsys):
     out = capsys.readouterr()
     assert rc == 0 and out.err.strip() == ""
     assert json.loads(out.out) == []
+
+
+def test_http_reload_route(serve_index, tmp_path):
+    """/reload over HTTP: no-op on an unchanged store, swap after a
+    second publish, version visible in /healthz."""
+    import json as _json
+
+    from rayindex import snapshot as sn
+    from rayindex.serve import SearchApp, make_server
+
+    store = str(tmp_path / "store")
+    sn.publish(store, serve_index)
+    app2 = SearchApp(store=store)
+    srv = make_server(app2, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}") as r:
+                return _json.loads(r.read())
+
+        assert get("/healthz")["version"] == 1
+        assert get("/reload") == {"reloaded": False, "version": 1}
+        sn.publish(store, serve_index)
+        rep = get("/reload")
+        assert rep == {"reloaded": True, "from_version": 1, "version": 2}
+        assert get("/healthz")["version"] == 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
