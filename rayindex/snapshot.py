@@ -136,6 +136,12 @@ def publish(store_dir: str, index_dir: str, note: str = "") -> int:
     pointer to it.  Returns the new version number.  The source dir is
     left untouched (staging hard-links on the same filesystem)."""
     if not _is_index_dir(index_dir):
+        if os.path.isfile(os.path.join(index_dir, "federation.json")):
+            raise ValueError(
+                f"{index_dir}: is an upsert federation dir — run "
+                "consolidate_upsert() (or rayindex.upsert CLI) first and "
+                "publish the consolidated index; federations serve live "
+                "via open_upsert()/--index repetition instead")
         raise ValueError(f"{index_dir}: not a complete index "
                          "(missing stats/collection_stats.parquet or shards/)")
     os.makedirs(store_dir, exist_ok=True)

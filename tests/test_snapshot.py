@@ -260,3 +260,43 @@ def test_full_lifecycle_build_publish_upsert_consolidate_reload(
     app.reload()
     assert app.search(marker, snippets=False,
                       spellcheck=False)["n_results"] == 0
+
+
+def test_publish_rejects_federation_dir(two_indexes, tmp_path):
+    import json as _json
+
+    from rayindex import snapshot as sn
+
+    fed = tmp_path / "fed"
+    fed.mkdir()
+    (fed / "federation.json").write_text(_json.dumps({"subs": ["sub_000"]}))
+    with pytest.raises(ValueError, match="consolidate_upsert"):
+        sn.publish(str(tmp_path / "store"), str(fed))
+
+
+def test_pool_backed_store_hot_swap(two_indexes, tmp_path):
+    """store + --actors shape: the swapped-in engine builds a fresh
+    ShardedSearchPool; results after reload are rank-identical to a
+    fresh reader over the new version, and the old pool's actors are
+    released with the old engine (plain handles, GC-reaped)."""
+    from rayindex import snapshot as sn
+    from rayindex.searcher import IndexReader
+    from rayindex.serve import SearchApp
+
+    base, ix_a, ix_b = two_indexes
+    store = str(tmp_path / "store")
+    sn.publish(store, ix_a)
+    app = SearchApp(store=store, num_actors=2)
+    assert app.healthz()["pool_actors"] == 2
+    term = next(t for t, cf in app._reader.iter_terms()
+                if cf >= 5 and t.isalpha() and len(t) >= 4)
+    app.search(term, k=5, spellcheck=False, snippets=False)
+
+    sn.publish(store, ix_b)
+    assert app.reload()["version"] == 2
+    got = app.search(term, k=5, spellcheck=False, snippets=False)
+    want = IndexReader(sn.current_dir(store)).search(
+        term, k=5, search_cfg=app.search_cfg, analyzer=app.analyzer)
+    assert [r["doc_id"] for r in got["results"]] == \
+        [int(d) for d, _ in want]
+    assert app.healthz()["version"] == 2
