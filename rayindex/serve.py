@@ -221,6 +221,24 @@ class SearchApp:
         }
 
 
+def start_reload_poller(app: SearchApp, interval_s: float) -> threading.Event:
+    """Background store poll: every ``interval_s`` call ``app.reload()``
+    (a no-op while the pointer is unchanged — one tiny CURRENT read).
+    Returns a stop Event; the thread is a daemon either way."""
+    stop = threading.Event()
+
+    def loop() -> None:
+        while not stop.wait(interval_s):
+            try:
+                app.reload()
+            except Exception:  # keep polling: a torn publish heals itself
+                pass
+
+    threading.Thread(target=loop, daemon=True,
+                     name="rayindex-reload-poller").start()
+    return stop
+
+
 def make_server(app: SearchApp, host: str = "127.0.0.1", port: int = 8080):
     """Bind ``app`` behind a stdlib threading HTTP server (transport
     only; returns the server — call ``serve_forever()`` to run)."""
@@ -301,6 +319,10 @@ def main_serve(argv: list[str] | None = None) -> int:
     p.add_argument("--algorithm", default="auto",
                    choices=["auto", "taat", "bmw"])
     p.add_argument("--no-spellcheck", action="store_true")
+    p.add_argument("--reload-interval", type=float, default=0.0,
+                   help="with --store: poll the store every N seconds and "
+                        "hot-swap when a new version is published "
+                        "(0 = manual /reload only)")
     args = p.parse_args(argv)
 
     if args.actors > 0:
@@ -316,6 +338,8 @@ def main_serve(argv: list[str] | None = None) -> int:
                     spellcheck=not args.no_spellcheck,
                     store=args.store)
     srv = make_server(app, args.host, args.port)
+    if args.reload_interval > 0 and args.store:
+        start_reload_poller(app, args.reload_interval)
     print(json.dumps({"serving": f"http://{args.host}:{args.port}",
                       **app.healthz()}))
     try:

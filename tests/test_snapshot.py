@@ -300,3 +300,25 @@ def test_pool_backed_store_hot_swap(two_indexes, tmp_path):
     assert [r["doc_id"] for r in got["results"]] == \
         [int(d) for d, _ in want]
     assert app.healthz()["version"] == 2
+
+
+def test_reload_poller_auto_swaps(two_indexes, tmp_path):
+    import time
+
+    from rayindex import snapshot as sn
+    from rayindex.serve import SearchApp, start_reload_poller
+
+    base, ix_a, ix_b = two_indexes
+    store = str(tmp_path / "store")
+    sn.publish(store, ix_a)
+    app = SearchApp(store=store)
+    stop = start_reload_poller(app, 0.1)
+    try:
+        assert app.healthz()["version"] == 1
+        sn.publish(store, ix_b)
+        deadline = time.time() + 10
+        while app.healthz()["version"] != 2:
+            assert time.time() < deadline, "poller never swapped"
+            time.sleep(0.05)
+    finally:
+        stop.set()
