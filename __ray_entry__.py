@@ -923,6 +923,26 @@ def _q_quality(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style within-document repetition quality signals
+    (duplicate-line fractions, top 2-gram coverage, duplicated-5-gram
+    position coverage — Rae et al. 2021 §A1.1): one shuffle-free
+    ``map_batches`` pass; float ratios emitted as integer micro-units for
+    the cross-engine hash."""
+    import ray.data
+
+    from rayindex.datapipe.text import repetition_batch
+
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = ds.map_batches(repetition_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.map_batches(
+        lambda t: _micro_cols(t, ("dup_line_frac", "dup_line_char_frac",
+                                  "top_2gram_char_frac",
+                                  "dup_5gram_char_frac")),
+        batch_format="pyarrow")
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data
 
@@ -1736,6 +1756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_dup_stats": _q_winnow_dup_stats,
         "dedup_substrings": _q_dedup_substrings,
+        "repetition": _q_repetition,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
@@ -2551,6 +2572,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(coalesce(agg.sum_len / agg.n_tokens::DOUBLE, 0) * 1e6)
                         AS BIGINT) AS avg_token_len_micro
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "repetition": """
+            WITH ln AS (
+              SELECT doc_id, trim(l, ' ' || chr(9) || chr(13)) AS line
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                    FROM documents)),
+            lg AS (SELECT doc_id, line, count(*) AS c, length(line) AS lc
+                   FROM ln WHERE length(line) > 0 GROUP BY doc_id, line),
+            la AS (SELECT doc_id, sum(c) AS n_lines,
+                          sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
+                          sum(c * lc) AS tot_lc,
+                          sum(CASE WHEN c >= 2 THEN c * lc ELSE 0 END) AS dup_lc
+                   FROM lg GROUP BY doc_id),
+            tokl AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9_]+') AS tl
+                     FROM documents),
+            tok AS (SELECT doc_id, generate_subscripts(tl, 1) AS i,
+                           unnest(tl) AS t FROM tokl),
+            tc AS (SELECT doc_id, sum(length(t)) AS tt FROM tok
+                   GROUP BY doc_id),
+            g2 AS (SELECT doc_id, unnest(gl) AS gram
+                   FROM (SELECT doc_id,
+                                list_transform(range(1, len(tl)), i ->
+                                  array_to_string(list_slice(tl, i, i + 1),
+                                                  ' ')) AS gl
+                         FROM tokl WHERE len(tl) >= 2)),
+            g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2
+                    GROUP BY doc_id, gram),
+            t2 AS (SELECT doc_id,
+                          max(CASE WHEN c >= 2
+                                   THEN c * (length(gram) - 1)
+                                   ELSE 0 END) AS top2
+                   FROM g2c GROUP BY doc_id),
+            g5 AS (SELECT doc_id, generate_subscripts(gl, 1) AS p,
+                          unnest(gl) AS gram
+                   FROM (SELECT doc_id,
+                                list_transform(range(1, len(tl) - 3), i ->
+                                  array_to_string(list_slice(tl, i, i + 4),
+                                                  ' ')) AS gl
+                         FROM tokl WHERE len(tl) >= 5)),
+            dupg AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram
+                     HAVING count(*) >= 2),
+            cov AS (SELECT DISTINCT t.doc_id, t.i, length(t.t) AS lt
+                    FROM g5 JOIN dupg USING (doc_id, gram)
+                    JOIN tok t ON t.doc_id = g5.doc_id
+                               AND t.i BETWEEN g5.p AND g5.p + 4),
+            cc AS (SELECT doc_id, sum(lt) AS covc FROM cov GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(la.n_lines, 0)::BIGINT AS n_lines,
+                   CAST(round(coalesce(la.dup_occ / la.n_lines::DOUBLE, 0)
+                              * 1e6) AS BIGINT) AS dup_line_frac_micro,
+                   CAST(round(coalesce(la.dup_lc / la.tot_lc::DOUBLE, 0)
+                              * 1e6) AS BIGINT) AS dup_line_char_frac_micro,
+                   CAST(round(coalesce(t2.top2 / tc.tt::DOUBLE, 0)
+                              * 1e6) AS BIGINT) AS top_2gram_char_frac_micro,
+                   CAST(round(coalesce(cc.covc / tc.tt::DOUBLE, 0)
+                              * 1e6) AS BIGINT) AS dup_5gram_char_frac_micro
+            FROM documents d
+            LEFT JOIN la ON d.doc_id = la.doc_id
+            LEFT JOIN tc ON d.doc_id = tc.doc_id
+            LEFT JOIN t2 ON d.doc_id = t2.doc_id
+            LEFT JOIN cc ON d.doc_id = cc.doc_id
         """,
         "exact_dedup": """
             SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups

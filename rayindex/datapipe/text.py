@@ -287,6 +287,160 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
                             text_col, col)
 
 
+def _flat_tokens(texts: pa.Array):
+    """Lowercased ``[a-z0-9_]+`` tokens of a string column, flattened:
+    returns (dictionary codes int64, codepoint lengths int64, doc_of int64,
+    n_docs).  Empty strings from the RE2 split are dropped; doc i's tokens
+    are the positions where ``doc_of == i``, in document order."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lower = pc.utf8_lower(pc.cast(texts, pa.string()))
+    toks = pc.split_pattern_regex(lower, "[^a-z0-9_]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(offs) - 1
+    if len(flat) == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z, n_docs
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_lens = pc.utf8_length(enc.dictionary).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lens = dict_lens[codes]
+    doc_of = np.repeat(np.arange(n_docs), np.diff(offs))
+    keep = lens > 0  # RE2 split leaves '' at doc boundaries
+    return codes[keep], lens[keep], doc_of[keep], n_docs
+
+
+def _gram_ids(codes: np.ndarray, doc_of: np.ndarray, k: int):
+    """Exact dense ids for every within-doc token ``k``-gram (no hashing —
+    built by iterative pair re-encoding over dictionary codes, so two
+    gram ids are equal iff the token tuples are equal).  Returns
+    (start positions into the flat token arrays, gram ids)."""
+    n = codes.size
+    if n < k:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    m = n - k + 1
+    valid = doc_of[:m] == doc_of[k - 1:]  # gram stays inside one doc
+    p = np.flatnonzero(valid)
+    if p.size == 0:
+        return p, np.empty(0, np.int64)
+    ids = codes[p]
+    for j in range(1, k):
+        nxt = codes[p + j]
+        key = ids * (nxt.max() + 1) + nxt
+        _, ids = np.unique(key, return_inverse=True)
+    return p, ids
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 quality filters), defined so a DuckDB
+    oracle can reproduce them bit-exactly:
+
+    - ``n_lines``: non-empty lines (split on ``\\n``, trimmed of
+      `` \\t\\r``).
+    - ``dup_line_frac``: fraction of non-empty lines whose trimmed form
+      occurs ≥2 times in the doc (every occurrence counts).
+    - ``dup_line_char_frac``: same, weighted by trimmed line length.
+    - ``top_2gram_char_frac``: token chars covered by the single most
+      repeated token 2-gram — max over grams with count ≥2 of
+      ``count × gram_chars``, over total token chars (deterministic
+      without a tie-break, unlike "chars of THE most frequent gram").
+    - ``dup_5gram_char_frac``: fraction of token chars at positions
+      covered by any 5-gram occurring ≥2 times in the doc
+      (position-coverage — overlaps counted once, as in Gopher).
+
+    Tokens are the ascii family used corpus-wide
+    (``regexp_extract_all(lower(text), '[a-z0-9_]+')``).  Ratios are
+    emitted as raw doubles; the ``queries()`` entry converts to integer
+    micro-units for the cross-engine hash.  All metrics are per-doc, so
+    this is one shuffle-free ``map_batches`` pass at any corpus size."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.cast(col, pa.string())
+    n_docs = batch.num_rows
+
+    # ---- line-level duplicates ------------------------------------
+    lines = pc.split_pattern(col, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    lflat = pc.utf8_trim(lines.flatten(), " \t\r")
+    loffs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    ldoc = np.repeat(np.arange(n_docs), np.diff(loffs))
+    n_lines = np.zeros(n_docs, np.int64)
+    dup_occ = np.zeros(n_docs, np.int64)
+    tot_lchars = np.zeros(n_docs, np.int64)
+    dup_lchars = np.zeros(n_docs, np.int64)
+    if len(lflat):
+        enc = lflat.dictionary_encode()
+        lcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dlens = pc.utf8_length(enc.dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        llens = dlens[lcodes]
+        ne = llens > 0
+        lc, ld, ll = lcodes[ne], ldoc[ne], llens[ne]
+        key = ld * len(enc.dictionary) + lc
+        _, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+        occ_cnt = cnt[inv]
+        n_lines = np.bincount(ld, minlength=n_docs)
+        tot_lchars = np.bincount(ld, weights=ll,
+                                 minlength=n_docs).astype(np.int64)
+        dup = occ_cnt >= 2
+        dup_occ = np.bincount(ld[dup], minlength=n_docs)
+        dup_lchars = np.bincount(ld[dup], weights=ll[dup],
+                                 minlength=n_docs).astype(np.int64)
+
+    # ---- token n-gram repetition ----------------------------------
+    codes, lens, doc_of, _ = _flat_tokens(col)
+    tot_tchars = np.bincount(doc_of, weights=lens,
+                             minlength=n_docs).astype(np.int64)
+    top2 = np.zeros(n_docs, np.int64)
+    p2, g2 = _gram_ids(codes, doc_of, 2)
+    if p2.size:
+        gchars = lens[p2] + lens[p2 + 1]
+        dkey = doc_of[p2] * (g2.max() + 1) + g2
+        _, first, cnt = np.unique(dkey, return_index=True,
+                                  return_counts=True)
+        rep = cnt >= 2
+        if rep.any():
+            val = cnt[rep] * gchars[first[rep]]
+            np.maximum.at(top2, doc_of[p2[first[rep]]], val)
+    cov_chars = np.zeros(n_docs, np.int64)
+    p5, g5 = _gram_ids(codes, doc_of, 5)
+    if p5.size:
+        dkey = doc_of[p5] * (g5.max() + 1) + g5
+        _, inv, cnt = np.unique(dkey, return_inverse=True,
+                                return_counts=True)
+        q = p5[cnt[inv] >= 2]
+        if q.size:
+            diff = np.zeros(codes.size + 5, np.int64)
+            np.add.at(diff, q, 1)
+            np.add.at(diff, q + 5, -1)
+            covered = np.cumsum(diff[:codes.size]) > 0
+            cov_chars = np.bincount(
+                doc_of[covered], weights=lens[covered],
+                minlength=n_docs).astype(np.int64)
+
+    def frac(num, den):
+        den = den.astype(np.float64)
+        return np.divide(num.astype(np.float64), den,
+                         out=np.zeros_like(den), where=den > 0)
+
+    return pa.table({
+        id_col: batch[id_col],
+        "n_lines": pa.array(n_lines.astype(np.int64)),
+        "dup_line_frac": pa.array(frac(dup_occ, n_lines)),
+        "dup_line_char_frac": pa.array(frac(dup_lchars, tot_lchars)),
+        "top_2gram_char_frac": pa.array(frac(top2, tot_tchars)),
+        "dup_5gram_char_frac": pa.array(frac(cov_chars, tot_tchars)),
+    })
+
+
 def gram_hashes(hs: np.ndarray, k: int) -> np.ndarray:
     """Karp-Rabin hash of every k-gram of ``hs`` (base 1000003, uint64
     wraparound), vectorized over positions: Horner over the k lanes."""

@@ -285,6 +285,55 @@ def test_token_count_and_quality(docs_ds):
     assert q[q.doc_id == 7].digit_count.iloc[0] == 6
 
 
+def test_repetition_matches_bruteforce(ray_session):
+    """Gopher repetition signals vs a per-doc Python reference (Counter +
+    boolean coverage array) on handcrafted repetitive docs."""
+    import re
+    from collections import Counter
+
+    from rayindex.datapipe.text import repetition_batch
+
+    docs = [
+        "hello world\nhello world\nfoo bar\n\n  \n",
+        "a b a b a b a b c",
+        "one two three four five one two three four five six",
+        "",
+        "x",
+        "line1\n line1 \nline1\t\nother",
+        "repeat me repeat me repeat me repeat me done",
+        "no repeats here at all whatsoever today",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = repetition_batch(t).to_pandas().set_index("doc_id")
+    for i, txt in enumerate(docs):
+        lines = [ln.strip(" \t\r") for ln in txt.split("\n")]
+        lines = [ln for ln in lines if ln]
+        c = Counter(lines)
+        dup = [ln for ln in lines if c[ln] >= 2]
+        toks = re.findall(r"[a-z0-9_]+", txt.lower())
+        tt = sum(map(len, toks))
+        g2 = Counter(tuple(toks[j:j + 2]) for j in range(len(toks) - 1))
+        top2 = max([n * (len(a) + len(b)) for (a, b), n in g2.items()
+                    if n >= 2], default=0)
+        g5 = Counter(tuple(toks[j:j + 5]) for j in range(len(toks) - 4))
+        cov = np.zeros(len(toks), bool)
+        for j in range(len(toks) - 4):
+            if g5[tuple(toks[j:j + 5])] >= 2:
+                cov[j:j + 5] = True
+        covc = sum(len(tk) for j, tk in enumerate(toks) if cov[j])
+        r = got.loc[i]
+        assert r.n_lines == len(lines)
+        assert r.dup_line_frac == pytest.approx(
+            len(dup) / len(lines) if lines else 0.0)
+        assert r.dup_line_char_frac == pytest.approx(
+            sum(map(len, dup)) / sum(map(len, lines)) if lines else 0.0)
+        assert r.top_2gram_char_frac == pytest.approx(
+            top2 / tt if tt else 0.0)
+        assert r.dup_5gram_char_frac == pytest.approx(
+            covc / tt if tt else 0.0)
+
+
 def test_fingerprint_deterministic(docs_ds):
     from rayindex.datapipe.text import fingerprint_batch
 
