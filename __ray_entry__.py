@@ -1229,6 +1229,24 @@ def _q_knn_cosine(sf_dir: str) -> pa.Table:
     return _micro_cols(res, ("cos_sim",))
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means (k=4, one update from the k lowest-id
+    seeds, L2): per-iteration map_batches partial sums reduced by a
+    cluster-side groupby — the driver holds k × d floats only.  Output is
+    the integer cluster assignment against the updated centroids, which a
+    two-step DuckDB argmin/avg CTE chain reproduces exactly."""
+    import ray.data
+
+    from rayindex.datapipe.ann import kmeans_assign, kmeans_fit
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = _read_parquet(emb_path, columns=["vec_id", "embedding"])
+    cents, _ = kmeans_fit(ds, k=4, n_iter=1, init="first",
+                          metric="l2", dtype=np.float64)
+    out = kmeans_assign(ds, cents, metric="l2", dtype=np.float64)
+    return out.select_columns(["vec_id", "cluster"])
+
+
 def _q_knn_ivf(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1757,6 +1775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_dup_stats": _q_winnow_dup_stats,
         "dedup_substrings": _q_dedup_substrings,
         "repetition": _q_repetition,
+        "kmeans_clusters": _q_kmeans_clusters,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
@@ -2638,6 +2657,35 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups
             FROM documents GROUP BY text
+        """,
+        "kmeans_clusters": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+                   FROM e ORDER BY vec_id LIMIT 4),
+            a0 AS (SELECT vec_id, cid FROM (
+                     SELECT e.vec_id, c0.cid,
+                            row_number() OVER (
+                              PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c0.v) ASC,
+                                       c0.cid ASC) AS rn
+                     FROM e CROSS JOIN c0) WHERE rn = 1),
+            ex AS (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+                          unnest(v) AS val FROM e),
+            m1 AS (SELECT a0.cid, ex.dim, avg(ex.val) AS av
+                   FROM a0 JOIN ex USING (vec_id) GROUP BY a0.cid, ex.dim),
+            cm AS (SELECT cid, list(av ORDER BY dim) AS v FROM m1
+                   GROUP BY cid),
+            c1 AS (SELECT c0.cid, coalesce(cm.v, c0.v) AS v
+                   FROM c0 LEFT JOIN cm USING (cid)),
+            a1 AS (SELECT vec_id, cid FROM (
+                     SELECT e.vec_id, c1.cid,
+                            row_number() OVER (
+                              PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c1.v) ASC,
+                                       c1.cid ASC) AS rn
+                     FROM e CROSS JOIN c1) WHERE rn = 1)
+            SELECT vec_id, CAST(cid AS INT) AS cluster FROM a1
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id,

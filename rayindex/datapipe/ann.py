@@ -132,6 +132,135 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
     return _merge_topk_distributed(parts, k, id_col)
 
 
+def kmeans_fit(ds, k: int = 8, n_iter: int = 10, vec_col: str = "embedding",
+               id_col: str = "vec_id", metric: str = "l2",
+               init: str = "sample", seed: int = 7, tol: float = 1e-7,
+               dtype=np.float64):
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Per iteration: ONE streaming ``map_batches`` pass emits at most ``k``
+    partial rows per batch (cluster id, vector sum, count, inertia
+    partial); a ``groupby("cid").map_groups`` sum reduces them
+    cluster-side, so the driver only ever holds the k × d centroid matrix
+    — vectors never leave the cluster and nothing scales with block
+    count.  ``metric="l2"`` is classic Lloyd (squared-Euclidean inertia);
+    ``"cosine"`` is spherical k-means (rows and centroids L2-normalized,
+    assignment by max dot, inertia = Σ(1 − cos)).
+
+    ``init="sample"`` seeds from a cross-block seeded sample (the scale
+    default); ``"first"`` uses the ``k`` lowest-``id_col`` vectors —
+    fully deterministic, the variant the DuckDB oracle twin reproduces;
+    an ``np.ndarray`` is used verbatim as the (k × d) seed matrix.
+    Stops early when every centroid moves < ``tol`` (L∞).  Returns
+    ``(centroids, info)`` with ``info = {"n_iter", "inertia"(history),
+    "converged"}``."""
+    if isinstance(init, np.ndarray):
+        cents = np.ascontiguousarray(init, dtype)
+    elif init == "first":
+        head = ds.sort(id_col).limit(k).to_pandas()
+        cents = np.stack([np.asarray(v, dtype) for v in head[vec_col]])
+    else:
+        cents = train_centroids(ds, k, vec_col, seed=seed).astype(dtype)
+    if metric == "cosine":
+        cents = _normalize(cents)
+    k = cents.shape[0]
+
+    def partials_fn(cents_now: np.ndarray):
+        ref = ray.put(cents_now)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            cm = ray.get(ref)
+            x = _batch_matrix(batch, vec_col, dtype)
+            if metric == "cosine":
+                x = _normalize(x)
+                sims = x @ cm.T
+                assign = sims.argmax(axis=1)
+                loss = 1.0 - sims[np.arange(len(x)), assign]
+            else:
+                d2 = ((x * x).sum(1, keepdims=True) - 2.0 * (x @ cm.T)
+                      + (cm * cm).sum(1))
+                assign = d2.argmin(axis=1)
+                loss = np.maximum(d2[np.arange(len(x)), assign], 0.0)
+            cids = np.unique(assign)
+            sums = np.zeros((cids.size, x.shape[1]), np.float64)
+            for j, c in enumerate(cids):  # k rows, not n rows
+                sums[j] = x[assign == c].sum(0)
+            n = np.bincount(assign, minlength=k)[cids]
+            li = np.bincount(assign, weights=loss, minlength=k)[cids]
+            return pa.table({
+                "cid": pa.array(cids.astype(np.int32)),
+                "psum": pa.array(list(sums)),
+                "n": pa.array(n.astype(np.int64)),
+                "pinertia": pa.array(li.astype(np.float64)),
+            })
+        return partials
+
+    def reduce_group(df):
+        import pandas as pd
+        return pd.DataFrame({
+            "cid": [df["cid"].iloc[0]],
+            "psum": [np.add.reduce([np.asarray(v) for v in df["psum"]])],
+            "n": [int(df["n"].sum())],
+            "pinertia": [float(df["pinertia"].sum())],
+        })
+
+    history, converged, it = [], False, 0
+    for it in range(1, n_iter + 1):
+        rows = (ds.map_batches(partials_fn(cents), batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("cid").map_groups(reduce_group,
+                                           batch_format="pandas")
+                .take_all())  # ≤ k rows
+        new = cents.copy()
+        inertia = 0.0
+        for r in rows:
+            c = int(r["cid"])
+            new[c] = np.asarray(r["psum"], np.float64) / max(int(r["n"]), 1)
+            inertia += float(r["pinertia"])
+        if metric == "cosine":
+            new = _normalize(new)
+        history.append(inertia)
+        shift = np.abs(new - cents).max()
+        cents = new.astype(dtype)
+        if shift < tol:
+            converged = True
+            break
+    return cents, {"n_iter": it, "inertia": history, "converged": converged}
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                  id_col: str = "vec_id", metric: str = "l2",
+                  dtype=np.float64):
+    """Map-only cluster assignment against a fixed centroid matrix:
+    returns a Dataset of (id, cluster, dist) — ``dist`` is squared L2
+    (or ``1 − cos``), ties broken toward the lowest cluster id (argmin
+    semantics, matching the SQL twin's ``ORDER BY d, cid LIMIT 1``)."""
+    cm0 = np.ascontiguousarray(centroids, dtype)
+    ref = ray.put(_normalize(cm0) if metric == "cosine" else cm0)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        x = _batch_matrix(batch, vec_col, dtype)
+        if metric == "cosine":
+            x = _normalize(x)
+            sims = x @ cm.T
+            a = sims.argmax(axis=1)
+            d = 1.0 - sims[np.arange(len(x)), a]
+        else:
+            d2 = ((x * x).sum(1, keepdims=True) - 2.0 * (x @ cm.T)
+                  + (cm * cm).sum(1))
+            a = d2.argmin(axis=1)
+            d = np.maximum(d2[np.arange(len(x)), a], 0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(a.astype(np.int32)),
+            "dist": pa.array(d.astype(np.float64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _merge_topk_distributed(parts, k: int, id_col: str) -> pa.Table:
     """Distributed reduce of the per-batch top-k partials: a
     ``groupby(query_id).map_groups`` final top-k, so the DRIVER receives

@@ -346,6 +346,73 @@ def test_fingerprint_deterministic(docs_ds):
     assert fp[1] == fp[2] and fp[1] != fp[4]
 
 
+def test_kmeans_recovers_blobs(ray_session):
+    """Distributed Lloyd's recovers well-separated blobs (purity 1.0),
+    inertia history is non-increasing, and the full run matches a local
+    numpy Lloyd reference started from the same init."""
+    import ray.data
+
+    from rayindex.datapipe.ann import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]],
+                       np.float64)
+    labels = rng.integers(0, 3, 300)
+    vecs = centers[labels] + rng.normal(scale=0.3, size=(300, 4))
+    t = pa.table({"vec_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t).repartition(7)
+    seeds = np.stack([vecs[labels == b][0] for b in range(3)])
+    cents, info = kmeans_fit(ds, k=3, n_iter=20, init=seeds,
+                             metric="l2", dtype=np.float64)
+    assert info["converged"]
+    hist = info["inertia"]
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
+    out = kmeans_assign(ds, cents, metric="l2").to_pandas() \
+        .sort_values("vec_id")
+    # purity: every true blob maps to exactly one learned cluster
+    for b in range(3):
+        assert out.cluster[labels == b].nunique() == 1
+    assert out.cluster.nunique() == 3
+    # parity with a driver-side numpy Lloyd from the same init
+    c = seeds.copy()
+    for _ in range(info["n_iter"]):
+        d2 = ((vecs * vecs).sum(1, keepdims=True) - 2 * vecs @ c.T
+              + (c * c).sum(1))
+        a = d2.argmin(1)
+        for j in range(3):
+            if (a == j).any():
+                c[j] = vecs[a == j].mean(0)
+    d2 = ((vecs * vecs).sum(1, keepdims=True) - 2 * vecs @ c.T
+          + (c * c).sum(1))
+    assert np.array_equal(out.cluster.to_numpy(), d2.argmin(1))
+
+
+def test_kmeans_cosine_spherical(ray_session):
+    import ray.data
+
+    from rayindex.datapipe.ann import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    dirs = np.array([[1, 0, 0], [0, 1, 0]], np.float64)
+    labels = rng.integers(0, 2, 120)
+    vecs = dirs[labels] * rng.uniform(0.5, 5.0, (120, 1)) \
+        + rng.normal(scale=0.05, size=(120, 3))
+    t = pa.table({"vec_id": pa.array(np.arange(120, dtype=np.int64)),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    cents, info = kmeans_fit(ds, k=2, n_iter=15, init="first",
+                             metric="cosine")
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    out = kmeans_assign(ds, cents, metric="cosine").to_pandas() \
+        .sort_values("vec_id")
+    for b in range(2):
+        assert out.cluster[labels == b].nunique() == 1
+    assert (out.dist.to_numpy() < 0.05).all()  # tight angular clusters
+
+
 def test_knn_brute_matches_numpy(ray_session):
     import ray.data
 
