@@ -943,6 +943,23 @@ def _q_repetition(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_lm_xent(sf_dir: str):
+    """CCNet/Gopher-style LM quality scoring: per-doc cross-entropy under
+    a corpus bigram model with add-0.1 smoothing.  Train = one
+    map_batches partial-count pass + native groupby sum; score = map-only
+    with the pruned model broadcast once via ray.put (vectorized
+    index_in + searchsorted lookups)."""
+    import ray.data
+
+    from rayindex.datapipe.lm import bigram_model, score_xent
+
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    model_ref, _ = bigram_model(ds)
+    out = score_xent(ds, model_ref, alpha=0.1)
+    return out.map_batches(lambda t: _micro_cols(t, ("xent",)),
+                           batch_format="pyarrow")
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data
 
@@ -1776,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substrings": _q_dedup_substrings,
         "repetition": _q_repetition,
         "kmeans_clusters": _q_kmeans_clusters,
+        "lm_xent": _q_lm_xent,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
@@ -2590,6 +2608,31 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(d.text, '[0-9]'))::BIGINT AS digit_count,
                    CAST(round(coalesce(agg.sum_len / agg.n_tokens::DOUBLE, 0) * 1e6)
                         AS BIGINT) AS avg_token_len_micro
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "lm_xent": """
+            WITH tokl AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9_]+') AS tl
+                          FROM documents),
+            tok AS (SELECT doc_id, generate_subscripts(tl, 1) AS i,
+                           unnest(tl) AS t FROM tokl),
+            bg AS (SELECT a.doc_id, a.t AS w1, b.t AS w2
+                   FROM tok a JOIN tok b
+                     ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+            bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+            cx AS (SELECT w1, sum(c) AS c FROM bc GROUP BY w1),
+            vv AS (SELECT count(*) AS v FROM
+                     (SELECT w1 AS w FROM bc UNION SELECT w2 FROM bc)),
+            sc AS (SELECT bg.doc_id,
+                          ln((bc.c + 0.1) / (cx.c + 0.1 * vv.v)) AS lp
+                   FROM bg JOIN bc USING (w1, w2) JOIN cx USING (w1)
+                   CROSS JOIN vv),
+            agg AS (SELECT doc_id, count(*) AS m, sum(lp) AS s
+                    FROM sc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(agg.m, 0)::BIGINT AS n_bigrams,
+                   CAST(round(coalesce(-agg.s / agg.m, 0) * 1e6) AS BIGINT)
+                     AS xent_micro
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         """,
         "repetition": """

@@ -1,0 +1,148 @@
+"""Corpus bigram language model for LM-based quality scoring.
+
+The classic training-data filter (CCNet / Gopher style: score each
+document by its cross-entropy under a corpus-level n-gram LM; outliers on
+either end are junk or boilerplate), re-expressed Ray-Data-first:
+
+- **train**: one ``map_batches`` pass emits within-batch-combined partial
+  bigram counts ``(w1, w2, c)``; a native ``groupby(["w1","w2"])`` sum
+  produces the global count table.  Context counts and vocabulary size
+  derive from it.  The reference engine has no LM-scoring stage — this
+  extends the repo's quality-filter family (text.quality_batch,
+  text.repetition_batch).
+- **score**: map-only.  The model (vocab, packed bigram keys, counts)
+  ships once via ``ray.put``; every batch does vectorized
+  ``pc.index_in`` vocab lookup + ``np.searchsorted`` bigram lookup —
+  no Python per row or per token.
+
+Per-doc score: cross-entropy in nats under add-alpha smoothing,
+``H(d) = -(1/m) * sum ln((c(w1,w2)+a) / (ctx(w1)+a*V))`` over the doc's
+``m`` consecutive token pairs (``ctx(w1) = sum_w2 c(w1,w2)``, ``V`` =
+vocabulary size); docs with fewer than 2 tokens score 0.  Out-of-vocab
+tokens (only possible when scoring off-corpus) get ``c=0`` / ``ctx=0``.
+
+Scale contract: the model table is ``min_count``-pruned and the TRAIN
+output is a Dataset — only the broadcast step materializes it.  At
+100-TB corpus scale, raise ``min_count`` (standard LM pruning; the tail
+of hapax bigrams is most of the table) or replace the broadcast with a
+bucketed join on ``hash(w1)``; the scoring pass is unchanged either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .text import _flat_tokens
+
+__all__ = ["bigram_counts", "bigram_model", "score_xent"]
+
+
+def bigram_counts(ds, text_col: str = "text"):
+    """Global bigram count Dataset ``(w1, w2, c)`` over a documents table:
+    within-batch combine first (np.unique over dictionary-code pairs), so
+    the shuffle ships one row per DISTINCT batch bigram, not per token."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codes, _, doc_of, _, vocab = _flat_tokens(batch[text_col])
+        if codes.size < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        i = np.flatnonzero(doc_of[:-1] == doc_of[1:])
+        K = len(vocab)
+        key = codes[i] * K + codes[i + 1]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "w1": pc.take(vocab, pa.array(uk // K)),
+            "w2": pc.take(vocab, pa.array(uk % K)),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")))
+
+
+def bigram_model(ds, text_col: str = "text", min_count: int = 1):
+    """Train and package the model for broadcast: returns
+    ``(model_ref, V)`` where ``model_ref`` is a ``ray.put`` handle to
+    ``(vocab StringArray, packed sorted uint64 keys, bigram counts,
+    per-vocab context counts, V)``.  ``V`` is the model vocabulary —
+    every distinct token appearing in some bigram (w1 or w2 position),
+    computed BEFORE pruning so smoothing mass is unaffected by
+    ``min_count``; tokens occurring only in single-token documents are
+    outside the model by definition."""
+    bt = bigram_counts(ds, text_col).to_pandas()
+    w1 = bt["w1"].to_numpy(object)
+    w2 = bt["w2"].to_numpy(object)
+    c = bt["c"].to_numpy(np.int64)
+    vocab = pa.array(np.unique(np.concatenate([w1, w2])), pa.string()) \
+        if len(bt) else pa.array([], pa.string())
+    V = len(vocab)
+    g1 = pc.index_in(pa.array(w1, pa.string()),
+                     value_set=vocab).to_numpy(zero_copy_only=False)
+    g2 = pc.index_in(pa.array(w2, pa.string()),
+                     value_set=vocab).to_numpy(zero_copy_only=False)
+    # context counts over the FULL table, then prune the bigram rows
+    ctx = np.zeros(V, np.int64)
+    if len(bt):
+        np.add.at(ctx, g1.astype(np.int64), c)
+    keep = c >= min_count
+    packed = g1[keep].astype(np.uint64) * np.uint64(V) \
+        + g2[keep].astype(np.uint64)
+    order = np.argsort(packed)
+    model = (vocab, packed[order], c[keep][order], ctx, V)
+    return ray.put(model), V
+
+
+def score_xent(ds, model_ref, alpha: float = 0.1, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """Map-only per-doc cross-entropy under the broadcast bigram model:
+    returns a Dataset of ``(id, n_bigrams, xent)`` (nats; 0 when the doc
+    has < 2 tokens)."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, packed, cnts, ctx, V = ray.get(model_ref)
+        codes, _, doc_of, n_docs, bvocab = _flat_tokens(batch[text_col])
+        m = np.zeros(n_docs, np.int64)
+        h = np.zeros(n_docs, np.float64)
+        if codes.size >= 2 and V:
+            gid = pc.index_in(bvocab, value_set=vocab).to_numpy(
+                zero_copy_only=False)
+            gid = np.where(np.isnan(gid.astype(np.float64)), -1,
+                           gid).astype(np.int64)
+            g = gid[codes]
+            i = np.flatnonzero(doc_of[:-1] == doc_of[1:])
+            g1, g2 = g[i], g[i + 1]
+            c = np.zeros(i.size, np.float64)
+            ok = (g1 >= 0) & (g2 >= 0)
+            if ok.any():
+                pk = g1[ok].astype(np.uint64) * np.uint64(V) \
+                    + g2[ok].astype(np.uint64)
+                pos = np.searchsorted(packed, pk)
+                pos = np.minimum(pos, max(len(packed) - 1, 0))
+                hit = (packed[pos] == pk) if len(packed) else \
+                    np.zeros(pk.size, bool)
+                c_ok = np.zeros(pk.size, np.float64)
+                c_ok[hit] = cnts[pos[hit]]
+                c[ok] = c_ok
+            ctxc = np.where(g1 >= 0, ctx[np.maximum(g1, 0)], 0) \
+                .astype(np.float64)
+            lp = np.log((c + alpha) / (ctxc + alpha * V))
+            pd_doc = doc_of[i]
+            m = np.bincount(pd_doc, minlength=n_docs).astype(np.int64)
+            s = np.bincount(pd_doc, weights=lp, minlength=n_docs)
+            mf = m.astype(np.float64)
+            h = np.divide(-s, mf, out=np.zeros_like(mf), where=mf > 0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bigrams": pa.array(m),
+            "xent": pa.array(h),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -290,8 +290,10 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def _flat_tokens(texts: pa.Array):
     """Lowercased ``[a-z0-9_]+`` tokens of a string column, flattened:
     returns (dictionary codes int64, codepoint lengths int64, doc_of int64,
-    n_docs).  Empty strings from the RE2 split are dropped; doc i's tokens
-    are the positions where ``doc_of == i``, in document order."""
+    n_docs, dictionary StringArray).  Empty strings from the RE2 split are
+    dropped; doc i's tokens are the positions where ``doc_of == i``, in
+    document order.  NOTE the dictionary may contain the dropped ''
+    entry — codes never reference it."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     lower = pc.utf8_lower(pc.cast(texts, pa.string()))
@@ -303,7 +305,7 @@ def _flat_tokens(texts: pa.Array):
     n_docs = len(offs) - 1
     if len(flat) == 0:
         z = np.empty(0, np.int64)
-        return z, z, z, n_docs
+        return z, z, z, n_docs, pa.array([], pa.string())
     enc = flat.dictionary_encode()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     dict_lens = pc.utf8_length(enc.dictionary).to_numpy(
@@ -311,7 +313,8 @@ def _flat_tokens(texts: pa.Array):
     lens = dict_lens[codes]
     doc_of = np.repeat(np.arange(n_docs), np.diff(offs))
     keep = lens > 0  # RE2 split leaves '' at doc boundaries
-    return codes[keep], lens[keep], doc_of[keep], n_docs
+    return (codes[keep], lens[keep], doc_of[keep], n_docs,
+            enc.dictionary)
 
 
 def _gram_ids(codes: np.ndarray, doc_of: np.ndarray, k: int):
@@ -396,7 +399,7 @@ def repetition_batch(batch: pa.Table, text_col: str = "text",
                                  minlength=n_docs).astype(np.int64)
 
     # ---- token n-gram repetition ----------------------------------
-    codes, lens, doc_of, _ = _flat_tokens(col)
+    codes, lens, doc_of, _, _ = _flat_tokens(col)
     tot_tchars = np.bincount(doc_of, weights=lens,
                              minlength=n_docs).astype(np.int64)
     top2 = np.zeros(n_docs, np.int64)

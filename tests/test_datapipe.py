@@ -346,6 +346,49 @@ def test_fingerprint_deterministic(docs_ds):
     assert fp[1] == fp[2] and fp[1] != fp[4]
 
 
+def test_bigram_lm_xent_matches_bruteforce(ray_session):
+    """Distributed bigram-LM train + map-only scoring vs a Counter-based
+    reference (add-alpha smoothing, context-count denominators)."""
+    import math
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from rayindex.datapipe.lm import bigram_model, score_xent
+
+    docs = ["the cat sat on the mat", "the cat ate the rat",
+            "dogs chase the cat", "x", "", "cat cat cat cat"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    ds = ray.data.from_arrow(t).repartition(3)
+    ref_toks = [re.findall(r"[a-z0-9_]+", d.lower()) for d in docs]
+    bc = Counter((a, b) for tk in ref_toks for a, b in zip(tk, tk[1:]))
+    ctx = Counter()
+    for (a, _), c in bc.items():
+        ctx[a] += c
+    V = len({w for p in bc for w in p})
+    alpha = 0.1
+    mref, vm = bigram_model(ds)
+    assert vm == V
+    out = score_xent(ds, mref, alpha=alpha).to_pandas().set_index("doc_id")
+    for i, tk in enumerate(ref_toks):
+        pairs = list(zip(tk, tk[1:]))
+        h = -sum(math.log((bc[p] + alpha) / (ctx[p[0]] + alpha * V))
+                 for p in pairs) / len(pairs) if pairs else 0.0
+        assert out.loc[i].n_bigrams == len(pairs)
+        assert out.loc[i].xent == pytest.approx(h, abs=1e-12)
+    # pruning drops hapax bigrams but keeps V and context mass
+    mref2, v2 = bigram_model(ds, min_count=2)
+    assert v2 == V
+    out2 = score_xent(ds, mref2, alpha=alpha).to_pandas() \
+        .set_index("doc_id")
+    # "cat cat cat cat": c(cat,cat)=3 survives pruning -> score unchanged
+    assert out2.loc[5].xent == pytest.approx(out.loc[5].xent)
+    # doc 2's bigrams are all hapax -> pruned to c=0 -> strictly worse
+    assert out2.loc[2].xent > out.loc[2].xent
+
+
 def test_kmeans_recovers_blobs(ray_session):
     """Distributed Lloyd's recovers well-separated blobs (purity 1.0),
     inertia history is non-increasing, and the full run matches a local
