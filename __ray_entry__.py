@@ -943,6 +943,22 @@ def _q_repetition(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_decontaminate(sf_dir: str):
+    """GPT-3-style benchmark decontamination: the "benchmark" is the
+    doc_id < 25 slice; every doc sharing a distinct token 5-gram
+    (Karp-Rabin over FNV-1a hashes — the corpus-wide convention) with it
+    is flagged.  Bench gram set broadcast once; scoring map-only."""
+    import pyarrow.dataset as pads
+
+    from rayindex.datapipe.spans import benchmark_gram_set, decontaminate
+
+    bench = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"],
+                          filter=pads.field("doc_id") < 25)
+    grams = benchmark_gram_set(bench, n=5)
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return decontaminate(ds, grams, n=5)
+
+
 def _q_lm_xent(sf_dir: str):
     """CCNet/Gopher-style LM quality scoring: per-doc cross-entropy under
     a corpus bigram model with add-0.1 smoothing.  Train = one
@@ -1794,6 +1810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "kmeans_clusters": _q_kmeans_clusters,
         "lm_xent": _q_lm_xent,
+        "decontaminate": _q_decontaminate,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
@@ -2609,6 +2626,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(coalesce(agg.sum_len / agg.n_tokens::DOUBLE, 0) * 1e6)
                         AS BIGINT) AS avg_token_len_micro
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "decontaminate": f"""
+            WITH {_FNV_CTE},
+            hl AS (SELECT doc_id, list(h ORDER BY i) AS hs
+                   FROM th GROUP BY doc_id),
+            gr AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(hs) - 3),
+                   i -> list_reduce(
+                          list_prepend(CAST(0 AS HUGEINT),
+                                       list_slice(hs, i, i + 4)),
+                          (a, x) -> (a * 1000003 + x)
+                                    % 18446744073709551616))) AS gl
+               FROM hl WHERE len(hs) >= 5),
+            g AS (SELECT doc_id, unnest(gl) AS gh FROM gr),
+            bg AS (SELECT DISTINCT gh FROM g WHERE doc_id < 25),
+            m AS (SELECT g.doc_id, count(*) AS nm FROM g
+                  JOIN bg USING (gh) GROUP BY g.doc_id),
+            tot AS (SELECT doc_id, len(gl) AS ng FROM gr)
+            SELECT d.doc_id,
+                   coalesce(tot.ng, 0)::BIGINT AS n_grams,
+                   coalesce(m.nm, 0)::BIGINT AS n_matched,
+                   CAST(CASE WHEN coalesce(m.nm, 0) > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS contaminated
+            FROM documents d
+            LEFT JOIN tot ON d.doc_id = tot.doc_id
+            LEFT JOIN m ON d.doc_id = m.doc_id
         """,
         "lm_xent": """
             WITH tokl AS (SELECT doc_id,

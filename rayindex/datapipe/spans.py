@@ -255,3 +255,73 @@ def dedup_substrings(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return merged.groupby("b").map_groups(cut_bucket, batch_format="pandas")
+
+
+def benchmark_gram_set(bench_ds, text_col: str = "text", n: int = 13):
+    """Distinct n-gram hash set of a benchmark corpus as a sorted uint64
+    array.  Benchmark/eval sets are small (MBs even for full eval
+    suites), so per-batch distinct hashes are collected to the driver
+    and deduped once — the TRAINING corpus never materializes anything.
+    Gram hashes are Karp-Rabin over FNV-1a token hashes, the corpus-wide
+    convention (bit-reproducible in SQL via the ``th`` CTE twin)."""
+    def grams(batch: pa.Table) -> pa.Table:
+        flat, offs = hash_tokens_flat(batch[text_col])
+        out = []
+        np_err = np.seterr(over="ignore")
+        for di in range(len(offs) - 1):
+            hs = flat[offs[di]:offs[di + 1]]
+            if hs.size >= n:
+                out.append(gram_hashes(hs, n))
+        np.seterr(**np_err)
+        u = np.unique(np.concatenate(out)) if out \
+            else np.empty(0, np.uint64)
+        return pa.table({"g": pa.array(u)})
+
+    parts = bench_ds.map_batches(grams, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.unique(np.asarray([r["g"] for r in parts], np.uint64))
+
+
+def decontaminate(ds, bench_grams: np.ndarray, n: int = 13,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """GPT-3-style benchmark decontamination (Brown et al. 2020 App. C;
+    also The Pile / Llama): flag every training document sharing any
+    token ``n``-gram with the benchmark set.  ``bench_grams`` is the
+    sorted hash set from :func:`benchmark_gram_set`, shipped ONCE via
+    ``ray.put`` and probed per batch with ``np.searchsorted`` — the
+    scoring pass is map-only, no shuffle, nothing scales with corpus
+    size.  Returns (id, n_grams, n_matched, contaminated) where
+    ``n_grams``/``n_matched`` count DISTINCT grams per doc."""
+    import ray
+
+    ref = ray.put(np.ascontiguousarray(bench_grams, np.uint64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bg = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        flat, offs = hash_tokens_flat(batch[text_col])
+        ng = np.zeros(len(ids), np.int64)
+        nm = np.zeros(len(ids), np.int64)
+        np_err = np.seterr(over="ignore")
+        for di in range(len(ids)):
+            hs = flat[offs[di]:offs[di + 1]]
+            if hs.size < n:
+                continue
+            ug = np.unique(gram_hashes(hs, n))
+            ng[di] = ug.size
+            if bg.size:
+                pos = np.searchsorted(bg, ug)
+                pos = np.minimum(pos, bg.size - 1)
+                nm[di] = int((bg[pos] == ug).sum())
+        np.seterr(**np_err)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_grams": pa.array(ng),
+            "n_matched": pa.array(nm),
+            "contaminated": pa.array((nm > 0).astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -346,6 +346,34 @@ def test_fingerprint_deterministic(docs_ds):
     assert fp[1] == fp[2] and fp[1] != fp[4]
 
 
+def test_decontaminate_flags_overlap(ray_session):
+    """Docs sharing a 5-gram with the benchmark slice are flagged; a
+    shuffled-token doc with the same vocabulary is not."""
+    import ray.data
+
+    from rayindex.datapipe.spans import benchmark_gram_set, decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        bench_text,                                     # benchmark itself
+        "prefix words alpha beta gamma delta epsilon then more",  # overlap
+        "zeta epsilon delta gamma beta alpha theta eta",  # reversed: clean
+        "totally unrelated content with different words entirely",
+        "short",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    ds = ray.data.from_arrow(t).repartition(2)
+    grams = benchmark_gram_set(ds.filter(lambda r: r["doc_id"] == 0), n=5)
+    assert grams.size == 4  # 8 tokens -> 4 distinct 5-grams
+    out = decontaminate(ds, grams, n=5).to_pandas().set_index("doc_id")
+    assert out.loc[0].contaminated == 1 and out.loc[0].n_matched == 4
+    assert out.loc[1].contaminated == 1 and out.loc[1].n_matched == 1
+    assert out.loc[2].contaminated == 0
+    assert out.loc[3].contaminated == 0
+    assert out.loc[4].n_grams == 0 and out.loc[4].contaminated == 0
+
+
 def test_bigram_lm_xent_matches_bruteforce(ray_session):
     """Distributed bigram-LM train + map-only scoring vs a Counter-based
     reference (add-alpha smoothing, context-count denominators)."""
