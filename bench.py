@@ -395,6 +395,30 @@ def run_bench() -> dict:
     duplicate_span_stats(dds, k=4, window=4).count()
     timings["winnow_sec"] = time.perf_counter() - t0
 
+    # quality-filter family: Gopher repetition + bigram-LM xent +
+    # benchmark decontamination over the docs table
+    from rayindex.datapipe.lm import bigram_model, score_xent
+    from rayindex.datapipe.spans import benchmark_gram_set, decontaminate
+    from rayindex.datapipe.text import repetition_batch
+
+    t0 = time.perf_counter()
+    dds.map_batches(repetition_batch, batch_format="pyarrow",
+                    zero_copy_batch=True).count()
+    timings["repetition_sec"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    mref, _ = bigram_model(dds)
+    score_xent(dds, mref).count()
+    timings["lm_xent_sec"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    import pyarrow.dataset as pads
+    bench_docs = _read_parquet(docs_path, columns=["doc_id", "text"],
+                               filter=pads.field("doc_id") < 100)
+    grams = benchmark_gram_set(bench_docs, n=13)
+    decontaminate(dds, grams, n=13).count()
+    timings["decontam_sec"] = time.perf_counter() - t0
+
     shutil.rmtree(out, ignore_errors=True)
     ray.shutdown()
 
