@@ -943,6 +943,21 @@ def _q_repetition(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_tfidf_topk(sf_dir: str):
+    """Per-doc top-5 TF-IDF keywords: distributed df pass (partial
+    distinct-pair counts + groupby(term) sum) broadcast once, then a
+    map-only scoring pass with one np.unique + np.lexsort per batch.
+    sklearn smooth-idf convention; ties (score desc, term asc)."""
+    import ray.data
+
+    from rayindex.datapipe.keywords import tfidf_topk
+
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    out = tfidf_topk(ds, k=5)
+    return out.map_batches(lambda t: _micro_cols(t, ("score",)),
+                           batch_format="pyarrow")
+
+
 def _q_decontaminate(sf_dir: str):
     """GPT-3-style benchmark decontamination: the "benchmark" is the
     doc_id < 25 slice; every doc sharing a distinct token 5-gram
@@ -1811,6 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "lm_xent": _q_lm_xent,
         "decontaminate": _q_decontaminate,
+        "tfidf_topk": _q_tfidf_topk,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,
@@ -2626,6 +2642,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(coalesce(agg.sum_len / agg.n_tokens::DOUBLE, 0) * 1e6)
                         AS BIGINT) AS avg_token_len_micro
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "tfidf_topk": """
+            WITH tokl AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9_]+') AS tl
+                          FROM documents),
+            tok AS (SELECT doc_id, unnest(tl) AS t FROM tokl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf
+                   FROM tok GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM
+                     (SELECT DISTINCT doc_id, t AS term FROM tok)
+                   GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.term,
+                         tf.tf * (ln((n.n + 1) / (df.df + 1)) + 1) AS score
+                  FROM tf JOIN df USING (term) CROSS JOIN n),
+            r AS (SELECT doc_id, term, score,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term ASC) AS rank
+                  FROM s)
+            SELECT doc_id, CAST(rank AS INT) AS rank, term,
+                   CAST(round(score * 1e6) AS BIGINT) AS score_micro
+            FROM r WHERE rank <= 5
         """,
         "decontaminate": f"""
             WITH {_FNV_CTE},

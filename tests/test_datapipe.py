@@ -346,6 +346,39 @@ def test_fingerprint_deterministic(docs_ds):
     assert fp[1] == fp[2] and fp[1] != fp[4]
 
 
+def test_tfidf_topk_matches_bruteforce(ray_session):
+    """Distributed df + map-only scoring vs a Counter reference with the
+    sklearn smooth-idf convention and (score desc, term asc) ties."""
+    import math
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from rayindex.datapipe.keywords import tfidf_topk
+
+    docs = ["the cat sat on the mat", "the dog ate my homework homework",
+            "cat dog cat dog", "", "unique singleton words here"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = tfidf_topk(ds, k=3).to_pandas()
+    toks = [re.findall(r"[a-z0-9_]+", d.lower()) for d in docs]
+    N = len(docs)
+    df = Counter(w for tk in toks for w in set(tk))
+    for i, tk in enumerate(toks):
+        tf = Counter(tk)
+        scored = sorted(
+            ((c * (math.log((N + 1) / (df[w] + 1)) + 1), w)
+             for w, c in tf.items()),
+            key=lambda p: (-p[0], p[1]))[:3]
+        got = out[out.doc_id == i].sort_values("rank")
+        assert got.term.tolist() == [w for _, w in scored]
+        assert np.allclose(got.score.to_numpy(),
+                           [s for s, _ in scored], atol=1e-12)
+    assert (out[out.doc_id == 3].shape[0]) == 0  # empty doc: no rows
+
+
 def test_decontaminate_flags_overlap(ray_session):
     """Docs sharing a 5-gram with the benchmark slice are flagged; a
     shuffled-token doc with the same vocabulary is not."""
