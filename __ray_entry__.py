@@ -1295,6 +1295,26 @@ def _q_kmeans_clusters(sf_dir: str):
     return out.select_columns(["vec_id", "cluster"])
 
 
+def _q_knn_pq(sf_dir: str) -> pa.Table:
+    """Product-quantization ADC top-k (Jégou et al. 2011): distributed
+    per-subspace k-means codebooks → map-only uint8 encode → LUT-gather
+    scoring with a groupby(query_id) final top-k.  Seeded float k-means
+    training is not SQL-expressible — rows-only check (the pytest gate
+    covers recall, blob purity, self-match and determinism)."""
+    import ray.data
+
+    from rayindex.datapipe.ann import knn_pq, pq_encode, pq_train
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["embedding"])
+    queries = np.stack([np.asarray(v, np.float64)
+                        for v in qt["embedding"].to_pylist()[:4]])
+    ds = _read_parquet(emb_path, columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=8, k=16, n_iter=4, seed=11)
+    codes = pq_encode(ds, books)
+    return knn_pq(codes, queries, books, k=5)
+
+
 def _q_knn_ivf(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1827,6 +1847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_xent": _q_lm_xent,
         "decontaminate": _q_decontaminate,
         "tfidf_topk": _q_tfidf_topk,
+        "knn_pq": _q_knn_pq,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
         "merged_term_stats": _q_merged_term_stats,

@@ -70,27 +70,38 @@ def knn_brute(ds, queries: np.ndarray, k: int = 10,
 
 
 def train_centroids(ds, n_centroids: int = 16, vec_col: str = "embedding",
-                    sample_rows: int = 2048, iters: int = 8, seed: int = 7) -> np.ndarray:
+                    sample_rows: int = 2048, iters: int = 8, seed: int = 7,
+                    normalize: bool = True) -> np.ndarray:
     """k-means-lite on a driver-side sample (centroid table is tiny).
 
     The sample is a seeded ``random_sample`` across ALL blocks — a
     ``limit()`` would take the first blocks only and bias the centroids to
-    whatever slice of the corpus happens to sort first."""
+    whatever slice of the corpus happens to sort first.  ``normalize``:
+    spherical variant (unit vectors, max-dot assignment) for cosine
+    pipelines; False = plain L2 Lloyd on the raw sample — the right
+    scale when seeding an L2 :func:`kmeans_fit` (e.g. PQ subspaces)."""
     n_total = ds.count()
     frac = min(1.0, (4.0 * sample_rows) / max(n_total, 1))
     sample = ds.random_sample(frac, seed=seed).limit(sample_rows).to_pandas()
     if len(sample) == 0:
         sample = ds.limit(sample_rows).to_pandas()
-    m = _normalize(np.stack([np.asarray(v, np.float32) for v in sample[vec_col]]))
+    m = np.stack([np.asarray(v, np.float32) for v in sample[vec_col]])
+    if normalize:
+        m = _normalize(m)
     rng = np.random.default_rng(seed)
     cents = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
     for _ in range(iters):
-        assign = (m @ cents.T).argmax(axis=1)
+        if normalize:
+            assign = (m @ cents.T).argmax(axis=1)
+        else:
+            assign = (((m * m).sum(1, keepdims=True) - 2.0 * (m @ cents.T)
+                       + (cents * cents).sum(1))).argmin(axis=1)
         for c in range(cents.shape[0]):
             mask = assign == c
             if mask.any():
                 cents[c] = m[mask].mean(axis=0)
-        cents = _normalize(cents)
+        if normalize:
+            cents = _normalize(cents)
     return cents
 
 
@@ -160,7 +171,8 @@ def kmeans_fit(ds, k: int = 8, n_iter: int = 10, vec_col: str = "embedding",
         head = ds.sort(id_col).limit(k).to_pandas()
         cents = np.stack([np.asarray(v, dtype) for v in head[vec_col]])
     else:
-        cents = train_centroids(ds, k, vec_col, seed=seed).astype(dtype)
+        cents = train_centroids(ds, k, vec_col, seed=seed,
+                                normalize=metric == "cosine").astype(dtype)
     if metric == "cosine":
         cents = _normalize(cents)
     k = cents.shape[0]
@@ -460,3 +472,147 @@ def cosine_neardup_lsh(ds, threshold: float = 0.9, nbits: int = 16,
                                   "est_jaccard": "cos_sim"})
 
     return deduped.map_batches(rename, batch_format="pandas")
+
+
+def pq_train(ds, m: int = 8, k: int = 16, vec_col: str = "embedding",
+             id_col: str = "vec_id", n_iter: int = 10, seed: int = 7,
+             dtype=np.float64):
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    d-dim space into ``m`` subspaces and train an independent ``k``-way
+    k-means codebook per subspace with the DISTRIBUTED
+    :func:`kmeans_fit` loop — each of the m × n_iter iterations is one
+    streaming partial-sum pass, so training never materializes vectors
+    and the driver holds m small (k × d/m) codebooks.  Returns an
+    (m, k, d/m) ndarray.  ``d`` must divide evenly by ``m``."""
+
+    def sub_view(lo: int, hi: int):
+        def cut(batch: pa.Table) -> pa.Table:
+            x = _batch_matrix(batch, vec_col, dtype)[:, lo:hi]
+            return pa.table({
+                id_col: batch[id_col],
+                vec_col: pa.array(list(x.astype(dtype))),
+            })
+        return cut
+
+    head = ds.limit(1).to_pandas()
+    d = len(np.asarray(head[vec_col].iloc[0]))
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    w = d // m
+    books = np.empty((m, k, w), np.float64)
+    for s in range(m):
+        sub = ds.map_batches(sub_view(s * w, (s + 1) * w),
+                             batch_format="pyarrow", zero_copy_batch=True)
+        cents, _ = kmeans_fit(sub, k=k, n_iter=n_iter, vec_col=vec_col,
+                              id_col=id_col, metric="l2",
+                              init="sample", seed=seed + s, dtype=dtype)
+        books[s, :len(cents)] = cents
+        if len(cents) < k:  # degenerate tiny corpus: pad with repeats
+            books[s, len(cents):] = cents[-1]
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
+              id_col: str = "vec_id", dtype=np.float64):
+    """Map-only PQ encoding: each vector becomes ``m`` uint8 codes
+    (nearest sub-centroid per subspace).  Output (id, codes list<uint8>)
+    — 8 bytes/vector at m=8, a 32× compression of 64-dim float32."""
+    cb = np.ascontiguousarray(codebooks, np.float64)
+    ref = ray.put(cb)
+    m, k, w = cb.shape
+
+    def encode(batch: pa.Table) -> pa.Table:
+        books = ray.get(ref)
+        x = _batch_matrix(batch, vec_col, dtype)
+        n = x.shape[0]
+        codes = np.empty((n, m), np.uint8)
+        for s in range(m):  # m small matmuls, vectorized over the batch
+            xs = x[:, s * w:(s + 1) * w]
+            d2 = ((xs * xs).sum(1, keepdims=True)
+                  - 2.0 * (xs @ books[s].T)
+                  + (books[s] * books[s]).sum(1))
+            codes[:, s] = d2.argmin(axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "pq_codes": pa.array(list(codes)),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def knn_pq(codes_ds, queries: np.ndarray, codebooks: np.ndarray,
+           k: int = 10, id_col: str = "vec_id"):
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded Dataset: per
+    query build the (m, K) lookup table of exact query-to-sub-centroid
+    squared distances once, then every batch scores vectors with pure
+    table gathers + a row sum — no float vectors are ever read back.
+    Returns (query_id, rank, vec_id, adc_dist), ties (dist asc, id asc).
+    The per-batch partial top-k reduces through
+    ``groupby(query_id).map_groups`` so the driver receives exactly
+    q × k rows."""
+    import pandas as pd
+
+    cb = np.ascontiguousarray(codebooks, np.float64)
+    m, K, w = cb.shape
+    q = np.ascontiguousarray(queries, np.float64)
+    nq = q.shape[0]
+    # (nq, m, K) query LUTs: ||q_s - c_sk||^2
+    luts = np.empty((nq, m, K), np.float64)
+    for s in range(m):
+        qs = q[:, s * w:(s + 1) * w]
+        luts[:, s, :] = ((qs * qs).sum(1, keepdims=True)
+                         - 2.0 * (qs @ cb[s].T)
+                         + (cb[s] * cb[s]).sum(1))
+    ref = ray.put(luts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        arr = batch["pq_codes"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if hasattr(arr, "values"):  # plain list<uint8> (the native layout)
+            codes = arr.values.to_numpy(zero_copy_only=False) \
+                .astype(np.int64).reshape(len(arr), m)
+        else:  # Ray tensor-extension array (e.g. after a pandas round-trip)
+            codes = np.asarray(arr.to_numpy(zero_copy_only=False)) \
+                .astype(np.int64).reshape(len(arr), m)
+        ids = batch[id_col].to_numpy()
+        out_q, out_id, out_d = [], [], []
+        for qi in range(nq):
+            # gather: dist[i] = sum_s lut[qi, s, codes[i, s]]
+            d = lut[qi][np.arange(m)[None, :], codes].sum(axis=1)
+            kk = min(k, d.size)
+            order = np.lexsort((ids, d))[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_id.append(ids[order])
+            out_d.append(d[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id).astype(np.int64)),
+            "adc_dist": pa.array(np.concatenate(out_d)),
+        })
+
+    parts = codes_ds.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=4096)
+
+    def topk_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["adc_dist", id_col],
+                            ascending=[True, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int32)
+        return df[["query_id", "rank", id_col, "adc_dist"]]
+
+    out = parts.groupby("query_id") \
+        .map_groups(topk_group, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         id_col: pa.array([], pa.int64()),
+                         "adc_dist": pa.array([], pa.float64())})
+    out = out.sort_values(["query_id", "rank"])
+    return pa.table({
+        "query_id": pa.array(out["query_id"].to_numpy(np.int64)),
+        "rank": pa.array(out["rank"].to_numpy(np.int32)),
+        id_col: pa.array(out[id_col].to_numpy(np.int64)),
+        "adc_dist": pa.array(out["adc_dist"].to_numpy(np.float64)),
+    })

@@ -517,6 +517,49 @@ def test_kmeans_cosine_spherical(ray_session):
     assert (out.dist.to_numpy() < 0.05).all()  # tight angular clusters
 
 
+def test_pq_adc_recall(ray_session):
+    """PQ train → encode → ADC top-k: decent recall vs exact L2 on
+    clustered vectors, deterministic across runs, 1-byte-per-subspace
+    codes."""
+    import ray.data
+
+    from rayindex.datapipe.ann import knn_pq, pq_encode, pq_train
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(scale=5.0, size=(6, 16))
+    labels = rng.integers(0, 6, 400)
+    vecs = centers[labels] + rng.normal(scale=0.4, size=(400, 16))
+    t = pa.table({"vec_id": pa.array(np.arange(400, dtype=np.int64)),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t).repartition(5)
+    books = pq_train(ds, m=8, k=32, n_iter=12, seed=3)
+    assert books.shape == (8, 32, 2)
+    codes = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    assert all(len(c) == 8 for c in codes.pq_codes)
+    codes_ds = ray.data.from_pandas(codes).repartition(5)
+    queries = vecs[:5]
+    got = knn_pq(codes_ds, queries, books, k=10).to_pandas()
+    # exact L2 reference
+    recalls = []
+    for qi in range(5):
+        d = ((vecs - queries[qi]) ** 2).sum(1)
+        exact = set(np.lexsort((np.arange(400), d))[:10].tolist())
+        approx = set(got[got.query_id == qi].vec_id.tolist())
+        recalls.append(len(exact & approx) / 10)
+    assert np.mean(recalls) >= 0.6, recalls
+    # coarse correctness: every ADC top-10 member is from the query's blob
+    for qi in range(5):
+        hit_labels = labels[got[got.query_id == qi].vec_id.to_numpy()]
+        assert (hit_labels == labels[qi]).all()
+    # self-match: each query's own vector lands in its top-10
+    for qi in range(5):
+        assert qi in got[got.query_id == qi].vec_id.tolist()
+    # determinism: same seed -> identical codebooks
+    books2 = pq_train(ds, m=8, k=32, n_iter=12, seed=3)
+    assert np.array_equal(books, books2)
+
+
 def test_knn_brute_matches_numpy(ray_session):
     import ray.data
 
