@@ -943,6 +943,24 @@ def _q_repetition(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_curate(sf_dir: str):
+    """End-to-end curation chain: quality gate (n_tokens >= 5) +
+    repetition gates (dup_line_frac <= 0.30, top_2gram_char_frac <=
+    0.25) + decontamination vs the doc_id < 25 bench slice (5-grams) +
+    exact dedup keeping the lowest id.  All signals in ONE shared
+    map_batches pass; the dedup groupby is the only shuffle."""
+    import pyarrow.dataset as pads
+
+    from rayindex.datapipe.curate import benchmark_gram_set, curate
+
+    bench = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"],
+                          filter=pads.field("doc_id") < 25)
+    grams = benchmark_gram_set(bench, n=5)
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return curate(ds, grams, min_tokens=5, max_dup_line_frac=0.30,
+                  max_top2_frac=0.25, decontam_n=5)
+
+
 def _q_tfidf_topk(sf_dir: str):
     """Per-doc top-5 TF-IDF keywords: distributed df pass (partial
     distinct-pair counts + groupby(term) sum) broadcast once, then a
@@ -1847,6 +1865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_xent": _q_lm_xent,
         "decontaminate": _q_decontaminate,
         "tfidf_topk": _q_tfidf_topk,
+        "curate": _q_curate,
         "knn_pq": _q_knn_pq,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
@@ -2663,6 +2682,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(coalesce(agg.sum_len / agg.n_tokens::DOUBLE, 0) * 1e6)
                         AS BIGINT) AS avg_token_len_micro
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "curate": f"""
+            WITH tokl AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9_]+') AS tl
+                          FROM documents),
+            ln AS (
+              SELECT doc_id, trim(l, ' ' || chr(9) || chr(13)) AS line
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                    FROM documents)),
+            lg AS (SELECT doc_id, line, count(*) AS c
+                   FROM ln WHERE length(line) > 0 GROUP BY doc_id, line),
+            la AS (SELECT doc_id, sum(c) AS n_lines,
+                          sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ
+                   FROM lg GROUP BY doc_id),
+            tok AS (SELECT doc_id, unnest(tl) AS t FROM tokl),
+            tc AS (SELECT doc_id, sum(length(t)) AS tt FROM tok
+                   GROUP BY doc_id),
+            g2 AS (SELECT doc_id, unnest(gl) AS gram
+                   FROM (SELECT doc_id,
+                                list_transform(range(1, len(tl)), i ->
+                                  array_to_string(list_slice(tl, i, i + 1),
+                                                  ' ')) AS gl
+                         FROM tokl WHERE len(tl) >= 2)),
+            g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2
+                    GROUP BY doc_id, gram),
+            t2 AS (SELECT doc_id,
+                          max(CASE WHEN c >= 2
+                                   THEN c * (length(gram) - 1)
+                                   ELSE 0 END) AS top2
+                   FROM g2c GROUP BY doc_id),
+            {_FNV_CTE.replace('tokl AS', 'tokl_f AS').replace(
+                'FROM tokl', 'FROM tokl_f')},
+            hl AS (SELECT doc_id, list(h ORDER BY i) AS hs
+                   FROM th GROUP BY doc_id),
+            gr AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(hs) - 3),
+                   i -> list_reduce(
+                          list_prepend(CAST(0 AS HUGEINT),
+                                       list_slice(hs, i, i + 4)),
+                          (a, x) -> (a * 1000003 + x)
+                                    % 18446744073709551616))) AS gl
+               FROM hl WHERE len(hs) >= 5),
+            g AS (SELECT doc_id, unnest(gl) AS gh FROM gr),
+            bg AS (SELECT DISTINCT gh FROM g WHERE doc_id < 25),
+            m AS (SELECT g.doc_id, count(*) AS nm FROM g
+                  JOIN bg USING (gh) GROUP BY g.doc_id),
+            keep AS (
+              SELECT d.doc_id, d.text, len(tokl.tl) AS n_tokens
+              FROM documents d
+              JOIN tokl ON d.doc_id = tokl.doc_id
+              LEFT JOIN la ON d.doc_id = la.doc_id
+              LEFT JOIN t2 ON d.doc_id = t2.doc_id
+              LEFT JOIN tc ON d.doc_id = tc.doc_id
+              LEFT JOIN m ON d.doc_id = m.doc_id
+              WHERE len(tokl.tl) >= 5
+                AND coalesce(la.dup_occ / la.n_lines::DOUBLE, 0) <= 0.30
+                AND coalesce(t2.top2 / tc.tt::DOUBLE, 0) <= 0.25
+                AND coalesce(m.nm, 0) = 0)
+            SELECT min(doc_id)::BIGINT AS doc_id,
+                   min(n_tokens)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_dups
+            FROM keep GROUP BY text
         """,
         "tfidf_topk": """
             WITH tokl AS (SELECT doc_id,

@@ -407,6 +407,34 @@ def test_decontaminate_flags_overlap(ray_session):
     assert out.loc[4].n_grams == 0 and out.loc[4].contaminated == 0
 
 
+def test_curate_pipeline_gates(ray_session):
+    """Each gate of the composed curation chain fires on its designed
+    victim; duplicates collapse to the lowest id."""
+    import ray.data
+
+    from rayindex.datapipe.curate import benchmark_gram_set, curate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        bench_text,                                      # 0: bench slice
+        "clean document with plenty of distinct words inside",   # 1 keep
+        "tiny doc",                                      # 2: < 5 tokens
+        "spam spam spam spam spam spam spam spam only",  # 3: top-2gram
+        "same line\nsame line\nsame line\nother words here",  # 4: dup lines
+        "prefix alpha beta gamma delta epsilon suffix words",  # 5: contam
+        "clean document with plenty of distinct words inside",   # 6 dup of 1
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    ds = ray.data.from_arrow(t).repartition(2)
+    grams = benchmark_gram_set(ds.filter(lambda r: r["doc_id"] == 0), n=5)
+    out = curate(ds, grams, min_tokens=5, max_dup_line_frac=0.30,
+                 max_top2_frac=0.25, decontam_n=5).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [1]  # everything else gated
+    assert int(out.n_dups.iloc[0]) == 2        # doc 6 collapsed into 1
+    assert int(out.n_tokens.iloc[0]) == 8
+
+
 def test_bigram_lm_xent_matches_bruteforce(ray_session):
     """Distributed bigram-LM train + map-only scoring vs a Counter-based
     reference (add-alpha smoothing, context-count denominators)."""
