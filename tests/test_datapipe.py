@@ -407,6 +407,59 @@ def test_decontaminate_flags_overlap(ray_session):
     assert out.loc[4].n_grams == 0 and out.loc[4].contaminated == 0
 
 
+def test_repetition_property_random_docs():
+    """Property test: repetition_batch == the Counter/coverage reference
+    on randomly generated repetitive docs (no Ray needed — pure batch
+    kernel)."""
+    import re
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rayindex.datapipe.text import repetition_batch
+
+    words = ["aa", "bb", "cc", "dd", "lorem", "x1"]
+    doc_strategy = st.lists(
+        st.sampled_from(words + ["\n"]), min_size=0, max_size=60) \
+        .map(lambda ws: " ".join(ws))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc_strategy, min_size=1, max_size=6))
+    def check(docs):
+        t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs)})
+        got = repetition_batch(t).to_pandas()
+        for i, txt in enumerate(docs):
+            lines = [ln.strip(" \t\r") for ln in txt.split("\n")]
+            lines = [ln for ln in lines if ln]
+            c = Counter(lines)
+            dup = [ln for ln in lines if c[ln] >= 2]
+            toks = re.findall(r"[a-z0-9_]+", txt.lower())
+            tt = sum(map(len, toks))
+            g2 = Counter(tuple(toks[j:j + 2])
+                         for j in range(len(toks) - 1))
+            top2 = max([n * (len(a) + len(b)) for (a, b), n in g2.items()
+                        if n >= 2], default=0)
+            g5 = Counter(tuple(toks[j:j + 5])
+                         for j in range(len(toks) - 4))
+            cov = np.zeros(len(toks), bool)
+            for j in range(len(toks) - 4):
+                if g5[tuple(toks[j:j + 5])] >= 2:
+                    cov[j:j + 5] = True
+            covc = sum(len(tk) for j, tk in enumerate(toks) if cov[j])
+            r = got.iloc[i]
+            assert r.n_lines == len(lines)
+            assert r.dup_line_frac == pytest.approx(
+                len(dup) / len(lines) if lines else 0.0)
+            assert r.top_2gram_char_frac == pytest.approx(
+                top2 / tt if tt else 0.0)
+            assert r.dup_5gram_char_frac == pytest.approx(
+                covc / tt if tt else 0.0)
+
+    check()
+
+
 def test_curate_pipeline_gates(ray_session):
     """Each gate of the composed curation chain fires on its designed
     victim; duplicates collapse to the lowest id."""
