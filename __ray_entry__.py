@@ -943,6 +943,15 @@ def _q_repetition(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_chunk_documents(sf_dir: str):
+    """RAG sliding-window chunking (window 64, stride 48): map-only,
+    one repeat/cumsum ladder + gather + ListArray join per batch."""
+    from rayindex.datapipe.pack import chunk_documents
+
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return chunk_documents(ds, window=64, stride=48)
+
+
 def _q_curate(sf_dir: str):
     """End-to-end curation chain: quality gate (n_tokens >= 5) +
     repetition gates (dup_line_frac <= 0.30, top_2gram_char_frac <=
@@ -1866,6 +1875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "tfidf_topk": _q_tfidf_topk,
         "curate": _q_curate,
+        "chunk_documents": _q_chunk_documents,
         "knn_pq": _q_knn_pq,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
@@ -2682,6 +2692,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(coalesce(agg.sum_len / agg.n_tokens::DOUBLE, 0) * 1e6)
                         AS BIGINT) AS avg_token_len_micro
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "chunk_documents": """
+            WITH tokl AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9_]+') AS tl
+                          FROM documents),
+            j AS (SELECT doc_id, tl, len(tl) AS n,
+                         CASE WHEN len(tl) > 64
+                              THEN (len(tl) - 64 + 47) // 48
+                              ELSE 0 END AS jmax
+                  FROM tokl WHERE len(tl) > 0),
+            c AS (SELECT doc_id, tl, n, unnest(range(0, jmax + 1)) AS cid
+                  FROM j)
+            SELECT doc_id,
+                   CAST(cid AS BIGINT) AS chunk_id,
+                   CAST(cid * 48 AS BIGINT) AS start_tok,
+                   CAST(least(64, n - cid * 48) AS BIGINT) AS n_tokens,
+                   array_to_string(
+                     list_slice(tl, cid * 48 + 1,
+                                least(cid * 48 + 64, n)), ' ') AS chunk_text
+            FROM c
         """,
         "curate": f"""
             WITH tokl AS (SELECT doc_id,

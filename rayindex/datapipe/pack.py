@@ -92,3 +92,70 @@ def pack_sequences(ds, seq_len: int, *, id_col: str = "doc_id",
         return _chunk_spans(ids, n, base, seq_len)
 
     return counts.groupby("range_id").map_groups(pack, batch_format="pandas")
+
+
+def chunk_documents(ds, window: int = 64, stride: int = 48,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """RAG-style sliding-window chunking: split each document's token
+    stream into overlapping windows of ``window`` tokens advancing by
+    ``stride`` (the retrieval-corpus preparation step; overlap =
+    window − stride keeps boundary context retrievable).
+
+    Map-only and fully vectorized: chunk starts come from one
+    repeat/cumsum ladder over per-doc token counts, chunk text is
+    rebuilt with one gather + ``pc.binary_join_element_wise``-free
+    ListArray join — no Python per chunk.  Chunk ``j`` of a doc with
+    ``n`` tokens covers ``[j·stride, min(j·stride + window, n))``;
+    ``j`` runs to ``(n − window + stride − 1) // stride`` when
+    ``n > window`` (every token covered, last chunk may be short), 0
+    otherwise.  Token-less docs emit nothing.  Output: (id, chunk_id,
+    start_tok, n_tokens, chunk_text) with space-joined ascii tokens —
+    the same reconstruction contract as spans.dedup_substrings."""
+    import pyarrow.compute as pc
+
+    from .text import _flat_tokens
+
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        codes, _, doc_of, n_docs, vocab = _flat_tokens(batch[text_col])
+        empty = pa.table({
+            id_col: pa.array([], batch[id_col].type),
+            "chunk_id": pa.array([], pa.int64()),
+            "start_tok": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        })
+        if codes.size == 0:
+            return empty
+        n = np.bincount(doc_of, minlength=n_docs)  # tokens per doc
+        nz = np.flatnonzero(n)
+        nn = n[nz]
+        doc_start = np.concatenate([[0], np.cumsum(n)])[nz]
+        jmax = np.where(nn > window,
+                        (nn - window + stride - 1) // stride, 0)
+        n_chunks = jmax + 1
+        ch_doc = np.repeat(np.arange(nz.size), n_chunks)
+        grp_start = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+        within = np.arange(ch_doc.size) - np.repeat(grp_start, n_chunks)
+        start = within * stride
+        clen = np.minimum(window, nn[ch_doc] - start)
+        # gather: token index ladder per chunk
+        offs = np.concatenate([[0], np.cumsum(clen)])
+        idx = (np.arange(offs[-1]) - np.repeat(offs[:-1], clen)
+               + np.repeat(doc_start[ch_doc] + start, clen))
+        toks = pc.take(vocab, pa.array(codes[idx]))
+        la = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), toks)
+        txt = pc.binary_join(la, " ")
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[nz[ch_doc]]),
+            "chunk_id": pa.array(within.astype(np.int64)),
+            "start_tok": pa.array(start.astype(np.int64)),
+            "n_tokens": pa.array(clen.astype(np.int64)),
+            "chunk_text": txt,
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow",
+                          zero_copy_batch=True)

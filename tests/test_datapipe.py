@@ -407,6 +407,42 @@ def test_decontaminate_flags_overlap(ray_session):
     assert out.loc[4].n_grams == 0 and out.loc[4].contaminated == 0
 
 
+def test_chunk_documents_windows(ray_session):
+    """Sliding-window chunking: boundary math, full token coverage,
+    overlap, and text reconstruction against a per-doc reference."""
+    import re
+
+    import ray.data
+
+    from rayindex.datapipe.pack import chunk_documents
+
+    docs = ["", "one two three",
+            " ".join(f"w{i}" for i in range(10)),
+            " ".join(f"t{i}" for i in range(23))]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = chunk_documents(ds, window=8, stride=5).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"])
+    assert 0 not in out.doc_id.tolist()  # empty doc emits nothing
+    for i, txt in enumerate(docs):
+        toks = re.findall(r"[a-z0-9_]+", txt.lower())
+        got = out[out.doc_id == i]
+        n = len(toks)
+        if n == 0:
+            assert got.empty
+            continue
+        jmax = (n - 8 + 4) // 5 if n > 8 else 0
+        assert got.chunk_id.tolist() == list(range(jmax + 1))
+        covered = set()
+        for _, r in got.iterrows():
+            s, ln = int(r.start_tok), int(r.n_tokens)
+            assert ln == min(8, n - s) and ln > 0
+            assert r.chunk_text == " ".join(toks[s:s + ln])
+            covered |= set(range(s, s + ln))
+        assert covered == set(range(n))  # every token in >= 1 chunk
+
+
 def test_repetition_property_random_docs():
     """Property test: repetition_batch == the Counter/coverage reference
     on randomly generated repetitive docs (no Ray needed — pure batch
