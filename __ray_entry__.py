@@ -952,6 +952,16 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, window=64, stride=48)
 
 
+def _q_top_bigrams(sf_dir: str):
+    """Corpus top-20 bigram collocations: within-batch-combined partial
+    counts -> groupby(w1,w2) sum -> native sort+limit (the driver sees
+    20 rows, never the vocabulary)."""
+    from rayindex.datapipe.lm import top_bigrams
+
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return top_bigrams(ds, n=20)
+
+
 def _q_curate(sf_dir: str):
     """End-to-end curation chain: quality gate (n_tokens >= 5) +
     repetition gates (dup_line_frac <= 0.30, top_2gram_char_frac <=
@@ -1876,6 +1886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "curate": _q_curate,
         "chunk_documents": _q_chunk_documents,
+        "top_bigrams": _q_top_bigrams,
         "knn_pq": _q_knn_pq,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
@@ -2692,6 +2703,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(coalesce(agg.sum_len / agg.n_tokens::DOUBLE, 0) * 1e6)
                         AS BIGINT) AS avg_token_len_micro
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "top_bigrams": """
+            WITH tokl AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9_]+') AS tl
+                          FROM documents),
+            tok AS (SELECT doc_id, generate_subscripts(tl, 1) AS i,
+                           unnest(tl) AS t FROM tokl),
+            bg AS (SELECT a.doc_id, a.t AS w1, b.t AS w2
+                   FROM tok a JOIN tok b
+                     ON b.doc_id = a.doc_id AND b.i = a.i + 1)
+            SELECT w1, w2, count(*)::BIGINT AS c FROM bg
+            GROUP BY w1, w2
+            ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 20
         """,
         "chunk_documents": """
             WITH tokl AS (SELECT doc_id,

@@ -37,7 +37,7 @@ import ray
 
 from .text import _flat_tokens
 
-__all__ = ["bigram_counts", "bigram_model", "score_xent"]
+__all__ = ["bigram_counts", "bigram_model", "score_xent", "top_bigrams"]
 
 
 def bigram_counts(ds, text_col: str = "text"):
@@ -146,3 +146,13 @@ def score_xent(ds, model_ref, alpha: float = 0.1, text_col: str = "text",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def top_bigrams(ds, n: int = 20, text_col: str = "text"):
+    """Corpus-wide top-``n`` bigram collocations by count (ties: w1 asc,
+    w2 asc) — the n-gram-resource view of :func:`bigram_counts`.  The
+    cut is a NATIVE ``sort(descending).limit(n)``: the full count table
+    never reaches the driver, only ``n`` rows do."""
+    return (bigram_counts(ds, text_col)
+            .sort(["c", "w1", "w2"], descending=[True, False, False])
+            .limit(n))

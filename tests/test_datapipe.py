@@ -407,6 +407,20 @@ def test_decontaminate_flags_overlap(ray_session):
     assert out.loc[4].n_grams == 0 and out.loc[4].contaminated == 0
 
 
+def test_top_bigrams(ray_session):
+    import ray.data
+
+    from rayindex.datapipe.lm import top_bigrams
+
+    docs = ["a b a b a b", "a b c d", "c d c d"]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(docs)})
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = top_bigrams(ds, n=3).to_pandas()
+    assert list(map(tuple, out.to_records(index=False))) == [
+        ("a", "b", 4), ("c", "d", 3), ("b", "a", 2)]
+
+
 def test_chunk_documents_windows(ray_session):
     """Sliding-window chunking: boundary math, full token coverage,
     overlap, and text reconstruction against a per-doc reference."""
