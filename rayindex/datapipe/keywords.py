@@ -100,12 +100,15 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text",
         df_term = np.where(gid >= 0, gdf[np.maximum(gid, 0)], 0)
         idf = np.log((N + 1.0) / (df_term + 1.0)) + 1.0
         sc = tf.astype(np.float64) * idf
-        # tie-break for terms outside the pruned vocab: fall back to the
-        # batch-dictionary sort order, offset past every global rank
-        brank = np.argsort(np.argsort(
-            np.asarray(bvocab.to_pylist(), object), kind="stable"))
-        trank = np.where(gid >= 0, grank[np.maximum(gid, 0)],
-                         len(gdf) + brank[p_code])
+        if (gid < 0).any():
+            # tie-break for terms outside the pruned vocab: fall back to
+            # the batch-dictionary sort order, past every global rank
+            brank = np.argsort(np.argsort(
+                np.asarray(bvocab.to_pylist(), object), kind="stable"))
+            trank = np.where(gid >= 0, grank[np.maximum(gid, 0)],
+                             len(gdf) + brank[p_code])
+        else:  # unpruned vocab (min_df=1): every term has a global rank
+            trank = grank[gid]
         sel = np.lexsort((trank, -sc, p_doc))
         first = np.searchsorted(p_doc[sel], np.unique(p_doc))
         within = np.arange(sel.size) - np.repeat(
