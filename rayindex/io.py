@@ -18,6 +18,7 @@ path and ``os.replace`` afterwards, exactly as with a normal write.
 
 from __future__ import annotations
 
+import json
 import mmap
 import os
 import queue
@@ -244,3 +245,87 @@ def read_parquet_clean(paths, *, columns=None, **kwargs):
         return ray.data.read_parquet(paths, columns=columns, **kwargs)
     return ray.data.read_parquet(paths, schema=schema, columns=columns,
                                  **kwargs)
+
+
+def write_partitioned(ds, out_dir: str, by: str | None = None,
+                      num_partitions: int = 64,
+                      overwrite: bool = False) -> dict:
+    """Resumable partitioned Parquet sink: one ``part-NNNNN.parquet``
+    per partition plus an atomically renamed ``part-NNNNN.done.json``
+    manifest (row count).  A re-run of the same pipeline SKIPS every
+    partition whose manifest already exists — the unit of resume at
+    100-TB scale is the write tail, where a failed job otherwise
+    rewrites everything (``overwrite=True`` clears manifests first).
+
+    ``by``: partition rows by ``crc32(str(value)) % num_partitions`` of
+    a key column (co-locating equal keys, so downstream per-key readers
+    touch one file) — hashed once per unique value, gathered per row.
+    ``None`` assigns rows round-robin by batch hash — balanced, no
+    co-location contract, and NOT resume-safe (batch boundaries are not
+    stable across runs, so manifests are ignored and every partition
+    rewrites; skip-finished resume requires ``by``).  Partitioning + write run as ONE
+    ``groupby(_part).map_groups`` — each partition is written inside a
+    task, the driver only receives one summary row per partition.
+    Size ``num_partitions`` so a partition fits a worker's heap.
+
+    Returns ``{"written": n, "skipped": n, "rows": total}``."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    if overwrite:
+        for f in os.listdir(out_dir):
+            if f.endswith(".done.json") or f.endswith(".parquet"):
+                os.unlink(os.path.join(out_dir, f))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        if by is not None:
+            # hash once per UNIQUE key value (dictionary), then gather
+            enc = batch[by].combine_chunks().dictionary_encode()
+            uk = np.asarray(
+                [zlib.crc32(str(v).encode()) % num_partitions
+                 for v in enc.dictionary.to_pylist()], np.int32)
+            part = pa.array(
+                uk[enc.indices.to_numpy(zero_copy_only=False)], pa.int32())
+        else:
+            h = zlib.crc32(repr(
+                (batch.num_rows,
+                 batch[batch.column_names[0]][0].as_py()
+                 if batch.num_rows else 0)).encode())
+            part = pa.array([h % num_partitions] * batch.num_rows,
+                            pa.int32())
+        return batch.append_column("_part", part)
+
+    def write_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pyarrow.parquet as pq
+        pid = int(df["_part"].iloc[0])
+        dest = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+        done = os.path.join(out_dir, f"part-{pid:05d}.done.json")
+        if by is not None and os.path.exists(done):
+            return pd.DataFrame({"part": [pid], "rows": [len(df)],
+                                 "skipped": [True]})
+        body = df.drop(columns=["_part"])
+        tmp = dest + ".tmp"
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False),
+                       tmp)
+        os.replace(tmp, dest)
+        dtmp = done + ".tmp"
+        with open(dtmp, "w") as f:
+            json.dump({"rows": len(body)}, f)
+        os.replace(dtmp, done)  # manifest lands only after the data file
+        return pd.DataFrame({"part": [pid], "rows": [len(df)],
+                             "skipped": [False]})
+
+    summary = (ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("_part")
+               .map_groups(write_group, batch_format="pandas")
+               .to_pandas())
+    return {
+        "written": int((~summary["skipped"]).sum()),
+        "skipped": int(summary["skipped"].sum()),
+        "rows": int(summary["rows"].sum()),
+    }

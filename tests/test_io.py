@@ -140,3 +140,59 @@ def test_read_parquet_clean_strips_pandas_metadata(tmp_path, ray_session):
     dds = read_parquet_clean(str(d), columns=["b"])
     assert dds.count() == 6
     assert dds.schema().base_schema.metadata is None
+
+
+def test_write_partitioned_resume(ray_session, tmp_path):
+    """Key-partitioned resumable sink: equal keys co-locate, a second run
+    skips every finished partition, and deleting one manifest rewrites
+    exactly that partition."""
+    import glob
+    import json as _json
+    import os
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rayindex.io import write_partitioned
+
+    t = pa.table({
+        "user": pa.array([f"u{i % 7}" for i in range(100)]),
+        "v": pa.array(range(100), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = str(tmp_path / "sink")
+    r1 = write_partitioned(ds, out, by="user", num_partitions=5)
+    assert r1["skipped"] == 0 and r1["rows"] == 100
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert files and len(files) == r1["written"]
+    # co-location + routing: every row sits in its crc32 partition
+    for f in files:
+        pid = int(os.path.basename(f)[5:10])
+        got = pq.read_table(f)
+        for u in set(got["user"].to_pylist()):
+            assert zlib.crc32(str(u).encode()) % 5 == pid
+    # manifests agree with data
+    total = 0
+    for f in files:
+        with open(f.replace(".parquet", ".done.json")) as fh:
+            total += _json.load(fh)["rows"]
+    assert total == 100
+    # resume: everything skips, data files untouched
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    r2 = write_partitioned(ds, out, by="user", num_partitions=5)
+    assert r2["written"] == 0 and r2["skipped"] == len(files)
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
+    # delete one manifest -> exactly that partition rewrites
+    victim = files[0]
+    os.unlink(victim.replace(".parquet", ".done.json"))
+    r3 = write_partitioned(ds, out, by="user", num_partitions=5)
+    assert r3["written"] == 1 and r3["skipped"] == len(files) - 1
+    assert os.path.getmtime(victim) > mtimes[victim]
+    for f in files[1:]:
+        assert os.path.getmtime(f) == mtimes[f]
+    # overwrite clears and rewrites all
+    r4 = write_partitioned(ds, out, by="user", num_partitions=5,
+                           overwrite=True)
+    assert r4["written"] == len(files) and r4["skipped"] == 0
