@@ -419,6 +419,13 @@ def run_bench() -> dict:
     decontaminate(dds, grams, n=13).count()
     timings["decontam_sec"] = time.perf_counter() - t0
 
+    # the composed curation chain (all gates one pass + dedup groupby)
+    from rayindex.datapipe.curate import curate
+
+    t0 = time.perf_counter()
+    curate(dds, grams, decontam_n=13).count()
+    timings["curate_sec"] = time.perf_counter() - t0
+
     shutil.rmtree(out, ignore_errors=True)
     ray.shutdown()
 
