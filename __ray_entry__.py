@@ -952,6 +952,15 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, window=64, stride=48)
 
 
+def _q_dataset_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by FNV key hash
+    interval — leakage-proof by construction, map-only."""
+    from rayindex.datapipe.sampling import dataset_split
+
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id"])
+    return dataset_split(ds, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def _q_top_bigrams(sf_dir: str):
     """Corpus top-20 bigram collocations: within-batch-combined partial
     counts -> groupby(w1,w2) sum -> native sort+limit (the driver sees
@@ -1887,6 +1896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": _q_curate,
         "chunk_documents": _q_chunk_documents,
         "top_bigrams": _q_top_bigrams,
+        "dataset_split": _q_dataset_split,
         "knn_pq": _q_knn_pq,
         # -- index core (driver-verified in round 3, re-verified here) ----
         "term_stats": _q_term_stats,
@@ -3172,6 +3182,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN (SELECT node FROM victims)
         """,
         # deterministic key-hash sampling (keep iff fnv1a64(id) %% 1e6 < t)
+        "dataset_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {_fnv64_id_sql('doc_id')} % 1000000 < 800000
+                          THEN 'train'
+                        WHEN {_fnv64_id_sql('doc_id')} % 1000000 < 900000
+                          THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
         "hash_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_fnv64_id_sql('doc_id')} % 1000000 < 250000

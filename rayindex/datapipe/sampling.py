@@ -85,3 +85,32 @@ def stratified_sample(ds, rates: dict[str, float], strata_col: str,
         return t.filter(pa.array(h % np.uint64(_MOD) < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dataset_split(ds, weights: "dict[str, float]", key_col: str = "doc_id"):
+    """Deterministic train/val/test assignment: each row lands in the
+    split whose cumulative-weight interval contains
+    ``fnv1a64(key) % 1e6`` — order-independent, resume-safe, disjoint
+    and exhaustive (weights must sum to 1 within 1e-9).  One stateless
+    map-only pass adding a ``split`` column; the same key always lands
+    in the same split across runs and machines, so leakage between
+    splits is impossible by construction."""
+    names = list(weights)
+    w = np.asarray([weights[k] for k in names], np.float64)
+    if abs(w.sum() - 1.0) > 1e-9:
+        raise ValueError(f"weights sum to {w.sum()}, need 1.0")
+    bounds = np.round(np.cumsum(w) * _MOD).astype(np.uint64)
+    bounds[-1] = _MOD  # guard fp drift: last interval always closes
+    arr = np.asarray(names, object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("split", pa.array([], pa.string()))
+        h = fnv1a_u64(t[key_col].combine_chunks().cast(pa.int64())
+                      .to_numpy(zero_copy_only=False)) % np.uint64(_MOD)
+        idx = np.searchsorted(bounds, h, side="right")
+        return t.append_column("split",
+                               pa.array(arr[idx].tolist(), pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -1238,3 +1238,28 @@ def test_hash_tokens_flat_matches_scalar_path():
         want = [int(hash_token(x)) for x in toks]
         got = [int(x) for x in flat[offs[i]:offs[i + 1]]]
         assert want == got, f"doc {i}"
+
+
+def test_dataset_split_deterministic_disjoint(ray_session):
+    import ray.data
+
+    from rayindex.datapipe.sampling import dataset_split, fnv1a_u64
+
+    t = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = dataset_split(ds, {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .to_pandas().sort_values("doc_id")
+    # exhaustive + deterministic re-run
+    assert len(out) == 2000
+    out2 = dataset_split(ds, {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .to_pandas().sort_values("doc_id")
+    assert out.split.tolist() == out2.split.tolist()
+    # matches the scalar rule
+    h = fnv1a_u64(np.arange(2000, dtype=np.int64)) % np.uint64(1_000_000)
+    exp = np.where(h < 800000, "train", np.where(h < 900000, "val", "test"))
+    assert out.split.tolist() == exp.tolist()
+    # rough proportions
+    frac = out.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    with pytest.raises(ValueError):
+        dataset_split(ds, {"a": 0.5, "b": 0.4})
