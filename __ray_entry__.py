@@ -65,10 +65,15 @@ def _micro_cols(t: pa.Table, cols: tuple[str, ...]) -> pa.Table:
     """Replace float columns with integer micro-units (round(x*1e6)) so the
     driver's value-hash compares exactly — pyarrow round() and DuckDB
     round() produce different doubles for the same value, so floats can't
-    be hashed across engines."""
+    be hashed across engines.  Rounding rule must be DuckDB's
+    HALF-AWAY-FROM-ZERO (std::round), NOT numpy's half-to-even rint:
+    exact .5 micro boundaries occur in real data (e.g. a top-2gram
+    fraction of 45/640 = 0.0703125 → 70312.5) and rint sends them the
+    other way."""
     for c in cols:
         idx = t.column_names.index(c)
-        vals = np.rint(t[c].to_numpy(zero_copy_only=False).astype(np.float64) * 1e6)
+        x = t[c].to_numpy(zero_copy_only=False).astype(np.float64) * 1e6
+        vals = np.copysign(np.floor(np.abs(x) + 0.5), x)
         t = t.set_column(idx, c + "_micro", pa.array(vals.astype(np.int64), pa.int64()))
     return t
 
@@ -716,8 +721,12 @@ def _q_boolean_and_docs(sf_dir: str) -> pa.Table:
     index_dir, id_map = _ensure_index(sf_dir)
     r = IndexReader(index_dir)
     q = parse_query("scan AND customer", analyzer)
-    docs = boolean_docs(r, q, r.stats, SearchConfig())
-    return pa.table({"doc_id": pa.array(np.sort(id_map[docs]), pa.int64())})
+    # oracle view: the K5 cap (500) must select the same members as the
+    # SQL's ORDER BY doc_id LIMIT 500, so cap AFTER the external-id sort
+    # (the engine's own internal-order cap is pytest-gated separately)
+    docs = boolean_docs(r, q, r.stats, SearchConfig(boolean_cap=1 << 62))
+    return pa.table({"doc_id": pa.array(
+        np.sort(id_map[docs])[:500], pa.int64())})
 
 
 def _q_phrase_match_docs(sf_dir: str) -> pa.Table:
@@ -794,7 +803,9 @@ def _q_vsm_scores(sf_dir: str) -> pa.Table:
         if res is None:
             continue
         docs, scores = res
-        micro = np.rint(scores * 1e6).astype(np.int64)
+        # same HALF-AWAY rule as _micro_cols (DuckDB round parity)
+        x = scores * 1e6
+        micro = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
         keep = micro > 0
         rows["query_id"].extend([qid] * int(keep.sum()))
         rows["doc_id"].extend(id_map[docs[keep]].tolist())
@@ -835,8 +846,8 @@ def _q_boolean_or_docs(sf_dir: str) -> pa.Table:
     index_dir, id_map = _ensure_index(sf_dir)
     r = IndexReader(index_dir)
     q = parse_query("scan OR window", analyzer)
-    docs = boolean_docs(r, q, r.stats, SearchConfig())
-    return pa.table({"doc_id": pa.array(np.sort(id_map[docs]), pa.int64())})
+    docs = boolean_docs(r, q, r.stats, SearchConfig(boolean_cap=1 << 62))
+    return pa.table({"doc_id": pa.array(np.sort(id_map[docs])[:500], pa.int64())})
 
 
 def _q_boolean_andnot_docs(sf_dir: str) -> pa.Table:
@@ -849,8 +860,8 @@ def _q_boolean_andnot_docs(sf_dir: str) -> pa.Table:
     index_dir, id_map = _ensure_index(sf_dir)
     r = IndexReader(index_dir)
     q = parse_query("scan AND NOT window", analyzer)
-    docs = boolean_docs(r, q, r.stats, SearchConfig())
-    return pa.table({"doc_id": pa.array(np.sort(id_map[docs]), pa.int64())})
+    docs = boolean_docs(r, q, r.stats, SearchConfig(boolean_cap=1 << 62))
+    return pa.table({"doc_id": pa.array(np.sort(id_map[docs])[:500], pa.int64())})
 
 
 def _q_rerank_boost(sf_dir: str) -> pa.Table:

@@ -34,7 +34,10 @@ def _match_docs(index_dir: str, query: str,
     r = IndexReader(index_dir)
     q = parse_query(query, analyzer)
     if isinstance(q, BooleanQuery):
-        return np.sort(boolean_docs(r, q, r.stats, SearchConfig()))
+        # facets summarize the FULL match set — the serving-path boolean
+        # result cap (K5, 500) must not silently truncate the counts
+        return np.sort(boolean_docs(r, q, r.stats,
+                                    SearchConfig(boolean_cap=1 << 62)))
     if isinstance(q, ProximityQuery):
         # proximity facets count the candidate union of the window terms
         # (same relaxation the ranked path applies before the window test)
