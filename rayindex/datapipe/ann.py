@@ -30,7 +30,9 @@ def _batch_matrix(batch: pa.Table, col: str, dtype=np.float32) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = arr.values.to_numpy(zero_copy_only=False).astype(dtype)
+    # flatten() (not .values) respects ListArray slice offsets — a
+    # zero-copy sliced batch's .values still spans the parent buffer
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype)
     n = len(arr)
     return flat.reshape(n, -1)
 
@@ -571,8 +573,9 @@ def knn_pq(codes_ds, queries: np.ndarray, codebooks: np.ndarray,
         arr = batch["pq_codes"]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        if hasattr(arr, "values"):  # plain list<uint8> (the native layout)
-            codes = arr.values.to_numpy(zero_copy_only=False) \
+        if hasattr(arr, "flatten"):  # plain list<uint8> (the native layout)
+            # flatten() respects slice offsets; .values would not
+            codes = arr.flatten().to_numpy(zero_copy_only=False) \
                 .astype(np.int64).reshape(len(arr), m)
         else:  # Ray tensor-extension array (e.g. after a pandas round-trip)
             codes = np.asarray(arr.to_numpy(zero_copy_only=False)) \

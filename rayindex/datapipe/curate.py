@@ -41,8 +41,6 @@ def curate(ds, bench_grams: np.ndarray, *, min_tokens: int = 5,
     :func:`benchmark_gram_set`)."""
     from ray.data.aggregate import Count, Min
 
-    from .spans import decontaminate  # local import: avoids cycle risk
-
     ref = ray.put(np.ascontiguousarray(bench_grams, np.uint64))
 
     def score_and_gate(batch: pa.Table) -> pa.Table:

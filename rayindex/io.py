@@ -268,7 +268,15 @@ def write_partitioned(ds, out_dir: str, by: str | None = None,
     task, the driver only receives one summary row per partition.
     Size ``num_partitions`` so a partition fits a worker's heap.
 
-    Returns ``{"written": n, "skipped": n, "rows": total}``."""
+    Returns ``{"written": n, "skipped": n, "rows": on_disk,
+    "rows_written": this_run, "rows_seen": input_rows}`` — ``rows`` is
+    what the output directory now holds for the touched partitions
+    (freshly written rows + skipped partitions' MANIFEST rows), not the
+    input size.  Caveat: a skipped partition keeps its previous
+    contents; if upstream data changed since the manifest was written,
+    the stale rows stay until the manifest is deleted or
+    ``overwrite=True`` is passed — compare ``rows_seen`` vs ``rows`` to
+    detect the drift."""
     import zlib
 
     import pandas as pd
@@ -305,8 +313,10 @@ def write_partitioned(ds, out_dir: str, by: str | None = None,
         dest = os.path.join(out_dir, f"part-{pid:05d}.parquet")
         done = os.path.join(out_dir, f"part-{pid:05d}.done.json")
         if by is not None and os.path.exists(done):
-            return pd.DataFrame({"part": [pid], "rows": [len(df)],
-                                 "skipped": [True]})
+            with open(done) as fh:  # what the partition actually holds
+                disk_rows = int(json.load(fh).get("rows", 0))
+            return pd.DataFrame({"part": [pid], "rows": [disk_rows],
+                                 "seen": [len(df)], "skipped": [True]})
         body = df.drop(columns=["_part"])
         tmp = dest + ".tmp"
         pq.write_table(pa.Table.from_pandas(body, preserve_index=False),
@@ -316,16 +326,19 @@ def write_partitioned(ds, out_dir: str, by: str | None = None,
         with open(dtmp, "w") as f:
             json.dump({"rows": len(body)}, f)
         os.replace(dtmp, done)  # manifest lands only after the data file
-        return pd.DataFrame({"part": [pid], "rows": [len(df)],
-                             "skipped": [False]})
+        return pd.DataFrame({"part": [pid], "rows": [len(body)],
+                             "seen": [len(df)], "skipped": [False]})
 
     summary = (ds.map_batches(assign, batch_format="pyarrow",
                               zero_copy_batch=True)
                .groupby("_part")
                .map_groups(write_group, batch_format="pandas")
                .to_pandas())
+    wrote = ~summary["skipped"]
     return {
-        "written": int((~summary["skipped"]).sum()),
+        "written": int(wrote.sum()),
         "skipped": int(summary["skipped"].sum()),
         "rows": int(summary["rows"].sum()),
+        "rows_written": int(summary.loc[wrote, "rows"].sum()),
+        "rows_seen": int(summary["seen"].sum()),
     }

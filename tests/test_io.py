@@ -183,6 +183,9 @@ def test_write_partitioned_resume(ray_session, tmp_path):
     mtimes = {f: os.path.getmtime(f) for f in files}
     r2 = write_partitioned(ds, out, by="user", num_partitions=5)
     assert r2["written"] == 0 and r2["skipped"] == len(files)
+    # skipped partitions report MANIFEST rows, not this run's input rows
+    assert r2["rows"] == 100 and r2["rows_written"] == 0
+    assert r2["rows_seen"] == 100
     assert {f: os.path.getmtime(f) for f in files} == mtimes
     # delete one manifest -> exactly that partition rewrites
     victim = files[0]

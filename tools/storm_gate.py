@@ -92,11 +92,17 @@ def main() -> int:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
              "--scaling-query"], env=env, capture_output=True, text=True)
-        line = out.stdout.strip().splitlines()[-1] if out.stdout else "{}"
-        with open(os.path.join(REPO, "BENCH", "query_scaling_r3.jsonl"),
-                  "a") as f:
-            f.write(line + "\n")
-        print(line, flush=True)
+        lines = (out.stdout.strip().splitlines()
+                 if out.returncode == 0 and out.stdout else [])
+        if lines:
+            line = lines[-1]
+            with open(os.path.join(REPO, "BENCH",
+                                   "query_scaling_r3.jsonl"), "a") as f:
+                f.write(line + "\n")
+            print(line, flush=True)
+        else:
+            print(json.dumps({"bench_failed": True,
+                              "returncode": out.returncode}), flush=True)
     else:
         subprocess.run(
             [sys.executable, os.path.join(REPO, "tools",
