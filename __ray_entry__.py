@@ -1001,16 +1001,21 @@ def _q_curate(sf_dir: str):
 
 
 def _q_tfidf_topk(sf_dir: str):
-    """Per-doc top-5 TF-IDF keywords: distributed df pass (partial
-    distinct-pair counts + groupby(term) sum) broadcast once, then a
-    map-only scoring pass with one np.unique + np.lexsort per batch.
+    """Per-doc top-5 TF-IDF keywords, auto-routed on measured vocab
+    size: broadcast df table + map-only scoring here (small vocab), or
+    the driver-free scale path (distributed df hash-join + bucketed
+    per-doc top-k) past vocab_cap — both bitwise identical
+    (pytest-gated: test_tfidf_bucketed_path_bitwise_matches_broadcast).
     sklearn smooth-idf convention; ties (score desc, term asc)."""
     import ray.data
 
     from rayindex.datapipe.keywords import tfidf_topk
 
+    import os
+
     ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    out = tfidf_topk(ds, k=5)
+    out = tfidf_topk(ds, k=5,
+                     path=os.environ.get("RAYINDEX_SCALE_PATH") or None)
     return out.map_batches(lambda t: _micro_cols(t, ("score",)),
                            batch_format="pyarrow")
 
@@ -1032,18 +1037,22 @@ def _q_decontaminate(sf_dir: str):
 
 
 def _q_lm_xent(sf_dir: str):
-    """CCNet/Gopher-style LM quality scoring: per-doc cross-entropy under
-    a corpus bigram model with add-0.1 smoothing.  Train = one
-    map_batches partial-count pass + native groupby sum; score = map-only
-    with the pruned model broadcast once via ray.put (vectorized
-    index_in + searchsorted lookups)."""
+    """CCNet/Gopher-style LM quality scoring: per-doc cross-entropy
+    under a corpus bigram model with add-0.1 smoothing, auto-routed on
+    the measured bigram-table size — broadcast model + map-only scoring
+    here (small table), or the driver-free scale path (pair-row
+    left-outer hash-joins + one groupby(id) sum) past table_cap;
+    micro-unit-identical (pytest-gated:
+    test_lm_xent_bucketed_path_matches_broadcast)."""
     import ray.data
 
-    from rayindex.datapipe.lm import bigram_model, score_xent
+    from rayindex.datapipe.lm import lm_xent
+
+    import os
 
     ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
-    model_ref, _ = bigram_model(ds)
-    out = score_xent(ds, model_ref, alpha=0.1)
+    out = lm_xent(ds, alpha=0.1,
+                  path=os.environ.get("RAYINDEX_SCALE_PATH") or None)
     return out.map_batches(lambda t: _micro_cols(t, ("xent",)),
                            batch_format="pyarrow")
 

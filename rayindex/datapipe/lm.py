@@ -21,11 +21,25 @@ Per-doc score: cross-entropy in nats under add-alpha smoothing,
 vocabulary size); docs with fewer than 2 tokens score 0.  Out-of-vocab
 tokens (only possible when scoring off-corpus) get ``c=0`` / ``ctx=0``.
 
-Scale contract: the model table is ``min_count``-pruned and the TRAIN
-output is a Dataset — only the broadcast step materializes it.  At
-100-TB corpus scale, raise ``min_count`` (standard LM pruning; the tail
-of hapax bigrams is most of the table) or replace the broadcast with a
-bucketed join on ``hash(w1)``; the scoring pass is unchanged either way.
+Scale contract — two scoring paths, auto-routed on the measured bigram
+table size (the ``value_quantiles`` routing pattern, stats.py), composed
+by :func:`lm_xent`:
+
+- **broadcast** (table ≤ ``table_cap``): :func:`bigram_model` packs the
+  counts once via ``ray.put``; scoring is map-only, zero joins.
+- **bucketed** (table > ``table_cap``, or forced): the count table
+  NEVER reaches the driver.  Per-doc distinct-bigram occurrence rows
+  left-outer ``Dataset.join`` the pruned count table on (w1, w2) and
+  the context table on (w1); per-pair log-prob contributions plus a
+  zero row per document flow into one ``groupby(id)`` sum.  Driver
+  state: the routing count and the scalar V.
+
+Cross-path note: the bucketed path sums ``occ × lp`` per distinct
+bigram where the broadcast path sums ``lp`` per occurrence in document
+order — same value mathematically, last-ulp float differences possible
+(pytest gates with tolerance; micro-unit-rounded outputs agree).
+At 100-TB corpus scale raise ``min_count`` (hapax bigrams are most of
+the table — it shrinks the joined side too) and ``num_partitions``.
 """
 
 from __future__ import annotations
@@ -37,7 +51,8 @@ import ray
 
 from .text import _flat_tokens
 
-__all__ = ["bigram_counts", "bigram_model", "score_xent", "top_bigrams"]
+__all__ = ["bigram_counts", "bigram_model", "score_xent",
+           "score_xent_bucketed", "lm_xent", "top_bigrams"]
 
 
 def bigram_counts(ds, text_col: str = "text"):
@@ -67,7 +82,8 @@ def bigram_counts(ds, text_col: str = "text"):
             .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")))
 
 
-def bigram_model(ds, text_col: str = "text", min_count: int = 1):
+def bigram_model(ds, text_col: str = "text", min_count: int = 1,
+                 counts_ds=None):
     """Train and package the model for broadcast: returns
     ``(model_ref, V)`` where ``model_ref`` is a ``ray.put`` handle to
     ``(vocab StringArray, packed sorted uint64 keys, bigram counts,
@@ -75,8 +91,11 @@ def bigram_model(ds, text_col: str = "text", min_count: int = 1):
     every distinct token appearing in some bigram (w1 or w2 position),
     computed BEFORE pruning so smoothing mass is unaffected by
     ``min_count``; tokens occurring only in single-token documents are
-    outside the model by definition."""
-    bt = bigram_counts(ds, text_col).to_pandas()
+    outside the model by definition.  ``counts_ds``: a precomputed
+    :func:`bigram_counts` Dataset (avoids a second corpus scan when the
+    caller already materialized it, e.g. :func:`lm_xent` routing)."""
+    bt = (counts_ds if counts_ds is not None
+          else bigram_counts(ds, text_col)).to_pandas()
     w1 = bt["w1"].to_numpy(object)
     w2 = bt["w2"].to_numpy(object)
     c = bt["c"].to_numpy(np.int64)
@@ -146,6 +165,123 @@ def score_xent(ds, model_ref, alpha: float = 0.1, text_col: str = "text",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def score_xent_bucketed(ds, alpha: float = 0.1, text_col: str = "text",
+                        id_col: str = "doc_id", min_count: int = 1,
+                        num_partitions: int | None = None, counts_ds=None):
+    """The no-driver-table scoring path (module docstring): per-doc
+    distinct-bigram occurrence rows left-outer hash-join the pruned
+    count table on (w1, w2) and the context table on (w1); one
+    ``groupby(id)`` sum (seeded with a zero row per doc so short docs
+    emit ``(id, 0, 0.0)``) finishes.  Trains AND scores the corpus —
+    the bucketed analog of ``bigram_model`` + ``score_xent``."""
+    from ray.data.aggregate import Count, Sum
+
+    from .keywords import _join_partitions
+
+    P = _join_partitions(num_partitions)
+    bc = counts_ds if counts_ds is not None else bigram_counts(ds, text_col)
+    bc = bc.materialize()  # feeds V, ctx, pruned counts — scan it once
+    # V: distinct tokens in the model vocabulary (either position),
+    # BEFORE pruning — distributed count, never a driver vocab list
+    vocab_n = (bc.select_columns(["w1"]).rename_columns({"w1": "w"})
+               .union(bc.select_columns(["w2"]).rename_columns({"w2": "w"}))
+               .groupby("w").aggregate(Count(alias_name="n")))
+    V = vocab_n.count()
+    ctxd = bc.groupby("w1").aggregate(Sum("c", alias_name="ctxc"))
+    bcp = bc
+    if min_count > 1:
+        bcp = bc.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["c"], min_count)),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        codes, _, doc_of, _, vocab = _flat_tokens(batch[text_col])
+        if codes.size < 2:
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "occ": pa.array([], pa.int64())})
+        i = np.flatnonzero(doc_of[:-1] == doc_of[1:])
+        K = np.int64(len(vocab))
+        key = (doc_of[i] * K + codes[i]) * K + codes[i + 1]
+        uk, occ = np.unique(key, return_counts=True)
+        d = uk // (K * K)
+        w1c = (uk // K) % K
+        w2c = uk % K
+        ids = batch[id_col].combine_chunks().take(pa.array(d))
+        return pa.table({id_col: ids,
+                         "w1": pc.take(vocab, pa.array(w1c)),
+                         "w2": pc.take(vocab, pa.array(w2c)),
+                         "occ": pa.array(occ.astype(np.int64))})
+
+    pairs = ds.map_batches(pair_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    j = (pairs.join(bcp, join_type="left_outer", num_partitions=P,
+                    on=("w1", "w2"))
+         .join(ctxd, join_type="left_outer", num_partitions=P,
+               on=("w1",)))
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        occ = batch["occ"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c0 = batch["c"].combine_chunks().fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        x0 = batch["ctxc"].combine_chunks().fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        lp = np.log((c0 + alpha) / (x0 + alpha * V))
+        return pa.table({id_col: batch[id_col],
+                         "s": pa.array(occ * lp),
+                         "m": pa.array(occ.astype(np.int64))})
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({id_col: batch[id_col],
+                         "s": pa.array(np.zeros(n)),
+                         "m": pa.array(np.zeros(n, np.int64))})
+
+    agg = (j.map_batches(contrib, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .union(ds.map_batches(zero_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+           .groupby(id_col)
+           .aggregate(Sum("s", alias_name="s"), Sum("m", alias_name="m")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = batch["m"].combine_chunks().fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = batch["s"].combine_chunks().fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        mf = m.astype(np.float64)
+        h = np.divide(-s, mf, out=np.zeros_like(mf), where=mf > 0)
+        return pa.table({id_col: batch[id_col],
+                         "n_bigrams": pa.array(m),
+                         "xent": pa.array(h)})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def lm_xent(ds, alpha: float = 0.1, min_count: int = 1,
+            text_col: str = "text", id_col: str = "doc_id",
+            table_cap: int = 5_000_000, path: str | None = None,
+            num_partitions: int | None = None):
+    """Train + score composed, auto-routed (module docstring): the
+    bigram table is counted DISTRIBUTED first and the
+    driver-materializing broadcast path is only taken when it fits
+    under ``table_cap``; ``path`` forces (forcing ``"bucketed"`` skips
+    the routing pass).  Returns the ``(id, n_bigrams, xent)`` Dataset
+    of :func:`score_xent`."""
+    bc = None
+    if path is None:
+        bc = bigram_counts(ds, text_col).materialize()
+        path = "broadcast" if bc.count() <= table_cap else "bucketed"
+    if path == "bucketed":
+        return score_xent_bucketed(ds, alpha, text_col, id_col, min_count,
+                                   num_partitions, counts_ds=bc)
+    model_ref, _ = bigram_model(ds, text_col, min_count, counts_ds=bc)
+    return score_xent(ds, model_ref, alpha, text_col, id_col)
 
 
 def top_bigrams(ds, n: int = 20, text_col: str = "text"):
