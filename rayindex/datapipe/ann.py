@@ -108,18 +108,40 @@ def train_centroids(ds, n_centroids: int = 16, vec_col: str = "embedding",
 
 
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
-            nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id"):
+            nprobe: int = 4, vec_col: str = "embedding",
+            id_col: str = "vec_id", centroids: np.ndarray | None = None,
+            normalize: bool = True, dtype=np.float32):
     """IVF approximate top-k: route each vector to its nearest centroid
     (map-only), score only batches' vectors belonging to the ``nprobe``
-    centroids closest to each query."""
-    cents = train_centroids(ds, n_centroids, vec_col)
-    q = _normalize(np.ascontiguousarray(queries, np.float32))
-    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    centroids closest to each query.
+
+    ``centroids``: pinned coarse centroids skip the (seeded, float)
+    sample training — the deterministic-fixture hook that makes the
+    operator SQL-oracle-able.  ``normalize=False`` scores raw dot
+    products instead of cosine (with integer-valued inputs every
+    distance is integer-exact, so argmax/ties reproduce bit-for-bit in
+    any engine); the output column keeps the ``cos_sim`` name either
+    way.  Probe/assign ties break toward the lowest centroid id
+    (stable sort)."""
+    if centroids is not None:
+        cents = np.ascontiguousarray(centroids, dtype)
+        if normalize:
+            cents = _normalize(cents)
+    else:
+        cents = train_centroids(ds, n_centroids, vec_col,
+                                normalize=normalize).astype(dtype)
+    q = np.ascontiguousarray(queries, dtype)
+    if normalize:
+        q = _normalize(q)
+    probe = np.argsort(-(q @ cents.T), axis=1,
+                       kind="stable")[:, :nprobe]  # (nq, nprobe)
     state = ray.put((q, cents, probe))
 
     def partial(batch: pa.Table) -> pa.Table:
         qm, cm, pr = ray.get(state)
-        vecs = _normalize(_batch_matrix(batch, vec_col))
+        vecs = _batch_matrix(batch, vec_col, dtype)
+        if normalize:
+            vecs = _normalize(vecs)
         ids = batch[id_col].to_numpy()
         assign = (vecs @ cm.T).argmax(axis=1)
         out_q, out_id, out_sim = [], [], []
@@ -598,12 +620,20 @@ def knn_pq(codes_ds, queries: np.ndarray, codebooks: np.ndarray,
 
     parts = codes_ds.map_batches(partial, batch_format="pyarrow",
                                  zero_copy_batch=True, batch_size=4096)
+    return _merge_min_topk(parts, k, id_col, "adc_dist")
+
+
+def _merge_min_topk(parts, k: int, id_col: str, val_col: str) -> pa.Table:
+    """Distributed reduce of per-batch min-top-k partials (the ascending
+    twin of :func:`_merge_topk_distributed`): ``groupby(query_id)`` final
+    top-k, driver receives exactly q × k rows.  Ties (val asc, id asc)."""
+    import pandas as pd
 
     def topk_group(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.sort_values(["adc_dist", id_col],
+        df = df.sort_values([val_col, id_col],
                             ascending=[True, True]).head(k).copy()
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int32)
-        return df[["query_id", "rank", id_col, "adc_dist"]]
+        return df[["query_id", "rank", id_col, val_col]]
 
     out = parts.groupby("query_id") \
         .map_groups(topk_group, batch_format="pandas").to_pandas()
@@ -611,11 +641,150 @@ def knn_pq(codes_ds, queries: np.ndarray, codebooks: np.ndarray,
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int32()),
                          id_col: pa.array([], pa.int64()),
-                         "adc_dist": pa.array([], pa.float64())})
+                         val_col: pa.array([], pa.float64())})
     out = out.sort_values(["query_id", "rank"])
     return pa.table({
         "query_id": pa.array(out["query_id"].to_numpy(np.int64)),
         "rank": pa.array(out["rank"].to_numpy(np.int32)),
         id_col: pa.array(out[id_col].to_numpy(np.int64)),
-        "adc_dist": pa.array(out["adc_dist"].to_numpy(np.float64)),
+        val_col: pa.array(out[val_col].to_numpy(np.float64)),
     })
+
+
+def _coarse_assign(x: np.ndarray, cm: np.ndarray):
+    """L2 coarse assignment: (assignments, residuals).  argmin ties break
+    toward the lowest centroid id; with integer-valued inputs every
+    distance is integer-exact (order-independent in doubles)."""
+    d2 = ((x * x).sum(1, keepdims=True) - 2.0 * (x @ cm.T)
+          + (cm * cm).sum(1))
+    a = d2.argmin(axis=1)
+    return a, x - cm[a]
+
+
+def ivfpq_train(ds, n_centroids: int = 8, m: int = 8, k: int = 16,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                n_iter: int = 8, seed: int = 7, coarse_init="sample"):
+    """Train the full IVF-PQ index (Jégou et al. 2011 §III: coarse
+    quantizer + product codebooks over coarse RESIDUALS): distributed
+    L2 :func:`kmeans_fit` for the ``n_centroids`` coarse centroids, then
+    one residual map pass feeds the distributed per-subspace
+    :func:`pq_train`.  Vectors never materialize; the driver holds the
+    (n_centroids × d) and (m × k × d/m) matrices only.  Returns
+    ``(coarse, codebooks)``."""
+    coarse, _ = kmeans_fit(ds, k=n_centroids, n_iter=n_iter,
+                           vec_col=vec_col, id_col=id_col, metric="l2",
+                           init=coarse_init, seed=seed, dtype=np.float64)
+    cref = ray.put(coarse)
+
+    def residual(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        x = _batch_matrix(batch, vec_col, np.float64)
+        _, r = _coarse_assign(x, cm)
+        return pa.table({id_col: batch[id_col],
+                         vec_col: pa.array(list(r))})
+
+    res = ds.map_batches(residual, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    books = pq_train(res, m=m, k=k, vec_col=vec_col, id_col=id_col,
+                     n_iter=n_iter, seed=seed)
+    return coarse, books
+
+
+def ivfpq_encode(ds, coarse: np.ndarray, codebooks: np.ndarray,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 dtype=np.float64):
+    """Map-only IVF-PQ encode: ONE pass assigns each vector to its L2
+    coarse list and PQ-encodes the residual — output
+    ``(id, list_id int32, pq_codes list<uint8>)``, the inverted-file
+    layout (partition the sink by ``list_id`` at scale)."""
+    cb = np.ascontiguousarray(codebooks, np.float64)
+    ref = ray.put((np.ascontiguousarray(coarse, np.float64), cb))
+    m, K, w = cb.shape
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cm, books = ray.get(ref)
+        x = _batch_matrix(batch, vec_col, dtype)
+        a, r = _coarse_assign(x, cm)
+        codes = np.empty((len(x), m), np.uint8)
+        for s in range(m):
+            rs = r[:, s * w:(s + 1) * w]
+            d2 = ((rs * rs).sum(1, keepdims=True)
+                  - 2.0 * (rs @ books[s].T)
+                  + (books[s] * books[s]).sum(1))
+            codes[:, s] = d2.argmin(axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "list_id": pa.array(a.astype(np.int32)),
+            "pq_codes": pa.array(list(codes)),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def knn_ivfpq(enc_ds, queries: np.ndarray, coarse: np.ndarray,
+              codebooks: np.ndarray, k: int = 10, nprobe: int = 4,
+              id_col: str = "vec_id"):
+    """IVF-PQ search (Jégou et al. 2011's composed system — the shape a
+    10⁹-vector corpus needs): each query probes its ``nprobe`` nearest
+    coarse lists and scores ONLY vectors in them, by ADC over the
+    per-(query, list) residual LUT — pure table gathers + a row sum, no
+    float vectors read back.  The driver broadcasts the
+    (nq × nprobe × m × K) LUT tensor once and receives exactly q × k
+    rows.  Ties (dist asc, id asc); probe ties toward the lowest list
+    id.  Returns (query_id, rank, vec_id, adc_dist)."""
+    cb = np.ascontiguousarray(codebooks, np.float64)
+    cm = np.ascontiguousarray(coarse, np.float64)
+    m, K, w = cb.shape
+    q = np.ascontiguousarray(queries, np.float64)
+    nq = q.shape[0]
+    d2q = ((q * q).sum(1, keepdims=True) - 2.0 * (q @ cm.T)
+           + (cm * cm).sum(1))
+    probe = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]
+    luts = np.empty((nq, nprobe, m, K), np.float64)
+    for qi in range(nq):
+        for pi in range(nprobe):
+            rq = q[qi] - cm[probe[qi, pi]]
+            for s in range(m):
+                rs = rq[s * w:(s + 1) * w]
+                luts[qi, pi, s, :] = ((rs * rs).sum()
+                                      - 2.0 * (cb[s] @ rs)
+                                      + (cb[s] * cb[s]).sum(1))
+    ref = ray.put((probe, luts))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pr, lut = ray.get(ref)
+        arr = batch["pq_codes"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        codes = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64).reshape(len(arr), m)
+        lids = batch["list_id"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy()
+        out_q, out_id, out_d = [], [], []
+        for qi in range(nq):
+            for pi in range(pr.shape[1]):
+                mask = lids == pr[qi, pi]
+                if not mask.any():
+                    continue
+                sub = codes[mask]
+                d = lut[qi, pi][np.arange(m)[None, :], sub].sum(axis=1)
+                sub_ids = ids[mask]
+                kk = min(k, d.size)
+                order = np.lexsort((sub_ids, d))[:kk]
+                out_q.append(np.full(kk, qi, np.int64))
+                out_id.append(sub_ids[order])
+                out_d.append(d[order])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "adc_dist": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id).astype(np.int64)),
+            "adc_dist": pa.array(np.concatenate(out_d)),
+        })
+
+    parts = enc_ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=4096)
+    return _merge_min_topk(parts, k, id_col, "adc_dist")

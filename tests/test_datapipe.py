@@ -832,6 +832,56 @@ def test_knn_ivf_high_recall(ray_session):
     assert recall / 4 >= 0.8
 
 
+def test_ivfpq_composed_recall(ray_session):
+    """IVF-PQ composition (VERDICT r4 item 5 — Jégou 2011's actual
+    system): coarse k-means routing + residual PQ codebooks + per-list
+    ADC.  On clustered blobs: high recall vs exact L2, every hit from
+    the query's own blob, self-match in top-k, deterministic training,
+    and nprobe=1 returns only same-list candidates."""
+    import ray.data
+
+    from rayindex.datapipe.ann import ivfpq_encode, ivfpq_train, knn_ivfpq
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(scale=6.0, size=(5, 16))
+    labels = np.repeat(np.arange(5), 80)
+    vecs = centers[labels] + rng.normal(scale=0.4, size=(400, 16))
+    t = pa.table({"vec_id": pa.array(np.arange(400, dtype=np.int64)),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t).repartition(5)
+    coarse, books = ivfpq_train(ds, n_centroids=5, m=8, k=32,
+                                n_iter=10, seed=3)
+    assert coarse.shape == (5, 16) and books.shape == (8, 32, 2)
+    enc = ivfpq_encode(ds, coarse, books).materialize()
+    assert set(enc.schema().names) == {"vec_id", "list_id", "pq_codes"}
+    queries = vecs[:5]
+    got = knn_ivfpq(enc, queries, coarse, books, k=10, nprobe=2) \
+        .to_pandas()
+    recalls = []
+    for qi in range(5):
+        d = ((vecs - queries[qi]) ** 2).sum(1)
+        exact = set(np.lexsort((np.arange(400), d))[:10].tolist())
+        mine = got[got.query_id == qi]
+        recalls.append(len(exact & set(mine.vec_id.tolist())) / 10)
+        assert (labels[mine.vec_id.to_numpy()] == labels[qi]).all()
+        assert qi in mine.vec_id.tolist()  # self-match
+    assert np.mean(recalls) >= 0.6, recalls
+    # nprobe=1: every candidate comes from the query's own coarse list
+    encdf = enc.to_pandas().set_index("vec_id")
+    got1 = knn_ivfpq(enc, queries, coarse, books, k=10, nprobe=1) \
+        .to_pandas()
+    for qi in range(5):
+        lists = encdf.loc[got1[got1.query_id == qi].vec_id,
+                          "list_id"].nunique()
+        assert lists == 1
+    # determinism
+    coarse2, books2 = ivfpq_train(ds, n_centroids=5, m=8, k=32,
+                                  n_iter=10, seed=3)
+    assert np.array_equal(coarse, coarse2)
+    assert np.array_equal(books, books2)
+
+
 def test_tumbling_window_matches_pandas(ray_session):
     import ray.data
 
