@@ -1116,6 +1116,17 @@ def _q_winnow_dup_stats(sf_dir: str):
     return duplicate_span_stats(ds, k=4, window=4)
 
 
+def _q_span_attribution(sf_dir: str):
+    """Cross-doc span attribution (who copied whom): (doc_a, doc_b,
+    n_shared_fps) pairs counting distinct shared winnowing fingerprints,
+    boilerplate-capped at 64 docs/fp — two bucketed exchanges over
+    fingerprint rows, documents never shuffle."""
+    from rayindex.datapipe.spans import span_attribution
+
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return span_attribution(ds, k=4, window=4, max_docs_per_fp=64)
+
+
 def _q_dedup_substrings(sf_dir: str):
     """EXACT duplicated-substring removal (Lee et al. 2022 semantics):
     cut every token covered by a k-gram occurring more than once in the
@@ -1991,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_term_stats": _q_snapshot_term_stats,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_dup_stats": _q_winnow_dup_stats,
+        "span_attribution": _q_span_attribution,
         "dedup_substrings": _q_dedup_substrings,
         "repetition": _q_repetition,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2684,6 +2696,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c.d > 1 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_dup_fps
             FROM f JOIN c USING (fp) GROUP BY f.doc_id
+        """,
+        "span_attribution": f"""
+            WITH {_FNV_CTE},
+            hl AS (SELECT doc_id, list(h ORDER BY i) AS hs
+                   FROM th GROUP BY doc_id),
+            grams AS (SELECT doc_id, len(hs) - 3 AS m,
+                 list_transform(range(1, len(hs) - 2),
+                   i -> list_reduce(
+                          list_prepend(CAST(0 AS HUGEINT),
+                                       list_slice(hs, i, i + 3)),
+                          (a, x) -> (a * 1000003 + x)
+                                    % 18446744073709551616)) AS gl
+               FROM hl WHERE len(hs) >= 4),
+            picks AS (SELECT doc_id, gl,
+                 CASE WHEN m <= 4 THEN [list_position(gl, list_min(gl))]
+                      ELSE list_distinct(list_transform(range(1, m - 2),
+                        j -> j - 1 + list_position(
+                               list_slice(gl, j, j + 3),
+                               list_min(list_slice(gl, j, j + 3)))))
+                 END AS poss
+               FROM grams),
+            f AS (SELECT DISTINCT doc_id, gl[p] AS fp
+                  FROM (SELECT doc_id, unnest(poss) AS p, gl FROM picks)),
+            el AS (SELECT fp FROM f GROUP BY fp
+                   HAVING count(*) BETWEEN 2 AND 64),
+            pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM f a JOIN f b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   WHERE a.fp IN (SELECT fp FROM el))
+            SELECT doc_a, doc_b, count(*)::BIGINT AS n_shared_fps
+            FROM pr GROUP BY doc_a, doc_b
         """,
         "dedup_substrings": f"""
             WITH {_FNV_CTE},

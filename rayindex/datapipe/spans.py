@@ -131,6 +131,85 @@ def duplicate_span_stats(ds, text_col: str = "text",
                .groupby("b").map_groups(prof_bucket, batch_format="pandas"))
 
 
+def span_attribution(ds, text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 4, window: int = 4,
+                     max_docs_per_fp: int = 64, num_buckets: int = 64,
+                     pair_buckets: int = 64):
+    """WHO copied WHOM: the cross-document attribution view of the
+    winnowing profile — a Dataset of ``(doc_a, doc_b, n_shared_fps)``
+    rows (doc_a < doc_b) counting the DISTINCT winnowing fingerprints
+    the two docs share.  Each shared fingerprint certifies a shared
+    k-token run, and the winnowing guarantee means any duplicated
+    passage of ≥ window+k−1 tokens contributes at least one — so
+    ``n_shared_fps`` is the passage-overlap mass
+    :func:`duplicate_span_stats` aggregates away (Lee et al. 2022's
+    audit question, per pair instead of per doc).
+
+    Scale shape: two bucketed exchanges over O(tokens/window)
+    fingerprint rows — ``groupby(fp % num_buckets)`` emits per-fp doc
+    pairs, ``groupby(pair-hash % pair_buckets)`` sums them; documents
+    never shuffle.  Fingerprints in more than ``max_docs_per_fp`` docs
+    (boilerplate: license headers, generated preambles) are EXCLUDED —
+    the cap bounds the per-fp pair fan-out to cap², making the
+    worst-case exchange O(fps × cap) instead of all-pairs; raise it
+    only with a reason.  The cap is part of the operator contract and
+    reproduced by the SQL twin (``HAVING count(*) <= cap``)."""
+    import pandas as pd
+
+    fps = winnow_fingerprints(ds, text_col, id_col, k, window)
+
+    def add_fb(t: pa.Table) -> pa.Table:
+        b = t["fp"].to_numpy(zero_copy_only=False) % np.uint64(num_buckets)
+        return t.append_column("b", pa.array(b.astype(np.int64)))
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
+        if g.empty or "fp" not in g.columns:
+            return empty
+        df = g[[id_col, "fp"]].drop_duplicates()
+        cnt = df.groupby("fp")[id_col].transform("size")
+        df = df[(cnt >= 2) & (cnt <= max_docs_per_fp)]
+        if df.empty:
+            return empty
+        a_out, b_out = [], []
+        # Python loop over DUPLICATED fingerprints only (the rare case);
+        # singleton fps — the bulk — were dropped vectorized above
+        for _, grp in df.groupby("fp", sort=False):
+            ids = np.sort(grp[id_col].to_numpy(np.int64))
+            ii, jj = np.triu_indices(ids.size, k=1)
+            a_out.append(ids[ii])
+            b_out.append(ids[jj])
+        return pd.DataFrame({"doc_a": np.concatenate(a_out),
+                             "doc_b": np.concatenate(b_out)})
+
+    pairs = (fps.map_batches(add_fb, batch_format="pyarrow")
+             .groupby("b").map_groups(pairs_bucket, batch_format="pandas"))
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "pk": pa.array([], pa.int64())})
+        pk = (t["doc_a"].to_numpy(zero_copy_only=False) * 1000003
+              + t["doc_b"].to_numpy(zero_copy_only=False)) % pair_buckets
+        return t.append_column("pk", pa.array(pk.astype(np.int64)))
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "doc_a" not in g.columns:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "n_shared_fps": pd.Series([], dtype="int64")})
+        out = (g.groupby(["doc_a", "doc_b"], sort=False)
+               .size().rename("n_shared_fps").reset_index())
+        out["n_shared_fps"] = out["n_shared_fps"].astype(np.int64)
+        return out
+
+    return (pairs.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("pk").map_groups(count_bucket, batch_format="pandas"))
+
+
 def _all_grams_batch(batch: pa.Table, text_col: str, id_col: str,
                      k: int) -> pa.Table:
     """(id, pos, g) for EVERY k-gram (the exact pass; winnowing is the

@@ -1302,6 +1302,51 @@ def test_winnow_short_and_empty_docs(ray_session):
     assert rows[0]["pos"] in (1, 2)
 
 
+def test_span_attribution_pairs_and_boilerplate_cap(ray_session):
+    """span_attribution (VERDICT r4 item 6): docs sharing a passage
+    >= window+k-1 tokens emit a (doc_a, doc_b, n_shared_fps) pair;
+    unrelated docs never pair; and a fingerprint present in more than
+    max_docs_per_fp docs (boilerplate) is excluded from attribution."""
+    import ray.data
+
+    from rayindex.datapipe.spans import span_attribution
+
+    k, w = 4, 4
+    rng = np.random.RandomState(11)
+    vocab = [f"tok{i}" for i in range(60)]
+    shared = " ".join(rng.choice(vocab, size=2 * (w + k - 1)))
+    boiler = " ".join(rng.choice(vocab, size=w + k - 1))
+    docs = {
+        1: f"{shared} " + " ".join(rng.choice(vocab, size=10)),
+        2: f"{shared} " + " ".join(rng.choice(vocab, size=12)),
+        3: " ".join(rng.choice(vocab, size=30)),  # unrelated
+    }
+    # docs 10..19 all carry the boilerplate passage (hot fingerprint)
+    for i in range(10, 20):
+        docs[i] = f"{boiler} " + " ".join(rng.choice(vocab, size=8))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())})) \
+        .repartition(3)
+    out = span_attribution(ds, k=k, window=w, max_docs_per_fp=64) \
+        .to_pandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert (1, 2) in pairs
+    n12 = int(out[(out.doc_a == 1) & (out.doc_b == 2)]
+              .n_shared_fps.iloc[0])
+    assert n12 >= 1
+    assert not any(3 in p for p in pairs)
+    assert (out.doc_a < out.doc_b).all()
+    # boilerplate docs pair with each other under the default cap...
+    assert (10, 11) in pairs
+    # ...but a cap below the boilerplate fan-out removes those pairs
+    # without touching the 1-2 attribution
+    capped = span_attribution(ds, k=k, window=w, max_docs_per_fp=5) \
+        .to_pandas()
+    cp = set(zip(capped.doc_a, capped.doc_b))
+    assert (1, 2) in cp and (10, 11) not in cp
+
+
 def test_duplicate_span_stats_counts_cross_doc_only(ray_session):
     """n_dup_fps counts fingerprints shared with OTHER docs; a doc's
     internally-repeated passage alone does not mark it duplicated."""
