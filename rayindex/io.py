@@ -249,7 +249,8 @@ def read_parquet_clean(paths, *, columns=None, **kwargs):
 
 def write_partitioned(ds, out_dir: str, by: str | None = None,
                       num_partitions: int = 64,
-                      overwrite: bool = False) -> dict:
+                      overwrite: bool = False,
+                      sort_cols: tuple[str, ...] = ()) -> dict:
     """Resumable partitioned Parquet sink: one ``part-NNNNN.parquet``
     per partition plus an atomically renamed ``part-NNNNN.done.json``
     manifest (row count).  A re-run of the same pipeline SKIPS every
@@ -318,6 +319,8 @@ def write_partitioned(ds, out_dir: str, by: str | None = None,
             return pd.DataFrame({"part": [pid], "rows": [disk_rows],
                                  "seen": [len(df)], "skipped": [True]})
         body = df.drop(columns=["_part"])
+        if sort_cols:  # deterministic file contents for resume compare
+            body = body.sort_values(list(sort_cols), kind="stable")
         tmp = dest + ".tmp"
         pq.write_table(pa.Table.from_pandas(body, preserve_index=False),
                        tmp)
