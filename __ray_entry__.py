@@ -1977,7 +1977,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # one remaining documented rows-only entry (media_features — binary
     # decode, pytest-gated).  Cumulatively every entry has a green row.
     return {
-        # -- never driver-verified before round 4 ------------------------
+        # -- new or implementation/oracle-changed in round 5 --------------
+        "span_attribution": _q_span_attribution,
+        "knn_ivfpq": _q_knn_ivfpq,
+        "knn_pq": _q_knn_pq,
+        "knn_ivf": _q_knn_ivf,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "tfidf_topk": _q_tfidf_topk,
+        "lm_xent": _q_lm_xent,
+        # the one remaining rows-only entry (binary decode; pytest-gated)
+        "media_features": _q_media_features,
+        # -- last driver row r3 or earlier: re-verify at this revision ----
+        "proximity_docs": _q_proximity_docs,
+        "spellcheck": _q_spellcheck,
+        "ranker_agreement": _q_ranker_agreement,
+        "facet_lang_counts": _q_facet_lang_counts,
+        "facet_repo_counts": _q_facet_repo_counts,
+        "search_snippets": _q_search_snippets,
+        "suggest_terms": _q_suggest_terms,
+        "sequence_pack": _q_sequence_pack,
+        "sessionize": _q_sessionize,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "neardup_clusters": _q_neardup_clusters,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
+        "redact_pii": _q_redact_pii,
+        "normalize_text": _q_normalize_text,
+        "top_k_per_group": _q_top_k_per_group,
+        "length_quantiles": _q_length_quantiles,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "neardup_verified": _q_neardup_verified,
+        "knn_cosine": _q_knn_cosine,
+        "token_count": _q_token_count,
+        "quality": _q_quality,
+        "langid": _q_langid,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "fingerprint": _q_fingerprint,
+        "events_window": _q_events_window,
+        "media_meta": _q_media_meta,
+        "embedding_neardup": _q_embedding_neardup,
+        # -- index core (re-verified whenever window room remains) --------
+        "term_stats": _q_term_stats,
+        "merged_term_stats": _q_merged_term_stats,
+        "deleted_term_stats": _q_deleted_term_stats,
+        "compacted_postings_probe": _q_compacted_postings_probe,
+        "collection_stats": _q_collection_stats,
+        "postings_probe": _q_postings_probe,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_topk_lang": _q_bm25_topk_lang,
+        "boolean_and_docs": _q_boolean_and_docs,
+        "boolean_or_docs": _q_boolean_or_docs,
+        "boolean_andnot_docs": _q_boolean_andnot_docs,
+        # ==== driver window (50) ends here ================================
+        # (everything below has a green CORRECTNESS row in r01-r04)
+        "vsm_scores": _q_vsm_scores,
+        "lm_topk": _q_lm_topk,
+        "lm_pyp_topk": _q_lm_pyp_topk,
+        "rerank_boost": _q_rerank_boost,
+        "phrase_match_docs": _q_phrase_match_docs,
         "db_metadata": _q_db_metadata,
         "date_parse": _q_date_parse,
         "html_unescape": _q_html_unescape,
@@ -1993,7 +2053,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_sketch": _q_hll_sketch,
         "bloom_filter_events": _q_bloom_filter_events,
         "cms_sketch": _q_cms_sketch,
-        # -- new in round 4 ----------------------------------------------
         "tombstone_postings_probe": _q_tombstone_postings_probe,
         "tombstone_bm25_topk": _q_tombstone_bm25_topk,
         "float_quantiles": _q_float_quantiles,
@@ -2002,75 +2061,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_term_stats": _q_snapshot_term_stats,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_dup_stats": _q_winnow_dup_stats,
-        "span_attribution": _q_span_attribution,
         "dedup_substrings": _q_dedup_substrings,
         "repetition": _q_repetition,
         "kmeans_clusters": _q_kmeans_clusters,
-        "lm_xent": _q_lm_xent,
         "decontaminate": _q_decontaminate,
-        "tfidf_topk": _q_tfidf_topk,
         "curate": _q_curate,
         "chunk_documents": _q_chunk_documents,
         "top_bigrams": _q_top_bigrams,
         "dataset_split": _q_dataset_split,
-        "knn_pq": _q_knn_pq,
-        "knn_ivfpq": _q_knn_ivfpq,
-        # -- index core (driver-verified in round 3, re-verified here) ----
-        "term_stats": _q_term_stats,
-        "merged_term_stats": _q_merged_term_stats,
-        "deleted_term_stats": _q_deleted_term_stats,
-        "compacted_postings_probe": _q_compacted_postings_probe,
-        "collection_stats": _q_collection_stats,
-        "postings_probe": _q_postings_probe,
-        "bm25_topk": _q_bm25_topk,
-        "bm25_topk_lang": _q_bm25_topk_lang,
-        "boolean_and_docs": _q_boolean_and_docs,
-        "boolean_or_docs": _q_boolean_or_docs,
-        "boolean_andnot_docs": _q_boolean_andnot_docs,
-        "vsm_scores": _q_vsm_scores,
-        "lm_topk": _q_lm_topk,
-        "lm_pyp_topk": _q_lm_pyp_topk,
-        "rerank_boost": _q_rerank_boost,
-        "phrase_match_docs": _q_phrase_match_docs,
-        "proximity_docs": _q_proximity_docs,
-        "spellcheck": _q_spellcheck,
-        "ranker_agreement": _q_ranker_agreement,
-        "facet_lang_counts": _q_facet_lang_counts,
-        "facet_repo_counts": _q_facet_repo_counts,
-        "search_snippets": _q_search_snippets,
-        "suggest_terms": _q_suggest_terms,
-        # -- datapipe headliners ------------------------------------------
-        "exact_dedup": _q_exact_dedup,
-        "minhash_pairs": _q_minhash_pairs,
-        "neardup_verified": _q_neardup_verified,
-        "knn_cosine": _q_knn_cosine,
-        # -- documented no-oracle entries (pytest-gated; rows-only driver
-        #    check — never driver-recorded before round 4) ----------------
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "knn_ivf": _q_knn_ivf,
-        "media_features": _q_media_features,
-        # ==== driver window (50) ends here ================================
-        # (everything below already has a green CORRECTNESS row in r01-r03)
-        "sequence_pack": _q_sequence_pack,
-        "sessionize": _q_sessionize,
-        "token_count": _q_token_count,
-        "quality": _q_quality,
-        "langid": _q_langid,
-        "simhash": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
-        "fingerprint": _q_fingerprint,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "neardup_clusters": _q_neardup_clusters,
-        "dedup_keep_canonical": _q_dedup_keep_canonical,
-        "hash_sample": _q_hash_sample,
-        "stratified_sample": _q_stratified_sample,
-        "redact_pii": _q_redact_pii,
-        "normalize_text": _q_normalize_text,
-        "top_k_per_group": _q_top_k_per_group,
-        "length_quantiles": _q_length_quantiles,
-        "events_window": _q_events_window,
-        "media_meta": _q_media_meta,
-        "embedding_neardup": _q_embedding_neardup,
     }
 
 
