@@ -197,19 +197,9 @@ if __name__ == "__main__":  # pragma: no cover — subprocess entry
 def _overlap_flags(batch: pa.Table, bench_grams: np.ndarray, n: int,
                    text_col: str) -> np.ndarray:
     """Boolean per-row flags: doc shares ≥1 token n-gram with the bench
-    set (same hashing convention as spans.decontaminate)."""
-    from .text import gram_hashes, hash_tokens_flat
+    set — thin wrapper over the shared :func:`spans.overlap_counts`
+    kernel so the two call sites can't drift."""
+    from .spans import overlap_counts
 
-    flat, offs = hash_tokens_flat(batch[text_col])
-    out = np.zeros(batch.num_rows, bool)
-    np_err = np.seterr(over="ignore")
-    for di in range(batch.num_rows):
-        hs = flat[offs[di]:offs[di + 1]]
-        if hs.size < n or not bench_grams.size:
-            continue
-        ug = np.unique(gram_hashes(hs, n))
-        pos = np.minimum(np.searchsorted(bench_grams, ug),
-                         bench_grams.size - 1)
-        out[di] = bool((bench_grams[pos] == ug).any())
-    np.seterr(**np_err)
-    return out
+    _, nm = overlap_counts(batch, bench_grams, n, text_col)
+    return nm > 0

@@ -363,6 +363,31 @@ def benchmark_gram_set(bench_ds, text_col: str = "text", n: int = 13):
     return np.unique(np.asarray([r["g"] for r in parts], np.uint64))
 
 
+def overlap_counts(batch: pa.Table, bench_grams: np.ndarray, n: int,
+                   text_col: str) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-row (n_distinct_grams, n_matched_grams) against a sorted
+    bench-gram array — the one shared overlap kernel behind
+    :func:`decontaminate` and ``curate._overlap_flags`` (same FNV-1a +
+    Karp-Rabin convention, same searchsorted probe)."""
+    flat, offs = hash_tokens_flat(batch[text_col])
+    nrows = batch.num_rows
+    ng = np.zeros(nrows, np.int64)
+    nm = np.zeros(nrows, np.int64)
+    np_err = np.seterr(over="ignore")
+    for di in range(nrows):
+        hs = flat[offs[di]:offs[di + 1]]
+        if hs.size < n:
+            continue
+        ug = np.unique(gram_hashes(hs, n))
+        ng[di] = ug.size
+        if bench_grams.size:
+            pos = np.minimum(np.searchsorted(bench_grams, ug),
+                             bench_grams.size - 1)
+            nm[di] = int((bench_grams[pos] == ug).sum())
+    np.seterr(**np_err)
+    return ng, nm
+
+
 def decontaminate(ds, bench_grams: np.ndarray, n: int = 13,
                   text_col: str = "text", id_col: str = "doc_id"):
     """GPT-3-style benchmark decontamination (Brown et al. 2020 App. C;
@@ -379,22 +404,7 @@ def decontaminate(ds, bench_grams: np.ndarray, n: int = 13,
 
     def score(batch: pa.Table) -> pa.Table:
         bg = ray.get(ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        flat, offs = hash_tokens_flat(batch[text_col])
-        ng = np.zeros(len(ids), np.int64)
-        nm = np.zeros(len(ids), np.int64)
-        np_err = np.seterr(over="ignore")
-        for di in range(len(ids)):
-            hs = flat[offs[di]:offs[di + 1]]
-            if hs.size < n:
-                continue
-            ug = np.unique(gram_hashes(hs, n))
-            ng[di] = ug.size
-            if bg.size:
-                pos = np.searchsorted(bg, ug)
-                pos = np.minimum(pos, bg.size - 1)
-                nm[di] = int((bg[pos] == ug).sum())
-        np.seterr(**np_err)
+        ng, nm = overlap_counts(batch, bg, n, text_col)
         return pa.table({
             id_col: batch[id_col],
             "n_grams": pa.array(ng),

@@ -29,6 +29,12 @@ Endpoints (all GET, JSON):
       spellchecks plain queries BY DEFAULT (reference default-on,
       helpers.py:235-270; boolean/proximity/phrase queries pass through
       untouched), retrieves top-k, joins doc metadata, adds snippets.
+  /results?query=...          the SAME search rendered as the
+                              reference's results.html page (HTML:
+                              count+time line, correction banner,
+                              per-result cards with the
+                              urlparse-netloc Publisher display);
+                              also /search?...&format=html.
   /suggest?prefix=sc&k=10     vocabulary autocomplete (cf-ranked).
   /facets?q=...&col=lang[&top_n=..]   facet counts over the match set.
   /reload                     swap to the store's live version (no-op
@@ -221,6 +227,60 @@ class SearchApp:
         }
 
 
+def render_results_html(payload: dict) -> str:
+    """HTML results page mirroring the reference's results.html
+    (templates/retrieval/results.html + views.py:72-97): a search form,
+    the "Retrieved N … (T seconds)" line, the spell-correction banner
+    with a "Search instead for" link to the uncorrected query, one card
+    per result — title, a Publisher-style display host computed with
+    ``urlparse(url).netloc`` exactly like the reference view, secondary
+    metadata lines, a source link — and the empty-results message.
+    Framework-free string templating (html.escape everywhere user or
+    corpus data lands); the JSON handlers stay the primary API, this is
+    the human surface (``/results?query=…`` or ``/search?format=html``)."""
+    import html
+    from urllib.parse import quote_plus, urlparse
+
+    e = html.escape
+    rows = payload.get("results", [])
+    out = [
+        "<!doctype html><html><head><meta charset='utf-8'>",
+        "<title>Search</title></head><body>",
+        "<form action='/results' method='GET'>",
+        "<input type='text' name='query' "
+        "placeholder='Type another query here' required> ",
+        "<button type='submit'>Search Results</button></form>",
+        f"<p>Retrieved {payload.get('n_results', 0)} documents "
+        f"({payload.get('took_ms', 0) / 1000.0} seconds)</p>",
+    ]
+    if payload.get("corrected"):
+        orig = payload.get("query", "")
+        out.append(
+            f"<p>Showing results for: {e(payload.get('ran_query', ''))}"
+            f"</p>Search instead for: <a href='/results?query="
+            f"{quote_plus(orig)}&spellcheck=0'>{e(orig)}</a>")
+    for r in rows:
+        repo = r.get("repo") or ""
+        path = r.get("path") or ""
+        commit = r.get("commit") or ""
+        url = f"https://github.com/{repo}/blob/{commit}/{path}"
+        netloc = urlparse(url).netloc  # the reference's publisher display
+        out.append(
+            "<ul><li><div class='card'>"
+            f"<h5>{e(repo)}/{e(path)}</h5>"
+            f"<p>Publisher: {e(netloc)}</p>"
+            f"<p>Commit: {e(commit)}</p>"
+            f"<p>Language: {e(r.get('lang') or '')}</p>"
+            + (f"<p>{e(r['snippet'])}</p>" if r.get("snippet") else "")
+            + f"<div><a href='{e(url)}'>Go to source</a></div>"
+            "</div></li></ul>")
+    if not rows:
+        out.append("<p>The provided query did not return any results. "
+                   "Please try another query.</p>")
+    out.append("</body></html>")
+    return "".join(out)
+
+
 def start_reload_poller(app: SearchApp, interval_s: float) -> threading.Event:
     """Background store poll: every ``interval_s`` call ``app.reload()``
     (a no-op while the pointer is unchanged — one tiny CURRENT read).
@@ -257,19 +317,36 @@ def make_server(app: SearchApp, host: str = "127.0.0.1", port: int = 8080):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_html(self, code: int, html_body: str) -> None:
+            body = html_body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):  # noqa: N802 (stdlib API name)
             u = urlparse(self.path)
             qs = {key: v[0] for key, v in parse_qs(u.query).items()}
             try:
-                if u.path == "/search":
-                    if "q" not in qs:
-                        return self._send(400, {"error": "missing q"})
-                    return self._send(200, app.search(
-                        qs["q"], k=int(qs.get("k", "10")),
+                if u.path in ("/search", "/results"):
+                    # /results takes the reference's ?query= param and
+                    # renders HTML; /search stays the JSON API (or HTML
+                    # with &format=html)
+                    qkey = "query" if u.path == "/results" else "q"
+                    if qkey not in qs:
+                        return self._send(400, {"error": f"missing {qkey}"})
+                    payload = app.search(
+                        qs[qkey], k=int(qs.get("k", "10")),
                         lang=qs.get("lang"), scorer=qs.get("scorer"),
                         algorithm=qs.get("algorithm"),
                         spellcheck=qs.get("spellcheck", "1") != "0",
-                        snippets=qs.get("snippets", "1") != "0"))
+                        snippets=qs.get("snippets", "1") != "0")
+                    if u.path == "/results" or \
+                            qs.get("format") == "html":
+                        return self._send_html(
+                            200, render_results_html(payload))
+                    return self._send(200, payload)
                 if u.path == "/suggest":
                     if "prefix" not in qs:
                         return self._send(400, {"error": "missing prefix"})

@@ -134,6 +134,63 @@ def test_http_round_trip(serve_index, app):
         srv.server_close()
 
 
+def test_results_html_rendering(serve_index, app):
+    """The reference's results.html surface (views.py:72-97): /results
+    renders HTML with the retrieved-count line, per-result cards whose
+    Publisher line is urlparse(url).netloc, a source link, the
+    spell-correction banner, the empty-result message — and escapes
+    markup in queries."""
+    from rayindex.serve import make_server, render_results_html
+
+    term = _vocab_term(app)
+    payload = app.search(term, k=3)
+    html_page = render_results_html(payload)
+    assert f"Retrieved {payload['n_results']} documents" in html_page
+    assert "Publisher: github.com" in html_page  # urlparse netloc
+    assert "Go to source" in html_page
+    r0 = payload["results"][0]
+    assert f"{r0['repo']}/{r0['path']}" in html_page
+
+    # empty results -> the no-results message
+    empty = render_results_html(app.search("zzzzqqqxx", spellcheck=False))
+    assert "did not return any results" in empty
+
+    # correction banner: a misspelled vocab term corrects by default
+    bad = term[:-1] + ("x" if term[-1] != "x" else "q")
+    corr = app.search(bad, k=3)
+    if corr["corrected"]:
+        page = render_results_html(corr)
+        assert "Showing results for:" in page
+        assert "Search instead for:" in page
+        assert "spellcheck=0" in page
+
+    # markup in the query never lands unescaped
+    xss = render_results_html(app.search("<script>alert(1)</script>",
+                                         spellcheck=False))
+    assert "<script>alert" not in xss
+
+    # transport: /results?query=... serves text/html; /search?format=html
+    srv = make_server(app, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/results?query={term}&k=3",
+                timeout=10) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/html")
+            body = r.read().decode()
+            assert "Publisher: github.com" in body
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?q={term}&format=html",
+                timeout=10) as r:
+            assert r.headers["Content-Type"].startswith("text/html")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_pool_backed_app(serve_index):
     """--actors N shape: the ShardedSearchPool provider returns results
     identical to the in-process reader."""
