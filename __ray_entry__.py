@@ -1057,6 +1057,17 @@ def _q_lm_xent(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_perplexity_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per-doc
+    LM cross-entropy → int micro-nats → exact distributed tercile cuts
+    → head/middle/tail labels.  Integer-exact end to end (the cuts and
+    comparisons run on micro ints), full DuckDB twin."""
+    from rayindex.datapipe.lm import perplexity_buckets
+
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return perplexity_buckets(ds, n_buckets=3, alpha=0.1)
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data
 
@@ -1985,6 +1996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "tfidf_topk": _q_tfidf_topk,
         "lm_xent": _q_lm_xent,
+        "perplexity_buckets": _q_perplexity_buckets,
         # the one remaining rows-only entry (binary decode; pytest-gated)
         "media_features": _q_media_features,
         # -- last driver row r3 or earlier: re-verify at this revision ----
@@ -3033,6 +3045,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(coalesce(-agg.s / agg.m, 0) * 1e6) AS BIGINT)
                      AS xent_micro
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "perplexity_buckets": """
+            WITH tokl AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z0-9_]+') AS tl
+                          FROM documents),
+            tok AS (SELECT doc_id, generate_subscripts(tl, 1) AS i,
+                           unnest(tl) AS t FROM tokl),
+            bg AS (SELECT a.doc_id, a.t AS w1, b.t AS w2
+                   FROM tok a JOIN tok b
+                     ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+            bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+            cx AS (SELECT w1, sum(c) AS c FROM bc GROUP BY w1),
+            vv AS (SELECT count(*) AS v FROM
+                     (SELECT w1 AS w FROM bc UNION SELECT w2 FROM bc)),
+            sc AS (SELECT bg.doc_id,
+                          ln((bc.c + 0.1) / (cx.c + 0.1 * vv.v)) AS lp
+                   FROM bg JOIN bc USING (w1, w2) JOIN cx USING (w1)
+                   CROSS JOIN vv),
+            agg AS (SELECT doc_id, count(*) AS m, sum(lp) AS s
+                    FROM sc GROUP BY doc_id),
+            mic AS (SELECT d.doc_id,
+                           CAST(round(coalesce(-agg.s / agg.m, 0) * 1e6)
+                                AS BIGINT) AS xm
+                    FROM documents d
+                    LEFT JOIN agg ON d.doc_id = agg.doc_id),
+            cuts AS (SELECT quantile_disc(xm, 1.0/3) AS c1,
+                            quantile_disc(xm, 2.0/3) AS c2 FROM mic)
+            SELECT doc_id, xm AS xent_micro,
+                   CAST(CASE WHEN xm > c2 THEN 2
+                             WHEN xm > c1 THEN 1
+                             ELSE 0 END AS INT) AS bucket
+            FROM mic, cuts
         """,
         "repetition": """
             WITH ln AS (

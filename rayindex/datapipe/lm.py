@@ -52,7 +52,8 @@ import ray
 from .text import _flat_tokens
 
 __all__ = ["bigram_counts", "bigram_model", "score_xent",
-           "score_xent_bucketed", "lm_xent", "top_bigrams"]
+           "score_xent_bucketed", "lm_xent", "perplexity_buckets",
+           "top_bigrams"]
 
 
 def bigram_counts(ds, text_col: str = "text"):
@@ -282,6 +283,50 @@ def lm_xent(ds, alpha: float = 0.1, min_count: int = 1,
                                    num_partitions, counts_ds=bc)
     model_ref, _ = bigram_model(ds, text_col, min_count, counts_ds=bc)
     return score_xent(ds, model_ref, alpha, text_col, id_col)
+
+
+def perplexity_buckets(ds, n_buckets: int = 3, alpha: float = 0.1,
+                       min_count: int = 1, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       table_cap: int = 5_000_000,
+                       path: str | None = None):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4: cut
+    the corpus into head/middle/tail by LM perplexity; the head is the
+    classic pretraining-quality slice).  Composes the verified pieces:
+    :func:`lm_xent` scores every doc, scores are micro-rounded to int
+    micro-nats (the corpus float-exactness convention, so the cuts and
+    labels are integer-exact and SQL-reproducible), the ``n_buckets-1``
+    cut values come from the EXACT distributed quantiles of
+    ``stats.value_quantiles`` (driver holds the cut values only), and a
+    map-only pass labels each doc ``0 = head (lowest cross-entropy) …
+    n_buckets-1 = tail``.  Ties AT a cut go to the lower bucket
+    (strict ``>``).  Returns (id, xent_micro, bucket int32)."""
+    from .stats import value_quantiles
+
+    scored = lm_xent(ds, alpha, min_count, text_col, id_col,
+                     table_cap, path)
+
+    def micro(batch: pa.Table) -> pa.Table:
+        x = batch["xent"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64) * 1e6
+        xm = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+        return pa.table({id_col: batch[id_col], "xent_micro": pa.array(xm)})
+
+    # one row of two ints per doc: cheap to pin, and it feeds both the
+    # quantile pass and the labeling pass (lm scoring runs once)
+    mds = scored.map_batches(micro, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    qs = tuple(j / n_buckets for j in range(1, n_buckets))
+    cuts = np.sort(value_quantiles(mds, "xent_micro", qs)["value"]
+                   .to_numpy(np.int64))
+
+    def label(batch: pa.Table) -> pa.Table:
+        xm = batch["xent_micro"].to_numpy(zero_copy_only=False)
+        b = (xm[:, None] > cuts[None, :]).sum(axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    return mds.map_batches(label, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def top_bigrams(ds, n: int = 20, text_col: str = "text"):

@@ -442,6 +442,35 @@ def test_lm_xent_bucketed_path_matches_broadcast(ray_session):
     assert np.allclose(a1.xent.to_numpy(), c.xent.to_numpy(), atol=1e-9)
 
 
+def test_perplexity_buckets_ccnet_semantics(ray_session):
+    """CCNet bucketing: every doc labeled, buckets ordered by
+    cross-entropy (head = lowest), cuts at exact tercile ranks of the
+    micro scores, ties at a cut land in the lower bucket."""
+    from rayindex.datapipe.lm import lm_xent, perplexity_buckets
+
+    ds = _kw_corpus()
+    out = (perplexity_buckets(ds, n_buckets=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 124 and set(out.bucket) <= {0, 1, 2}
+    # ordering: max micro score in bucket b <= min in bucket b+1
+    for b in (0, 1):
+        lo = out[out.bucket == b].xent_micro
+        hi = out[out.bucket == b + 1].xent_micro
+        if len(lo) and len(hi):
+            assert lo.max() <= hi.min()
+    # bucket sizes: the <= cut rule puts AT LEAST ceil(n/3) in bucket 0
+    n = len(out)
+    assert (out.bucket == 0).sum() >= -(-n // 3)
+    # agreement with the raw scorer at micro precision
+    raw = (lm_xent(ds).to_pandas().sort_values("doc_id")
+           .reset_index(drop=True))
+    mu = np.floor(raw.xent.to_numpy() * 1e6 + 0.5).astype(np.int64)
+    assert (mu == out.xent_micro.to_numpy()).all()
+    # ties at a cut value share the lower bucket
+    cut0 = out[out.bucket == 0].xent_micro.max()
+    assert (out[out.xent_micro == cut0].bucket == 0).all()
+
+
 def test_bucketed_paths_never_materialize_to_driver(ray_session,
                                                     monkeypatch):
     """High-vocab scale contract: with the bucketed path forced, NO
