@@ -1057,6 +1057,20 @@ def _q_lm_xent(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): distributed k-means over the
+    embedding space (deterministic init="first", one update — the
+    kmeans_clusters fixture), within-cluster cosine pairs >= 0.4,
+    connected components, keep the lowest-id representative per
+    semantic-duplicate group.  Full DuckDB twin (k-means CTE + cosine
+    pair join + recursive closure)."""
+    from rayindex.datapipe.ann import semdedup
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = _read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return semdedup(ds, k=4, threshold=0.4, n_iter=1, init="first")
+
+
 def _q_perplexity_buckets(sf_dir: str):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): per-doc
     LM cross-entropy → int micro-nats → exact distributed tercile cuts
@@ -1997,6 +2011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "lm_xent": _q_lm_xent,
         "perplexity_buckets": _q_perplexity_buckets,
+        "semdedup": _q_semdedup,
         # the one remaining rows-only entry (binary decode; pytest-gated)
         "media_features": _q_media_features,
         # -- last driver row r3 or earlier: re-verify at this revision ----
@@ -3077,6 +3092,54 @@ def oracle_sql() -> dict[str, str]:
                              WHEN xm > c1 THEN 1
                              ELSE 0 END AS INT) AS bucket
             FROM mic, cuts
+        """,
+        "semdedup": """
+            WITH RECURSIVE
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+                   FROM e ORDER BY vec_id LIMIT 4),
+            a0 AS (SELECT vec_id, cid FROM (
+                     SELECT e.vec_id, c0.cid,
+                            row_number() OVER (
+                              PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c0.v) ASC,
+                                       c0.cid ASC) AS rn
+                     FROM e CROSS JOIN c0) WHERE rn = 1),
+            ex AS (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+                          unnest(v) AS val FROM e),
+            m1 AS (SELECT a0.cid, ex.dim, avg(ex.val) AS av
+                   FROM a0 JOIN ex USING (vec_id) GROUP BY a0.cid, ex.dim),
+            cm AS (SELECT cid, list(av ORDER BY dim) AS v FROM m1
+                   GROUP BY cid),
+            c1 AS (SELECT c0.cid, coalesce(cm.v, c0.v) AS v
+                   FROM c0 LEFT JOIN cm USING (cid)),
+            a1 AS (SELECT vec_id, cid FROM (
+                     SELECT e.vec_id, c1.cid,
+                            row_number() OVER (
+                              PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c1.v) ASC,
+                                       c1.cid ASC) AS rn
+                     FROM e CROSS JOIN c1) WHERE rn = 1),
+            jp AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+                   FROM a1 x JOIN a1 y ON y.cid = x.cid
+                                      AND y.vec_id > x.vec_id
+                   JOIN e ea ON ea.vec_id = x.vec_id
+                   JOIN e eb ON eb.vec_id = y.vec_id
+                   WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4),
+            ed AS (SELECT doc_a AS u, doc_b AS v FROM jp
+                   UNION SELECT doc_b, doc_a FROM jp),
+            walk(node, comp) AS (
+                SELECT u, u FROM ed
+                UNION
+                SELECT w.node, ed.v FROM walk w JOIN ed ON ed.u = w.comp
+            ),
+            cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+            SELECT a1.vec_id, CAST(a1.cid AS INT) AS cluster,
+                   coalesce(cc.comp, a1.vec_id)::BIGINT AS comp,
+                   CAST(CASE WHEN coalesce(cc.comp, a1.vec_id) = a1.vec_id
+                             THEN 1 ELSE 0 END AS INT) AS keep
+            FROM a1 LEFT JOIN cc ON cc.node = a1.vec_id
         """,
         "repetition": """
             WITH ln AS (

@@ -297,6 +297,112 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
                           zero_copy_batch=True)
 
 
+def semdedup(ds, k: int = 4, threshold: float = 0.95, n_iter: int = 1,
+             init="first", vec_col: str = "embedding",
+             id_col: str = "vec_id", dtype=np.float64):
+    """SemDeDup (Abbas et al. 2023, "Semantic deduplication removes
+    redundant web data"): cluster the embedding space with the
+    distributed :func:`kmeans_fit`, compute pairwise cosine ONLY within
+    each cluster, connect pairs ≥ ``threshold`` and keep one canonical
+    vector (lowest id) per semantic-duplicate component.  Returns one
+    row per vector: ``(id, cluster int32, comp int64, keep int32)`` —
+    ``comp`` is the component representative (= own id for uniques).
+
+    Scale shape: clustering is the streaming partial-sum loop (driver
+    holds k × d floats); the all-pairs step is confined to one cluster
+    per reducer — the whole point of SemDeDup is that k is chosen large
+    enough (corpus_size / expected_cluster_size) that clusters are
+    small, turning the quadratic all-pairs into k small tiles.
+    Partitioning assumption: one cluster's vectors fit a task (raise
+    ``k`` when they don't); duplicate components resolve through the
+    same bucketed :func:`clusters.connected_components` the text
+    near-dup family uses.  ``init="first"`` + ``n_iter=1`` is the
+    deterministic fixture the SQL twin reproduces."""
+    import pandas as pd
+
+    from .clusters import connected_components
+
+    cents, _ = kmeans_fit(ds, k=k, n_iter=n_iter, init=init, metric="l2",
+                          vec_col=vec_col, id_col=id_col, dtype=dtype)
+    ref = ray.put(np.ascontiguousarray(cents, np.float64))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        x = _batch_matrix(batch, vec_col, np.float64)
+        a, _ = _coarse_assign(x, cm)
+        nx = _normalize(x)
+        n, d = nx.shape
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * d)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(a.astype(np.int32)),
+            "nvec": pa.ListArray.from_arrays(offsets, pa.array(nx.ravel())),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def cluster_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
+        if len(g) < 2 or id_col not in g.columns:
+            return empty
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy(np.int64)
+        m = np.stack([np.asarray(v, np.float64) for v in g["nvec"]])
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hit = sims[ii, jj] >= threshold
+        if not hit.any():
+            return empty
+        return pd.DataFrame({"doc_a": ids[ii[hit]],
+                             "doc_b": ids[jj[hit]]})
+
+    pairs = (prepped.groupby("cluster")
+             .map_groups(cluster_pairs, batch_format="pandas"))
+    # the (node -> comp) map covers DUP nodes only — a small fraction by
+    # the SemDeDup premise — so it broadcasts once like the text
+    # family's dedup_keep_canonical victim set (swap for a left-outer
+    # hash join on id if a corpus ever has tens-of-percent dup rates)
+    node_l, comp_l = [], []
+    for b in connected_components(pairs) \
+            .iter_batches(batch_format="pyarrow"):
+        if b.num_rows and "node" in b.column_names:
+            node_l.append(b["node"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+            comp_l.append(b["comp"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+    if node_l:
+        nodes = np.concatenate(node_l)
+        cps = np.concatenate(comp_l)
+        order = np.argsort(nodes)
+        nodes, cps = nodes[order], cps[order]
+    else:
+        nodes = np.empty(0, np.int64)
+        cps = nodes
+    cref = ray.put((nodes, cps))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nds, cmp_ = ray.get(cref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        comp = ids.copy()
+        if nds.size:
+            pos = np.minimum(np.searchsorted(nds, ids), nds.size - 1)
+            hit = nds[pos] == ids
+            comp[hit] = cmp_[pos[hit]]
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": batch["cluster"],
+            "comp": pa.array(comp),
+            "keep": pa.array((comp == ids).astype(np.int32)),
+        })
+
+    return (prepped.select_columns([id_col, "cluster"])
+            .map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 def _merge_topk_distributed(parts, k: int, id_col: str) -> pa.Table:
     """Distributed reduce of the per-batch top-k partials: a
     ``groupby(query_id).map_groups`` final top-k, so the DRIVER receives

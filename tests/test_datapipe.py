@@ -861,6 +861,45 @@ def test_knn_ivf_high_recall(ray_session):
     assert recall / 4 >= 0.8
 
 
+def test_semdedup_planted_duplicates(ray_session):
+    """SemDeDup (Abbas et al. 2023): planted near-identical vectors
+    collapse to the lowest-id representative, distinct vectors keep,
+    components never cross clusters' pair scope, and a threshold no
+    pair can reach keeps everything."""
+    import ray.data
+
+    from rayindex.datapipe.ann import semdedup
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(scale=8.0, size=(3, 16))
+    base = np.concatenate([
+        centers[i] + rng.normal(scale=0.5, size=(30, 16))
+        for i in range(3)])
+    # plant: ids 90/91/92 duplicate id 0 (tiny jitter); 93 duplicates 40
+    dup = np.stack([base[0] + 1e-4, base[0] - 1e-4, base[0] + 2e-4,
+                    base[40] + 1e-4])
+    vecs = np.concatenate([base, dup])
+    t = pa.table({"vec_id": pa.array(np.arange(len(vecs),
+                                               dtype=np.int64)),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = semdedup(ds, k=3, threshold=0.9999, n_iter=4, init="first") \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == 94
+    for v in (90, 91, 92):
+        assert out.loc[v, "comp"] == 0 and out.loc[v, "keep"] == 0
+    assert out.loc[93, "comp"] == 40 and out.loc[93, "keep"] == 0
+    assert out.loc[0, "keep"] == 1 and out.loc[40, "keep"] == 1
+    # everyone else is their own component
+    others = out[~out.vec_id.isin([0, 40, 90, 91, 92, 93])]
+    assert (others.comp == others.vec_id).all() and (others.keep == 1).all()
+    # unreachable threshold: nothing dedups (empty pair graph path)
+    out2 = semdedup(ds, k=3, threshold=1.1, n_iter=1, init="first") \
+        .to_pandas()
+    assert (out2.keep == 1).all() and (out2.comp == out2.vec_id).all()
+
+
 def test_ivfpq_composed_recall(ray_session):
     """IVF-PQ composition (VERDICT r4 item 5 — Jégou 2011's actual
     system): coarse k-means routing + residual PQ codebooks + per-list
