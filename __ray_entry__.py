@@ -1057,6 +1057,18 @@ def _q_lm_xent(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (Rabin/LBFS boundary rule at token
+    granularity, expected chunk 64 tokens): map-only, shuffle-free;
+    chunk hashes via the vectorized weighted-prefix Karp-Rabin,
+    bit-identical to the corpus Horner convention (DuckDB list_reduce
+    twin)."""
+    from rayindex.datapipe.spans import cdc_chunks
+
+    ds = _read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    return cdc_chunks(ds, k=4, mask_bits=6)
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): distributed k-means over the
     embedding space (deterministic init="first", one update — the
@@ -2012,6 +2024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_xent": _q_lm_xent,
         "perplexity_buckets": _q_perplexity_buckets,
         "semdedup": _q_semdedup,
+        "cdc_chunks": _q_cdc_chunks,
         # the one remaining rows-only entry (binary decode; pytest-gated)
         "media_features": _q_media_features,
         # -- last driver row r3 or earlier: re-verify at this revision ----
@@ -2055,9 +2068,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_probe": _q_postings_probe,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_lang": _q_bm25_topk_lang,
-        "boolean_and_docs": _q_boolean_and_docs,
         # ==== driver window (50) ends here ================================
         # (everything below has a green CORRECTNESS row in r01-r04)
+        "boolean_and_docs": _q_boolean_and_docs,
         "boolean_or_docs": _q_boolean_or_docs,
         "boolean_andnot_docs": _q_boolean_andnot_docs,
         "vsm_scores": _q_vsm_scores,
@@ -3140,6 +3153,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN coalesce(cc.comp, a1.vec_id) = a1.vec_id
                              THEN 1 ELSE 0 END AS INT) AS keep
             FROM a1 LEFT JOIN cc ON cc.node = a1.vec_id
+        """,
+        "cdc_chunks": f"""
+            WITH {_FNV_CTE},
+            hl AS (SELECT doc_id, list(h ORDER BY i) AS hs
+                   FROM th GROUP BY doc_id),
+            wd AS (SELECT doc_id, hs, len(hs) AS n FROM hl
+                   WHERE len(hs) > 0),
+            gr AS (SELECT doc_id, hs, n,
+                     CASE WHEN n >= 4 THEN list_transform(range(1, n - 2),
+                       j -> list_reduce(
+                              list_prepend(CAST(0 AS HUGEINT),
+                                list_slice(hs, CAST(j AS INT),
+                                           CAST(j + 3 AS INT))),
+                              (a, x) -> (a * 1000003 + x)
+                                        % 18446744073709551616))
+                          ELSE [] END AS gl
+                   FROM wd),
+            ends AS (SELECT doc_id, hs, n, list_concat(
+                       list_filter(list_transform(range(1, len(gl) + 1),
+                         j -> CASE WHEN gl[j] % 64 = 0 AND j + 3 < n
+                                   THEN j + 3 ELSE NULL END),
+                         x -> x IS NOT NULL), [n]) AS el
+                     FROM gr),
+            ch AS (SELECT doc_id, CAST(ci - 1 AS INT) AS chunk_idx,
+                          CASE WHEN ci = 1 THEN 1
+                               ELSE el[ci - 1] + 1 END AS st,
+                          el[ci] AS en, hs
+                   FROM (SELECT doc_id, hs, el,
+                                generate_subscripts(el, 1) AS ci
+                         FROM ends))
+            SELECT doc_id, chunk_idx, CAST(st AS BIGINT) AS start_tok,
+                   CAST(en - st + 1 AS BIGINT) AS n_tokens,
+                   CAST(list_reduce(
+                          list_prepend(CAST(0 AS HUGEINT),
+                            list_slice(hs, CAST(st AS INT),
+                                       CAST(en AS INT))),
+                          (a, x) -> (a * 1000003 + x)
+                                    % 18446744073709551616) AS UBIGINT)
+                     AS chunk_hash
+            FROM ch
         """,
         "repetition": """
             WITH ln AS (

@@ -336,6 +336,81 @@ def dedup_substrings(ds, text_col: str = "text", id_col: str = "doc_id",
     return merged.groupby("b").map_groups(cut_bucket, batch_format="pandas")
 
 
+_CDC_B = np.uint64(1000003)
+_CDC_BINV = np.uint64(pow(1000003, -1, 1 << 64))  # odd base: invertible
+
+
+def cdc_chunks(ds, k: int = 4, mask_bits: int = 6,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Content-defined chunking (the Rabin-fingerprint boundary rule of
+    LBFS, Muthitacharoen et al. 2001, at token granularity): cut after
+    any k-token window whose Karp-Rabin gram hash has ``mask_bits`` low
+    zero bits — expected chunk length 2^mask_bits tokens.  Because
+    boundaries depend on CONTENT, an insertion only re-cuts the
+    neighboring chunks, so ``groupby(chunk_hash)`` dedup finds shared
+    spans across shifted copies where fixed-width blocks cannot — the
+    incremental-storage dedup shape, complementing winnowing (sampled
+    fingerprints) and ``dedup_substrings`` (exact removal).
+
+    Map-only, shuffle-free; per-doc chunk hashes are computed
+    VECTORIZED via a weighted-prefix Karp-Rabin (hash of span [s,e) =
+    ``(P[e] − P[s]) · B⁻¹^(n−e)`` over the B-power-weighted prefix sums
+    — uint64 wraparound arithmetic, B odd so B⁻¹ exists mod 2^64), and
+    every hash matches the corpus-wide Horner convention bit-for-bit
+    (SQL twin: ``list_reduce`` over ``list_slice``).  Docs with < k
+    tokens form one chunk; empty docs emit no rows.  Returns
+    ``(id, chunk_idx int32, start_tok int64 1-based, n_tokens,
+    chunk_hash uint64)``."""
+    mask = np.uint64((1 << mask_bits) - 1)
+    zero = np.uint64(0)
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        flat, offs = hash_tokens_flat(batch[text_col])
+        o_id, o_ci, o_st, o_nt, o_h = [], [], [], [], []
+        np_err = np.seterr(over="ignore")  # wraparound IS the hash ring
+        for di, did in enumerate(ids):
+            hs = flat[offs[di]:offs[di + 1]]
+            n = hs.size
+            if n == 0:
+                continue
+            if n >= k:
+                g = gram_hashes(hs, k)
+                j = np.flatnonzero((g & mask) == zero)
+                ends = (j + k)[(j + k) < n]
+            else:
+                ends = np.empty(0, np.int64)
+            ends = np.append(ends, n).astype(np.int64)
+            starts = np.concatenate(([0], ends[:-1])).astype(np.int64)
+            pw = np.ones(n, np.uint64)
+            if n > 1:
+                pw[:-1] = np.cumprod(
+                    np.full(n - 1, _CDC_B, np.uint64))[::-1]
+            pref = np.zeros(n + 1, np.uint64)
+            pref[1:] = np.cumsum(hs * pw)
+            ipw = np.ones(n + 1, np.uint64)
+            ipw[1:] = np.cumprod(np.full(n, _CDC_BINV, np.uint64))
+            h = (pref[ends] - pref[starts]) * ipw[n - ends]
+            o_id.append(np.full(ends.size, did, ids.dtype))
+            o_ci.append(np.arange(ends.size, dtype=np.int32))
+            o_st.append(starts + 1)
+            o_nt.append(ends - starts)
+            o_h.append(h)
+        np.seterr(**np_err)
+        cat = (lambda parts, dt: np.concatenate(parts) if parts
+               else np.empty(0, dt))
+        return pa.table({
+            id_col: pa.array(cat(o_id, ids.dtype)),
+            "chunk_idx": pa.array(cat(o_ci, np.int32)),
+            "start_tok": pa.array(cat(o_st, np.int64).astype(np.int64)),
+            "n_tokens": pa.array(cat(o_nt, np.int64).astype(np.int64)),
+            "chunk_hash": pa.array(cat(o_h, np.uint64)),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def benchmark_gram_set(bench_ds, text_col: str = "text", n: int = 13):
     """Distinct n-gram hash set of a benchmark corpus as a sorted uint64
     array.  Benchmark/eval sets are small (MBs even for full eval

@@ -1415,6 +1415,48 @@ def test_span_attribution_pairs_and_boilerplate_cap(ray_session):
     assert (1, 2) in cp and (10, 11) not in cp
 
 
+def test_cdc_chunks_shift_invariance_and_coverage(ray_session):
+    """Content-defined chunking: chunks tile each doc's token stream
+    exactly; a shifted copy (prefix inserted) shares every chunk hash
+    of the original except near the insertion point — the property
+    fixed-width blocking lacks; short and empty docs behave."""
+    import ray.data
+
+    from rayindex.datapipe.spans import cdc_chunks
+
+    rng = np.random.RandomState(5)
+    vocab = [f"tok{i}" for i in range(300)]
+    body = " ".join(rng.choice(vocab, size=600))
+    prefix = " ".join(rng.choice(vocab, size=37))
+    docs = {1: body, 2: f"{prefix} {body}", 3: "a b", 4: "", 5: None}
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())})) \
+        .repartition(2)
+    out = cdc_chunks(ds, k=4, mask_bits=4).to_pandas()
+    # coverage: chunks tile the stream (starts/lengths are contiguous)
+    for did, grp in out.groupby("doc_id"):
+        g = grp.sort_values("chunk_idx")
+        assert g.chunk_idx.tolist() == list(range(len(g)))
+        nxt = g.start_tok.to_numpy() + g.n_tokens.to_numpy()
+        assert (nxt[:-1] == g.start_tok.to_numpy()[1:]).all()
+        assert g.start_tok.iloc[0] == 1
+    # short doc: one chunk of 2 tokens; empty/None docs: no rows
+    assert out[out.doc_id == 3].n_tokens.tolist() == [2]
+    assert not ((out.doc_id == 4) | (out.doc_id == 5)).any()
+    # shift invariance: the original's chunk hash multiset is almost
+    # entirely contained in the shifted copy's
+    h1 = out[out.doc_id == 1].chunk_hash.tolist()
+    h2 = set(out[out.doc_id == 2].chunk_hash.tolist())
+    shared = sum(1 for h in h1 if h in h2)
+    assert shared >= len(h1) - 2 and len(h1) >= 10
+    # determinism across runs
+    again = cdc_chunks(ds, k=4, mask_bits=4).to_pandas()
+    a = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert a.chunk_hash.tolist() == b.chunk_hash.tolist()
+
+
 def test_duplicate_span_stats_counts_cross_doc_only(ray_session):
     """n_dup_fps counts fingerprints shared with OTHER docs; a doc's
     internally-repeated passage alone does not mark it duplicated."""
